@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Benchmark: sustained complex64 -> STI throughput on one TPU chip.
+
+Primary metric (BASELINE.json): complex samples/sec/chip at 4096-pt FFT,
+plus p50 block -> STI-column latency. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/s", "vs_baseline": N/1e9}
+vs_baseline is relative to the 1 GS/s north-star target (the reference
+publishes no numbers; its ceiling is single-core pocketfft, BASELINE.md).
+
+Run `python bench.py --all` for the full suite (multiple nfft, modes,
+fft impls, latency percentiles) printed as extra lines to stderr.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _make_inputs(nfft, nint, ntime, nsub, seed=0):
+    """Plane-packed complex input: (nsamp, nsub, 2) float32 — the canonical
+    device-boundary layout (complex transfers are not portable across TPU
+    transports; see ops.stft.pack_complex_host)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    nsamp = nfft * nint * ntime
+    x = rng.standard_normal((nsamp, nsub, 2)).astype(np.float32)
+    starts = (np.arange(ntime) * nfft * nint).astype(np.int32)
+    return jnp.asarray(x), jnp.asarray(starts)
+
+
+def _roundtrip_overhead_s(repeats=5):
+    """Dispatch + host-readback latency of a trivial computation.
+
+    On tunneled/remote device transports ``block_until_ready`` may not
+    actually synchronize, so all timing here forces a scalar readback and
+    amortizes K on-device iterations per dispatch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def tiny(x):
+        return x + 1.0
+
+    x = jnp.asarray(np.float32(0))
+    float(np.asarray(tiny(x)))  # warm/compile
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(np.asarray(tiny(x)))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def bench_sti(nfft=4096, nint=4, ntime=128, nsub=2, mode="welch",
+              fft_impl="xla", iters=20, repeats=5):
+    """Returns (samples_per_sec, p50_block_latency_s, p99_s).
+
+    Times ``iters`` STI steps chained in one on-device lax.fori_loop (the
+    loop carry depends on each step's output and the input offset varies
+    per iteration, so XLA cannot hoist or elide the body), reads back one
+    scalar, and subtracts the measured dispatch/readback overhead.
+    """
+    import jax
+    import jax.numpy as jnp
+    from pyspectrogram_tpu.ops.stft import make_sti_fn
+
+    fn = make_sti_fn(nfft=nfft, nint=nint, mode=mode, fft_impl=fft_impl)
+    samples, starts = _make_inputs(nfft, nint, ntime, nsub)
+    n_proc = nfft * nint * ntime * nsub  # samples consumed per step
+
+    @jax.jit
+    def run_k(samples, starts):
+        def body(i, acc):
+            out = fn(samples, starts + (i & 1))
+            return acc + out["sxx_med_dbfs"][0, 0]
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    overhead = _roundtrip_overhead_s()
+    float(np.asarray(run_k(samples, starts)))  # warm/compile
+    totals = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(np.asarray(run_k(samples, starts)))
+        totals.append(time.perf_counter() - t0)
+    per_step = np.asarray([max(t - overhead, 1e-9) / iters for t in totals])
+    p50 = float(np.percentile(per_step, 50))
+    p99 = float(np.percentile(per_step, 99))
+    return n_proc / p50, p50, p99
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all", action="store_true", help="full suite to stderr")
+    ap.add_argument("--nfft", type=int, default=4096)
+    ap.add_argument("--nint", type=int, default=4)
+    ap.add_argument("--ntime", type=int, default=128)
+    ap.add_argument("--nsub", type=int, default=2)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    dev = jax.devices()[0]
+    print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
+          file=sys.stderr)
+
+    if args.all:
+        for nfft in (1024, 4096, 65536):
+            for impl in ("xla",):
+                for mode in ("welch", "parity"):
+                    try:
+                        sps, p50, p99 = bench_sti(
+                            nfft=nfft, nint=args.nint, ntime=args.ntime,
+                            nsub=args.nsub, mode=mode, fft_impl=impl,
+                            iters=args.iters,
+                        )
+                        print(
+                            f"# nfft={nfft:6d} {impl:5s} {mode:6s} "
+                            f"{sps/1e9:8.3f} GS/s  p50={p50*1e3:7.3f} ms  "
+                            f"p99={p99*1e3:7.3f} ms",
+                            file=sys.stderr,
+                        )
+                    except Exception as e:
+                        print(f"# nfft={nfft} {impl} {mode} FAILED: {e}",
+                              file=sys.stderr)
+
+    sps, p50, _ = bench_sti(nfft=args.nfft, nint=args.nint, ntime=args.ntime,
+                            nsub=args.nsub, iters=args.iters)
+    print(json.dumps({
+        "metric": f"sti_throughput_c64_nfft{args.nfft}",
+        "value": round(sps, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(sps / 1e9, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Frozen configuration for spectrogram requests.
+
+The reference has no config system: its configuration is a mutable per-tab
+``stats`` dict with hardcoded defaults (reference: drfview.py:219-231) plus
+widget ranges, mutated concurrently by the GUI thread and read by the worker
+loop (an actual benign data race, reference: drfview.py:933-940 vs
+drfProc.py:335-341). Here configuration is a single immutable dataclass;
+settings changes produce a *new* snapshot, so the pipeline is linearized by
+construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from fractions import Fraction
+from typing import Optional, Tuple
+
+# Defaults mirror the reference tab defaults (reference: drfview.py:219-231)
+# except nint, whose reference default 0.1 conflicts with its own spinbox
+# minimum of 1 (reference: drfview.py:228 vs drfview.py:489-491); we use 1.
+DEFAULT_NFFT = 1024
+DEFAULT_NINT = 1
+DEFAULT_NTIME = 100
+DEFAULT_CRANGE = (-110.0, -40.0)
+DEFAULT_FRANGE_KHZ = (-1000.0, 1000.0)
+
+# Hardcoded constants in the reference, surfaced as named defaults:
+DEFAULT_STREAM_SECONDS = 30.0   # trailing streaming window (reference: drfProc.py:241)
+DEFAULT_EPS = 1e-15             # dB floor epsilon (reference: drfProc.py:308)
+DEFAULT_KAISER_BETA = 1.7       # window shape (reference: drfProc.py:386)
+MAX_PLOT_FREQS = 2 ** 15        # plot decimation cap (reference: drfview.py:180)
+
+# Widget-range limits (reference: drfview.py:475, 489, 501)
+NFFT_RANGE = (32, 1_048_576)
+NINT_RANGE = (1, 100_000)
+NTIME_RANGE = (2, 100_000)
+
+
+@dataclasses.dataclass(frozen=True)
+class SpectrogramConfig:
+    """One immutable snapshot of all knobs for a PSD/STI computation.
+
+    Used identically by the array API, the CLI and the GUI.
+    """
+
+    nfft: int = DEFAULT_NFFT
+    nint: int = DEFAULT_NINT
+    ntime: int = DEFAULT_NTIME
+    #: ("kaiser", beta) periodic window; also "hann", "blackman", "boxcar".
+    window: Tuple = ("kaiser", DEFAULT_KAISER_BETA)
+    #: channel entry, "chan" or "chan:sub" (reference: drfProc.py:91-92)
+    channel: Optional[str] = None
+    #: absolute time bounds in seconds since epoch; None means full dataset
+    time_span: Optional[Tuple[float, float]] = None
+    #: displayed frequency window in kHz (reference: drfview.py:518-529)
+    freq_window_khz: Tuple[float, float] = DEFAULT_FRANGE_KHZ
+    #: colormap dB range (reference: drfview.py:454-465)
+    color_range_db: Tuple[float, float] = DEFAULT_CRANGE
+    #: "parity" replicates the reference's silent nint-truncation
+    #: (scipy.signal.periodogram discards all but the first nfft samples when
+    #: nint>1, reference: drfProc.py:387-396); "welch" does true
+    #: nint-segment power averaging (the behavior the reference's GUI label
+    #: "Number of integrations" implies, reference: drfview.py:482-483).
+    mode: str = "welch"
+    eps: float = DEFAULT_EPS
+    #: streaming mode uses a trailing window (reference: drfProc.py:239-241)
+    streaming: bool = False
+    stream_seconds: float = DEFAULT_STREAM_SECONDS
+
+    def __post_init__(self):
+        if not (NFFT_RANGE[0] <= self.nfft <= NFFT_RANGE[1]):
+            raise ValueError(f"nfft {self.nfft} outside {NFFT_RANGE}")
+        if not (NINT_RANGE[0] <= self.nint <= NINT_RANGE[1]):
+            raise ValueError(f"nint {self.nint} outside {NINT_RANGE}")
+        if not (NTIME_RANGE[0] <= self.ntime <= NTIME_RANGE[1]):
+            raise ValueError(f"ntime {self.ntime} outside {NTIME_RANGE}")
+        if self.mode not in ("parity", "welch"):
+            raise ValueError(f"mode must be 'parity' or 'welch', got {self.mode!r}")
+        validate_range(self.color_range_db, "color_range_db")
+        validate_range(self.freq_window_khz, "freq_window_khz")
+
+    def replace(self, **kw) -> "SpectrogramConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def validate_range(rng, name: str) -> None:
+    """max must exceed min — the reference reverts + warns on violation
+    (reference: drfview.py:883-912)."""
+    lo, hi = rng
+    if not hi > lo:
+        raise ValueError(f"{name}: max ({hi}) must be greater than min ({lo})")
+
+
+@dataclasses.dataclass(frozen=True)
+class ProcessorStats:
+    """Payload of the ``statsupdated`` signal (reference: drfProc.py:462,
+    drfProc.py:343-345): the processor's actual settings echoed to clients."""
+
+    tab_id: int
+    sample_rate: Fraction
+    nfft: int
+    nint: int
+    ntime: int
+    time_bounds: Tuple[float, float]

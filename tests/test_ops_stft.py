@@ -1,0 +1,128 @@
+"""JAX STI core vs the NumPy oracle (golden-value tests, SURVEY.md §4.1)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pyspectrogram_tpu.ops import reference as oracle
+from pyspectrogram_tpu.ops import stft
+
+
+def _random_buffer(nsamp, nsub, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal((nsamp, nsub)).astype(np.float32)
+            + 1j * rng.standard_normal((nsamp, nsub)).astype(np.float32)
+            ).astype(np.complex64)
+
+
+def _oracle_outputs(samples, starts, nfft, nint, mode, eps=1e-15):
+    """Build the (nfft*nint, ntime, nsub) block the reference layout uses
+    and run the oracle on it."""
+    frame_len = nfft * nint
+    block = np.stack([samples[s : s + frame_len] for s in starts], axis=1)
+    sxx = oracle.sti_psd(block, nfft, nint=nint, mode=mode)  # (nfft,ntime,nsub)
+    med = np.median(sxx, axis=1)
+    return oracle.to_dbfs(sxx, eps), oracle.to_dbfs(med, eps)
+
+
+@pytest.mark.parametrize("mode,nint", [("parity", 1), ("parity", 3), ("welch", 4)])
+def test_sti_matches_oracle(mode, nint):
+    nfft, ntime, nsub = 128, 9, 2
+    samples = _random_buffer(nfft * nint * ntime + 64, nsub)
+    starts = np.linspace(0, len(samples) - nfft * nint, ntime, dtype=int)
+
+    fn = stft.make_sti_fn(nfft=nfft, nint=nint, mode=mode)
+    out = fn(jnp.asarray(samples), jnp.asarray(starts, jnp.int32))
+
+    got_sxx = stft.to_reference_layout(out["sxx_dbfs"])      # (nfft,ntime,nsub)
+    got_med = np.moveaxis(np.asarray(out["sxx_med_dbfs"]), -1, 0)  # (nfft,nsub)
+    want_sxx, want_med = _oracle_outputs(samples.astype(np.complex128), starts,
+                                         nfft, nint, mode)
+    # float32 device vs float64 oracle: dB-domain agreement
+    np.testing.assert_allclose(got_sxx, want_sxx, atol=5e-3, rtol=0)
+    np.testing.assert_allclose(got_med, want_med, atol=5e-3, rtol=0)
+
+
+def test_sti_float64_tight_match():
+    """complex128 on CPU must agree with the oracle to near machine eps."""
+    with jax.enable_x64(True):
+        nfft, nint, ntime, nsub = 64, 2, 7, 1
+        samples = _random_buffer(nfft * nint * ntime, nsub, seed=5).astype(
+            np.complex128
+        )
+        starts = np.linspace(0, len(samples) - nfft * nint, ntime, dtype=int)
+        fn = stft.make_sti_fn(nfft=nfft, nint=nint, mode="welch",
+                              compute_dtype=jnp.complex128)
+        out = fn(jnp.asarray(samples), jnp.asarray(starts, jnp.int64))
+        want_sxx, want_med = _oracle_outputs(samples, starts, nfft, nint, "welch")
+        np.testing.assert_allclose(
+            stft.to_reference_layout(out["sxx_dbfs"]), want_sxx, rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(out["sxx_med_dbfs"]), -1, 0), want_med,
+            rtol=1e-12,
+        )
+
+
+def test_packed_int16_input_normalization():
+    """Raw int16 r/i planes with ref folded into the power scale must match
+    normalizing on the host first (reference normalizes x/ref before the
+    FFT, drfProc.py:129; scaling commutes through to power)."""
+    rng = np.random.default_rng(7)
+    nfft, ntime = 128, 5
+    nsamp = nfft * ntime
+    raw = rng.integers(-(2 ** 14), 2 ** 14, size=(nsamp, 1, 2)).astype(np.int16)
+    ref_level = 2.0 ** 15.5
+    starts = np.arange(ntime, dtype=np.int32) * nfft
+
+    fn_raw = stft.make_sti_fn(nfft=nfft, ref=ref_level)
+    out_raw = fn_raw(jnp.asarray(raw), jnp.asarray(starts))
+
+    complex_host = (raw[..., 0].astype(np.float64)
+                    + 1j * raw[..., 1].astype(np.float64)) / ref_level
+    want_sxx, want_med = _oracle_outputs(complex_host, starts, nfft, 1, "welch")
+    np.testing.assert_allclose(
+        stft.to_reference_layout(out_raw["sxx_dbfs"]), want_sxx, atol=5e-3
+    )
+
+
+def test_gather_frames_layout():
+    samples = jnp.arange(40, dtype=jnp.float32).reshape(20, 2)
+    starts = jnp.asarray([0, 5, 12], jnp.int32)
+    frames = stft.gather_frames(samples, starts, 4)
+    assert frames.shape == (3, 2, 4)
+    np.testing.assert_array_equal(frames[1, 0], [10, 12, 14, 16])
+    np.testing.assert_array_equal(frames[2, 1], [25, 27, 29, 31])
+
+
+def test_tone_peak_on_device():
+    """End-to-end sanity: exact-bin tone lands all power in its bin."""
+    nfft, sr, k = 256, 1e6, -40
+    n = np.arange(nfft * 4)
+    x = np.exp(2j * np.pi * k * n / nfft).astype(np.complex64)[:, None]
+    starts = np.asarray([0, nfft, 2 * nfft], np.int32)
+    fn = stft.make_sti_fn(nfft=nfft, window="boxcar")
+    out = fn(jnp.asarray(x), jnp.asarray(starts))
+    freqs = stft.shifted_freqs(nfft, sr)
+    sxx = np.asarray(out["sxx_dbfs"])[0, 0]
+    peak = int(np.argmax(sxx))
+    assert freqs[peak] == pytest.approx(k * sr / nfft)
+    assert sxx[peak] == pytest.approx(0.0, abs=1e-3)  # 0 dBFS
+
+
+def test_welch_reduces_variance():
+    """True nint averaging must reduce PSD variance on white noise —
+    the behavioral fix over the reference's silent truncation."""
+    rng = np.random.default_rng(11)
+    nfft, nint, ntime = 64, 16, 4
+    nsamp = nfft * nint * ntime
+    x = ((rng.standard_normal((nsamp, 1)) + 1j * rng.standard_normal((nsamp, 1)))
+         / np.sqrt(2)).astype(np.complex64)
+    starts = np.arange(ntime, dtype=np.int32) * nfft * nint
+    par = stft.make_sti_fn(nfft=nfft, nint=nint, mode="parity", return_linear=True)
+    wel = stft.make_sti_fn(nfft=nfft, nint=nint, mode="welch", return_linear=True)
+    p = np.asarray(par(jnp.asarray(x), jnp.asarray(starts))["sxx"])
+    w = np.asarray(wel(jnp.asarray(x), jnp.asarray(starts))["sxx"])
+    assert w.std() < p.std() / 2.5  # ~sqrt(16)=4x in expectation
