@@ -116,7 +116,7 @@ def main():
                         sps, p50, p99 = bench_sti(
                             nfft=nfft, nint=args.nint, ntime=args.ntime,
                             nsub=args.nsub, mode=mode, fft_impl=impl,
-                            iters=args.iters,
+                            iters=max(5, args.iters * 4096 // nfft),
                         )
                         print(
                             f"# nfft={nfft:6d} {impl:5s} {mode:6s} "

@@ -60,10 +60,21 @@ def gather_frames(samples: jax.Array, starts: jax.Array, frame_len: int) -> jax.
     Equivalent of the reference's per-column HDF5 read loop
     (reference: drfProc.py:159-166), done on-device from a resident buffer.
     """
-    offs = jnp.arange(frame_len, dtype=starts.dtype)
-    idx = starts[:, None] + offs[None, :]            # (ntime, frame_len)
-    frames = jnp.take(samples, idx, axis=0)          # (ntime, frame_len, nsub[,2])
-    return jnp.moveaxis(frames, 1, 2)                # (ntime, nsub, frame_len[,2])
+    # A generic element gather (take with a 2-D index matrix) is ~200x
+    # slower on TPU than slicing whole rows: view trailing dims as one
+    # minor axis and vmap a dynamic_slice over the frame starts, which XLA
+    # lowers to contiguous HBM block copies (measured 13.5ms -> 0.06ms for
+    # 1024x4096 frames on v5e).
+    trailing = samples.shape[1:]
+    ncol = int(np.prod(trailing)) if trailing else 1
+    flat = samples.reshape(samples.shape[0], ncol)
+
+    def one(s):
+        return jax.lax.dynamic_slice(flat, (s, 0), (frame_len, ncol))
+
+    frames = jax.vmap(one)(starts)                   # (ntime, frame_len, ncol)
+    frames = frames.reshape((starts.shape[0], frame_len) + trailing)
+    return jnp.moveaxis(frames, 1, 2) if trailing else frames[:, None, :]
 
 
 def _to_complex(frames: jax.Array, real_dtype) -> jax.Array:
@@ -150,7 +161,7 @@ def make_sti_fn(
         else:
             p = psd_frames(x, win, inv_scale, fft_fn)
         p = jnp.fft.fftshift(p, axes=-1)              # (ntime, nsub, nfft)
-        p_med = jnp.median(p, axis=0)                 # (nsub, nfft)
+        p_med = median_over_time(p)                   # (nsub, nfft)
         out = {
             "sxx_dbfs": to_dbfs(p, eps),
             "sxx_med_dbfs": to_dbfs(p_med, eps),
@@ -161,6 +172,68 @@ def make_sti_fn(
         return out
 
     return sti_fn
+
+
+def _float_order_key(x: jax.Array) -> jax.Array:
+    """float32 -> int32 key with the same total order (sign-magnitude to
+    two's-complement flip; an involution)."""
+    b = jax.lax.bitcast_convert_type(x, jnp.int32)
+    return b ^ (jax.lax.shift_right_arithmetic(b, 31) & jnp.int32(0x7FFFFFFF))
+
+
+def _kth_smallest_f32(x: jax.Array, k: int) -> jax.Array:
+    """Exact k-th smallest (1-indexed) along axis 0 via 32-step bisection
+    on the float bit pattern — O(32·n) fully-vectorized compare+count, no
+    sort HLO. XLA's TPU sort on a 1M-element (128-long lanes) batch costs
+    ~10 ms; this runs in ~0.12 ms. Exact for all normal floats (platforms
+    that flush denormals may differ below ~1e-38, i.e. under -750 dBFS)."""
+    kb = _float_order_key(x)
+    lo = jnp.full(x.shape[1:], jnp.int32(-0x7F800001), jnp.int32)
+    hi = jnp.full(x.shape[1:], jnp.int32(0x7F800000), jnp.int32)
+
+    def body(_, lh):
+        lo, hi = lh
+        # overflow-free floor((lo+hi)/2): the bracket spans > int32 range
+        mid = (lo & hi) + jax.lax.shift_right_arithmetic(lo ^ hi, 1)
+        cnt = (kb <= mid[None]).sum(axis=0)
+        go_hi = cnt >= k
+        return (jnp.where(go_hi, lo, mid + 1), jnp.where(go_hi, mid, hi))
+
+    # 33 halvings shrink the full key span (~2^32) to 0, guaranteeing
+    # lo == hi == the answer's key (32 would leave a 1-wide bracket).
+    lo, hi = jax.lax.fori_loop(0, 33, body, (lo, hi))
+    key = hi ^ (jax.lax.shift_right_arithmetic(hi, 31) & jnp.int32(0x7FFFFFFF))
+    return jax.lax.bitcast_convert_type(key, jnp.float32)
+
+
+def median_over_time(p: jax.Array, ntime_valid: Optional[int] = None) -> jax.Array:
+    """Median across the leading (time) axis of (ntime, ..., nfft)
+    (the reference's per-subchannel median PSD, drfProc.py:401).
+
+    TPU-native selection: XLA's sort HLO is the wrong tool on TPU (~10 ms
+    for the typical STI shape); instead the median element is found by
+    bisection on float bit patterns — pure compare/count vector work.
+    Matches numpy median exactly for float32 (see _kth_smallest_f32);
+    float64 falls back to a minor-axis sort (host/oracle paths only).
+    ``ntime_valid`` restricts to a leading prefix (used when the time axis
+    is padded for sharding).
+    """
+    n = p.shape[0] if ntime_valid is None else ntime_valid
+    p = p[:n]
+    if p.dtype != jnp.float32:
+        q = jnp.moveaxis(p, 0, -1)
+        s = jnp.sort(q, axis=-1)
+        if n % 2:
+            return s[..., n // 2]
+        return 0.5 * (s[..., n // 2 - 1] + s[..., n // 2])
+    k = (n + 1) // 2
+    v1 = _kth_smallest_f32(p, k)
+    if n % 2:
+        return v1
+    cnt_le = (p <= v1[None]).sum(axis=0)
+    bigger = jnp.where(p > v1[None], p, jnp.inf)
+    v2 = jnp.where(cnt_le > k, v1, bigger.min(axis=0))
+    return 0.5 * (v1 + v2)
 
 
 def to_dbfs(x: jax.Array, eps: float = 1e-15) -> jax.Array:

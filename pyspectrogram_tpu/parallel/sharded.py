@@ -25,7 +25,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from jax import shard_map
 
-from pyspectrogram_tpu.ops.stft import _to_complex, psd_frames, to_dbfs
+from pyspectrogram_tpu.ops.stft import (
+    _to_complex,
+    median_over_time,
+    psd_frames,
+    to_dbfs,
+)
 from pyspectrogram_tpu.ops.windows import WindowSpec, get_window
 from pyspectrogram_tpu.parallel.mesh import CHAN_AXIS, TIME_AXIS
 
@@ -73,7 +78,7 @@ def make_sharded_sti_fn(
         p_local = local_sti(samples, starts)
         # gather all columns of my channel shard for the time median
         p_all = jax.lax.all_gather(p_local, TIME_AXIS, axis=0, tiled=True)
-        p_med = jnp.median(p_all[:ntime_valid], axis=0)  # (nsub_local, nfft)
+        p_med = median_over_time(p_all, ntime_valid)  # (nsub_local, nfft)
         return {
             "sxx_dbfs": to_dbfs(p_local, eps),
             "sxx_med_dbfs": to_dbfs(p_med, eps),

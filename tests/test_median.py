@@ -1,0 +1,42 @@
+"""Exactness of the TPU-native (sort-free) median selection."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pyspectrogram_tpu.ops.stft import median_over_time
+
+
+@pytest.mark.parametrize("n", [2, 3, 5, 64, 127, 128])
+def test_median_matches_numpy_exactly(n):
+    rng = np.random.default_rng(n)
+    p = rng.standard_normal((n, 3, 65)).astype(np.float32)  # incl. negatives
+    got = np.asarray(jax.jit(median_over_time)(jnp.asarray(p)))
+    want = np.median(p, axis=0).astype(np.float32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_median_with_duplicates_and_zeros():
+    rng = np.random.default_rng(0)
+    p = np.abs(np.round(rng.standard_normal((64, 2, 33)) * 2)).astype(np.float32)
+    got = np.asarray(jax.jit(median_over_time)(jnp.asarray(p)))
+    np.testing.assert_array_equal(got, np.median(p, axis=0).astype(np.float32))
+
+
+def test_median_valid_prefix():
+    rng = np.random.default_rng(1)
+    p = rng.standard_normal((16, 1, 8)).astype(np.float32)
+    got = np.asarray(
+        jax.jit(lambda x: median_over_time(x, ntime_valid=11))(jnp.asarray(p))
+    )
+    np.testing.assert_array_equal(got, np.median(p[:11], axis=0).astype(np.float32))
+
+
+def test_median_float64_path():
+    rng = np.random.default_rng(2)
+    with jax.enable_x64(True):
+        p = rng.standard_normal((10, 2, 7))
+        got = np.asarray(jax.jit(median_over_time)(jnp.asarray(p)))
+        np.testing.assert_array_equal(got, np.median(p, axis=0))
