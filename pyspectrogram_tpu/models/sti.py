@@ -1,0 +1,176 @@
+"""STI pipeline: one request -> (times, freqs, sxx_dbfs, sxx_med_dbfs).
+
+This is the array-in/array-out core the reference exposes implicitly through
+its Qt signal payloads (``iterated(i, tabID, times, freqs, sxx_dbfs,
+sxx_med_dbfs)``, reference: drfProc.py:458-461, emitted at
+drfProc.py:312-314). The pipeline:
+
+  host: pick channel + time window -> exact time->sample conversion ->
+        coalesced HDF5 frame reads assembled into a compact plane-packed
+        device block (raw integer data ships unconverted)
+  device (jit): gather -> window -> FFT -> |X|^2 -> (Welch avg) ->
+        fftshift -> median -> dB
+  host: per-column datetimes, fftshifted freqs, reference-layout views
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime
+from fractions import Fraction
+from typing import Optional, Tuple
+
+import numpy as np
+
+from pyspectrogram_tpu.io.reader import RFDataset
+from pyspectrogram_tpu.io.time_util import sample_to_datetime, time_to_sample
+from pyspectrogram_tpu.ops import stft
+from pyspectrogram_tpu.utils.config import SpectrogramConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class StiResult:
+    """Payload-parity result (reference: drfProc.py:303-314)."""
+
+    iteration: int
+    times: np.ndarray          # (ntime,) datetime64/us-resolution datetimes
+    freqs: np.ndarray          # (nfft,) Hz, fftshifted
+    sxx_dbfs: np.ndarray       # (nfft, ntime, nsub) reference layout
+    sxx_med_dbfs: np.ndarray   # (nfft, nsub)
+    sample_rate: Fraction
+    frame_starts: np.ndarray   # (ntime,) absolute sample indices
+    mask: Optional[np.ndarray] = None  # (ntime,) column validity (gaps)
+
+    @property
+    def sxx_time_major(self) -> np.ndarray:
+        """(ntime, nsub, nfft) device-native layout view."""
+        return np.moveaxis(self.sxx_dbfs, 0, -1)
+
+
+def assemble_device_block(
+    ds: RFDataset, chan: str, isub: Optional[int], n_st: np.ndarray,
+    frame_len: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Read ``len(n_st)`` frames into one compact plane-packed buffer.
+
+    Returns (packed, starts_rel, col_mask):
+      packed:     (ntime*frame_len, nsub, 2) float32 (or int16 for raw
+                  integer channels — normalization happens on-device via
+                  the folded power scale);
+      starts_rel: (ntime,) int32 offsets into the packed buffer;
+      col_mask:   (ntime,) True where the frame had no data gaps.
+
+    Replaces the reference's per-column ``read_vector`` loop
+    (reference: drfProc.py:161-164) with coalesced bulk reads.
+    """
+    reader = ds.reader
+    props = reader._channel_props(chan)
+    ntime = len(n_st)
+    lo = int(n_st[0])
+    hi = int(n_st[-1]) + frame_len
+    dense_span = hi - lo
+    coalesce = dense_span <= 2 * frame_len * ntime
+
+    if coalesce:
+        raw, mask = reader.read_vector_raw(lo, dense_span, chan, return_mask=True)
+        frames = [raw[s - lo : s - lo + frame_len] for s in n_st]
+        fmask = [mask[s - lo : s - lo + frame_len].all() for s in n_st]
+    else:
+        frames, fmask = [], []
+        for s in n_st:
+            r, m = reader.read_vector_raw(int(s), frame_len, chan, return_mask=True)
+            frames.append(r)
+            fmask.append(m.all())
+    block = np.concatenate(frames, axis=0)  # (ntime*frame_len, nsub)
+    if isub is not None:
+        block = block[:, isub : isub + 1]
+    packed = _pack_planes(block)
+    starts_rel = (np.arange(ntime, dtype=np.int32) * frame_len)
+    return packed, starts_rel, np.asarray(fmask, bool)
+
+
+def _pack_planes(block: np.ndarray) -> np.ndarray:
+    """(n, nsub) storage-dtype block -> (n, nsub, 2) real planes.
+
+    float-complex -> float32 planes; integer compound -> native int16/int32
+    planes (halves the host->HBM bytes); real data -> zero imaginary plane.
+    """
+    if block.dtype.names is not None:
+        return np.stack([block["r"], block["i"]], axis=-1)
+    if block.dtype.kind == "c":
+        c64 = np.ascontiguousarray(block.astype(np.complex64))
+        return c64.view(np.float32).reshape(block.shape + (2,))
+    f32 = block.astype(np.float32)
+    return np.stack([f32, np.zeros_like(f32)], axis=-1)
+
+
+class StiPipeline:
+    """Reusable request executor over one dataset.
+
+    Jitted device programs are cached per (nfft, nint, mode, window, ref)
+    via make_sti_fn's cache, so settings changes recompile only when a
+    static shape/knob actually changes.
+    """
+
+    def __init__(self, dataset: RFDataset, config: SpectrogramConfig,
+                 use_device: bool = True):
+        self.ds = dataset
+        self.config = config
+        self.use_device = use_device
+        self._iteration = -1
+
+    def channel_of(self, config: SpectrogramConfig) -> Tuple[str, Optional[int]]:
+        entry = config.channel or self.ds.channels[0]
+        return self.ds._split_entry(entry)
+
+    def compute(self, config: Optional[SpectrogramConfig] = None) -> StiResult:
+        """Run one full STI request (one loop iteration of the reference's
+        worker, drfProc.py:275-314)."""
+        import jax.numpy as jnp
+
+        cfg = config or self.config
+        self._iteration += 1
+        chan, isub = self.channel_of(cfg)
+        sr = self.ds.sr_dict[chan]
+        ref = self.ds.ref_dict[chan]
+
+        self.ds.bnds_update()
+        if cfg.streaming:
+            end_time = self.ds.time_bnds[1]
+            st_time = end_time - cfg.stream_seconds
+        elif cfg.time_span is not None:
+            st_time, end_time = cfg.time_span
+        else:
+            st_time, end_time = self.ds.time_bnds
+        s_samp = time_to_sample(st_time, sr)
+        e_samp = time_to_sample(end_time, sr)
+
+        n_st = self.ds.sti_frame_starts(s_samp, e_samp, cfg.nfft, cfg.nint,
+                                        cfg.ntime)
+        frame_len = cfg.nfft * cfg.nint
+        packed, starts_rel, col_mask = assemble_device_block(
+            self.ds, chan, isub, n_st, frame_len
+        )
+
+        fn = stft.make_sti_fn(
+            nfft=cfg.nfft, nint=cfg.nint, mode=cfg.mode, window=cfg.window,
+            ref=ref, eps=cfg.eps,
+        )
+        out = fn(jnp.asarray(packed), jnp.asarray(starts_rel))
+        sxx_dbfs = stft.to_reference_layout(out["sxx_dbfs"])
+        sxx_med_dbfs = np.moveaxis(np.asarray(out["sxx_med_dbfs"]), -1, 0)
+
+        times = np.asarray(
+            [sample_to_datetime(int(s), sr) for s in n_st]
+        )
+        freqs = stft.shifted_freqs(cfg.nfft, sr)
+        return StiResult(
+            iteration=self._iteration,
+            times=times,
+            freqs=freqs,
+            sxx_dbfs=sxx_dbfs,
+            sxx_med_dbfs=sxx_med_dbfs,
+            sample_rate=sr,
+            frame_starts=np.asarray(n_st),
+            mask=col_mask,
+        )

@@ -1,0 +1,223 @@
+"""Worker-loop processor: the reference's ``DrfProcessor`` re-imagined.
+
+Behavior parity with the reference worker (reference: drfProc.py:209-361):
+* "written" mode re-reads the user-selected bounds every iteration;
+  "streaming" mode chases the trailing ``stream_seconds`` window of a
+  growing dataset (reference: drfProc.py:239-241, 291-296);
+* bounds are refreshed each iteration (reference: drfProc.py:283);
+* effective settings are re-emitted each iteration before compute
+  (reference: drfProc.py:284-290);
+* pacing sleeps between iterations (0.08 s streaming / 0.1 s written,
+  reference: drfProc.py:316-321) — configurable here;
+* terminate reason codes match (0 user stop, 1 missing path, 3 init
+  timeout, 4 loop exception; reference: drfProc.py:245-246, 260-262,
+  323-327, 347-352).
+
+Differences by design (SURVEY.md section 5):
+* settings updates swap an immutable ``SpectrogramConfig`` snapshot under a
+  lock instead of mutating fields read concurrently by the loop — the
+  reference has a (benign) data race here (drfview.py:933-940 vs
+  drfProc.py:335-341);
+* callbacks instead of Qt signals; a Qt client adapts them to slots;
+* per-iteration latency/throughput counters are first-class (the reference
+  has no instrumentation at all).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from pyspectrogram_tpu.io.reader import RFDataset
+from pyspectrogram_tpu.models.sti import StiPipeline
+from pyspectrogram_tpu.runtime.signals import (
+    Iterated,
+    ProcessorCallbacks,
+    StatsUpdated,
+    Terminated,
+)
+from pyspectrogram_tpu.utils.config import SpectrogramConfig
+from pyspectrogram_tpu.utils.errors import TerminateReason
+
+
+class SpectrogramProcessor:
+    """One dataset's processing loop, running on a host thread.
+
+    The device work inside each iteration is a single jitted program; the
+    host thread is only orchestration + HDF5 IO.
+    """
+
+    def __init__(
+        self,
+        datasource: str,
+        drfdir,
+        tab_id: int,
+        config: SpectrogramConfig,
+        callbacks: Optional[ProcessorCallbacks] = None,
+        written_sleep: float = 0.1,
+        streaming_sleep: float = 0.08,
+        max_iterations: Optional[int] = None,
+        init_timeout_s: float = 10.0,
+    ):
+        self.tab_id = tab_id
+        self.callbacks = callbacks or ProcessorCallbacks()
+        self.written_sleep = written_sleep
+        self.streaming_sleep = streaming_sleep
+        self.max_iterations = max_iterations
+        self.init_timeout_s = init_timeout_s
+        self.reason: Optional[TerminateReason] = None
+        self.is_running = False
+        self._lock = threading.Lock()
+        self._ready = threading.Event()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.latencies_s: list = []
+
+        streaming = str(datasource).lower() == "streaming"
+        self._config = config.replace(streaming=streaming)
+
+        import pathlib
+
+        if not pathlib.Path(drfdir).expanduser().exists():
+            # reference: terminate(1) from __init__ (drfProc.py:245-246)
+            self._terminate(TerminateReason.MISSING_PATH)
+            return
+        try:
+            self.ds = RFDataset(drfdir)
+            self.pipeline = StiPipeline(self.ds, self._config)
+        except Exception:
+            self._terminate(TerminateReason.MISSING_PATH)
+            return
+        self.chan_listing = list(self.ds.chan_2sub)
+        self.sub_chan_list = list(self.ds.chan_entries)
+        self.is_running = True
+        self._ready.set()
+
+    # ------------------------------------------------------------- control
+    @property
+    def config(self) -> SpectrogramConfig:
+        with self._lock:
+            return self._config
+
+    def start(self) -> "SpectrogramProcessor":
+        """Spawn the worker thread (the reference runs on a QThreadPool,
+        reference: drfview.py:1183)."""
+        self._thread = threading.Thread(target=self.run, daemon=True)
+        self._thread.start()
+        return self
+
+    def run(self) -> None:
+        """The loop body; callable directly (synchronously) for headless
+        tests or via start()."""
+        if not self._ready.wait(self.init_timeout_s):
+            if self.reason is None:
+                self._terminate(TerminateReason.INIT_TIMEOUT)
+            return
+        if self.reason is not None:
+            return
+        i = -1
+        try:
+            while self.is_running and not self._stop.is_set():
+                i += 1
+                cfg = self.config
+                self.ds.bnds_update()
+                self._emit_stats(cfg)
+                t0 = time.perf_counter()
+                result = self.pipeline.compute(cfg)
+                self.latencies_s.append(time.perf_counter() - t0)
+                self.callbacks.emit_iterated(Iterated(
+                    i=i,
+                    tab_id=self.tab_id,
+                    times=result.times,
+                    freqs=result.freqs,
+                    sxx_dbfs=result.sxx_dbfs,
+                    sxx_med_dbfs=result.sxx_med_dbfs,
+                ))
+                if self.max_iterations is not None and i + 1 >= self.max_iterations:
+                    self._terminate(TerminateReason.OK)
+                    return
+                self._stop.wait(
+                    self.streaming_sleep if cfg.streaming else self.written_sleep
+                )
+        except Exception:
+            import traceback
+
+            self.is_running = False
+            self._terminate(TerminateReason.LOOP_EXCEPTION)
+            traceback.print_exc()
+
+    def update_settings(
+        self,
+        nfft: Optional[int] = None,
+        nint: Optional[int] = None,
+        ntime: Optional[int] = None,
+        bnd_beg: Optional[float] = None,
+        bnd_end: Optional[float] = None,
+        **extra,
+    ) -> None:
+        """Settings slot (reference: drfProc.py:329-345): swap an immutable
+        config snapshot and echo effective stats."""
+        with self._lock:
+            kw = dict(extra)
+            if nfft is not None:
+                kw["nfft"] = int(nfft)
+            if nint is not None:
+                kw["nint"] = int(nint)
+            if ntime is not None:
+                kw["ntime"] = int(ntime)
+            if bnd_beg is not None or bnd_end is not None:
+                cur = self._config.time_span or self.ds.time_bnds
+                kw["time_span"] = (
+                    cur[0] if bnd_beg is None else float(bnd_beg),
+                    cur[1] if bnd_end is None else float(bnd_end),
+                )
+            self._config = self._config.replace(**kw)
+            cfg = self._config
+        self._emit_stats(cfg)
+
+    def select_channel(self, chan_entry: str) -> None:
+        with self._lock:
+            self._config = self._config.replace(channel=chan_entry)
+
+    def abort(self) -> None:
+        """User stop (reference: drfProc.py:347-352)."""
+        self._terminate(TerminateReason.OK)
+
+    def join(self, timeout: Optional[float] = None) -> None:
+        if self._thread is not None:
+            self._thread.join(timeout)
+
+    # ------------------------------------------------------------ internal
+    def _emit_stats(self, cfg: SpectrogramConfig) -> None:
+        chan, _ = self.pipeline.channel_of(cfg)
+        self.callbacks.emit_stats(StatsUpdated(
+            tab_id=self.tab_id,
+            sample_rate=self.ds.sr_dict[chan],
+            nfft=cfg.nfft,
+            nint=cfg.nint,
+            ntime=cfg.ntime,
+            time_bounds=cfg.time_span or self.ds.time_bnds,
+        ))
+
+    def _terminate(self, reason: TerminateReason) -> None:
+        self.reason = reason
+        self.is_running = False
+        self._stop.set()
+        self.callbacks.emit_terminated(Terminated(self.tab_id, reason))
+
+    # --------------------------------------------------------- observability
+    def latency_stats(self) -> dict:
+        """p50/p99 iteration latency — the instrumentation the reference
+        lacks entirely (SURVEY.md section 5)."""
+        if not self.latencies_s:
+            return {"n": 0}
+        a = np.asarray(self.latencies_s)
+        return {
+            "n": len(a),
+            "p50_s": float(np.percentile(a, 50)),
+            "p99_s": float(np.percentile(a, 99)),
+            "mean_s": float(a.mean()),
+        }

@@ -1,0 +1,73 @@
+"""Typed callback payloads — the framework's public event surface.
+
+These mirror the reference's Qt signal signatures exactly
+(``ThreadProcessorSignals``, reference: drfProc.py:458-465) so a GUI client
+can map them 1:1 onto slots, but they are plain frozen dataclasses carried
+over a callback interface — no Qt in the core.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from fractions import Fraction
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+from pyspectrogram_tpu.utils.errors import TerminateReason
+
+
+@dataclasses.dataclass(frozen=True)
+class Iterated:
+    """One loop iteration's results (reference: drfProc.py:459-461,
+    emitted drfProc.py:312-314)."""
+
+    i: int
+    tab_id: int
+    times: np.ndarray          # (ntime,) datetimes
+    freqs: np.ndarray          # (nfft,) Hz fftshifted
+    sxx_dbfs: np.ndarray       # (nfft, ntime, nsub)
+    sxx_med_dbfs: np.ndarray   # (nfft, nsub)
+
+
+@dataclasses.dataclass(frozen=True)
+class StatsUpdated:
+    """Processor's effective settings echo (reference: drfProc.py:462,
+    emitted drfProc.py:343-345)."""
+
+    tab_id: int
+    sample_rate: Fraction
+    nfft: int
+    nint: int
+    ntime: int
+    time_bounds: Tuple[float, float]
+
+
+@dataclasses.dataclass(frozen=True)
+class Terminated:
+    """Loop end notification (reference: drfProc.py:463-465,
+    emitted drfProc.py:359-361)."""
+
+    tab_id: int
+    reason: TerminateReason
+
+
+@dataclasses.dataclass
+class ProcessorCallbacks:
+    """Wire-up point for clients; any subset may be provided."""
+
+    on_iterated: Optional[Callable[[Iterated], None]] = None
+    on_stats: Optional[Callable[[StatsUpdated], None]] = None
+    on_terminated: Optional[Callable[[Terminated], None]] = None
+
+    def emit_iterated(self, payload: Iterated) -> None:
+        if self.on_iterated:
+            self.on_iterated(payload)
+
+    def emit_stats(self, payload: StatsUpdated) -> None:
+        if self.on_stats:
+            self.on_stats(payload)
+
+    def emit_terminated(self, payload: Terminated) -> None:
+        if self.on_terminated:
+            self.on_terminated(payload)

@@ -1,0 +1,183 @@
+"""StiPipeline + SpectrogramProcessor: headless end-to-end over the public
+event surface (the GUI-equivalent tests of SURVEY.md section 4.5)."""
+
+import numpy as np
+import pytest
+
+from pyspectrogram_tpu.io.reader import RFDataset
+from pyspectrogram_tpu.models.sti import StiPipeline, assemble_device_block
+from pyspectrogram_tpu.ops import reference as oracle
+from pyspectrogram_tpu.runtime import (
+    ProcessorCallbacks,
+    SpectrogramProcessor,
+)
+from pyspectrogram_tpu.utils.config import SpectrogramConfig
+from pyspectrogram_tpu.utils.errors import TerminateReason
+
+
+def _collector():
+    events = {"iterated": [], "stats": [], "terminated": []}
+    cb = ProcessorCallbacks(
+        on_iterated=events["iterated"].append,
+        on_stats=events["stats"].append,
+        on_terminated=events["terminated"].append,
+    )
+    return events, cb
+
+
+def test_pipeline_matches_oracle_end_to_end(tone_capture):
+    """Full request path (disk -> device -> result) vs the numpy oracle fed
+    by the reference-equivalent read_sti block."""
+    top, meta = tone_capture
+    ds = RFDataset(top)
+    chan = meta["channel"]
+    cfg = SpectrogramConfig(nfft=256, nint=2, ntime=11, mode="parity")
+    pipe = StiPipeline(ds, cfg)
+    res = pipe.compute()
+
+    lo, hi = ds.bnds[chan]
+    n_st, block = ds.read_sti(lo, chan, hi, cfg.nfft, cfg.nint, cfg.ntime)
+    f, sxx, med = oracle.sti_proc(block, ds.sr_dict[chan], cfg.nfft,
+                                  nint=cfg.nint, mode="parity")
+    np.testing.assert_array_equal(res.frame_starts, n_st)
+    np.testing.assert_allclose(res.freqs, f, rtol=1e-12)
+    # float32 device vs float64 oracle on a 60 dB dynamic-range signal:
+    # worst-case disagreement sits near the noise floor; 0.1 dB bound.
+    np.testing.assert_allclose(res.sxx_dbfs, oracle.to_dbfs(sxx), atol=0.1)
+    np.testing.assert_allclose(res.sxx_med_dbfs, oracle.to_dbfs(med), atol=0.1)
+    assert res.sxx_dbfs.shape == (cfg.nfft, cfg.ntime, 2)
+    assert res.mask.all()
+    # times are per-column datetimes (reference: drfProc.py:303-306)
+    assert res.times.shape == (cfg.ntime,)
+    assert res.times[0].year == 2016
+
+
+def test_pipeline_int16_capture(int16_capture):
+    """Raw int16 captures ship unconverted; dBFS ref folds into the scale."""
+    top, meta = int16_capture
+    ds = RFDataset(top)
+    cfg = SpectrogramConfig(nfft=512, ntime=8, window="boxcar")
+    res = StiPipeline(ds, cfg).compute()
+    # tone at amp 2**14 vs ref 2**15.5 -> peak at 20*log10(2**-1.5) ~ -9.03 dBFS
+    peak = res.sxx_med_dbfs.max()
+    assert abs(peak - 20 * np.log10(2.0 ** -1.5)) < 0.05
+
+
+def test_assemble_device_block_int16_dtype(int16_capture):
+    top, meta = int16_capture
+    ds = RFDataset(top)
+    chan = meta["channel"]
+    lo, _ = ds.bnds[chan]
+    n_st = np.asarray([lo, lo + 1000], dtype=np.int64)
+    packed, starts, mask = assemble_device_block(ds, chan, None, n_st, 256)
+    assert packed.dtype == np.int16 and packed.shape == (512, 1, 2)
+    assert list(starts) == [0, 256] and mask.all()
+
+
+def test_processor_loop_emits_and_stops(tone_capture):
+    top, meta = tone_capture
+    events, cb = _collector()
+    cfg = SpectrogramConfig(nfft=128, ntime=6)
+    proc = SpectrogramProcessor(
+        "written", top, tab_id=7, config=cfg, callbacks=cb,
+        written_sleep=0.0, max_iterations=3,
+    )
+    assert proc.is_running
+    assert proc.chan_listing == [meta["channel"]]
+    proc.run()  # synchronous for determinism
+    assert [e.i for e in events["iterated"]] == [0, 1, 2]
+    assert events["terminated"][-1].reason == TerminateReason.OK
+    it = events["iterated"][-1]
+    assert it.tab_id == 7
+    assert it.sxx_dbfs.shape == (128, 6, 2)
+    assert len(events["stats"]) >= 3
+    st = events["stats"][-1]
+    assert (st.nfft, st.ntime) == (128, 6)
+    stats = proc.latency_stats()
+    assert stats["n"] == 3 and stats["p50_s"] > 0
+
+
+def test_processor_missing_path():
+    events, cb = _collector()
+    proc = SpectrogramProcessor(
+        "written", "/nonexistent/drf", tab_id=1,
+        config=SpectrogramConfig(), callbacks=cb,
+    )
+    assert not proc.is_running
+    assert events["terminated"][0].reason == TerminateReason.MISSING_PATH
+    proc.run()  # must return immediately, no further events
+    assert len(events["terminated"]) == 1
+
+
+def test_processor_settings_update_threadsafe(tone_capture):
+    """Settings swap mid-run: later iterations use the new snapshot and the
+    new effective stats are echoed (reference round-trip:
+    drfview.py:933-940 -> drfProc.py:329-345)."""
+    top, meta = tone_capture
+    events, cb = _collector()
+    seen_shapes = []
+    cb.on_iterated = lambda e: seen_shapes.append(e.sxx_dbfs.shape)
+    proc = SpectrogramProcessor(
+        "written", top, tab_id=2, config=SpectrogramConfig(nfft=128, ntime=4),
+        callbacks=cb, written_sleep=0.0, max_iterations=4,
+    )
+    orig_compute = proc.pipeline.compute
+
+    def compute_and_flip(cfg):
+        if len(seen_shapes) == 1:
+            proc.update_settings(nfft=64, ntime=5)
+        return orig_compute(cfg)
+
+    proc.pipeline.compute = compute_and_flip
+    proc.run()
+    assert seen_shapes[0] == (128, 4, 2)
+    assert seen_shapes[-1] == (64, 5, 2)
+    assert events["stats"][-1].nfft == 64
+
+
+def test_processor_streaming_mode_chases_tail(tone_capture):
+    top, meta = tone_capture
+    events, cb = _collector()
+    proc = SpectrogramProcessor(
+        "streaming", top, tab_id=3,
+        config=SpectrogramConfig(nfft=128, ntime=4, stream_seconds=0.01),
+        callbacks=cb, streaming_sleep=0.0, max_iterations=2,
+    )
+    assert proc.config.streaming
+    proc.run()
+    it = events["iterated"][-1]
+    # trailing window: last frame ends at the dataset tail
+    sr = float(meta["sample_rate"])
+    lo, hi = proc.ds.bnds[meta["channel"]]
+    last_start = proc.pipeline.compute(proc.config).frame_starts[-1]
+    assert hi - (last_start + 128) < sr * 0.02
+
+
+def test_processor_thread_start_abort(tone_capture):
+    top, _ = tone_capture
+    events, cb = _collector()
+    proc = SpectrogramProcessor(
+        "written", top, tab_id=4, config=SpectrogramConfig(nfft=128, ntime=4),
+        callbacks=cb, written_sleep=0.01,
+    ).start()
+    import time
+
+    deadline = time.time() + 20
+    while not events["iterated"] and time.time() < deadline:
+        time.sleep(0.01)
+    proc.abort()
+    proc.join(10)
+    assert events["terminated"][-1].reason == TerminateReason.OK
+    assert events["iterated"]
+
+
+def test_processor_loop_exception_reports_code4(tone_capture):
+    top, _ = tone_capture
+    events, cb = _collector()
+    proc = SpectrogramProcessor(
+        "written", top, tab_id=5, config=SpectrogramConfig(nfft=128, ntime=4),
+        callbacks=cb, written_sleep=0.0,
+    )
+    proc.pipeline.compute = lambda cfg: (_ for _ in ()).throw(RuntimeError("boom"))
+    proc.run()
+    assert events["terminated"][-1].reason == TerminateReason.LOOP_EXCEPTION
