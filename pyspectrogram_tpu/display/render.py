@@ -1,0 +1,177 @@
+"""Display preparation: crop, decimation, on-device quantization, PNG save.
+
+Replicates the reference's display math:
+* frequency-window crop + decimation plan — keep bins inside the kHz
+  window, decimate by ``ceil(len/maxNfreqs)`` taking every fscale-th bin
+  starting at ``floor(fscale/2)`` (reference: drfview.py:1006-1023,
+  maxNfreqs = 2^15 at drfview.py:180);
+* color quantization — clamp to the dB range, map linearly onto npoints
+  levels (reference: drfview.py:1057, 1515-1517); runs on device so only a
+  uint8 level-index tile leaves HBM, the RGBA LUT applies on host;
+* PNG export — crop by freq/time masks, clamp, render (reference
+  saveSpectroFile semantics: drfview.py:1490-1527), via matplotlib
+  contourf (parity) or a direct pixel writer (fast path, no matplotlib).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from pyspectrogram_tpu.display.colormap import get_colormap, rgba_lut
+from pyspectrogram_tpu.utils.config import MAX_PLOT_FREQS
+
+
+def freq_crop_decimate(
+    freqs_hz: np.ndarray,
+    frange_khz: Tuple[float, float],
+    max_nfreqs: int = MAX_PLOT_FREQS,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(plot_indices, plot_freqs_hz) — the reference's decimation plan
+    (reference: drfview.py:1006-1023)."""
+    keep = (freqs_hz >= 1e3 * frange_khz[0]) & (freqs_hz <= 1e3 * frange_khz[1])
+    kept = freqs_hz[keep]
+    inds = np.flatnonzero(keep)
+    if len(kept) == 0:
+        return np.asarray([], int), np.asarray([])
+    fscale = int(np.ceil(len(kept) / max_nfreqs))
+    rel = np.arange(int(np.floor(fscale / 2)), len(kept), fscale)
+    return inds[rel], kept[rel]
+
+
+@functools.lru_cache(maxsize=64)
+def _make_quantize_fn(npoints: int, cmin: float, cmax: float):
+    import jax
+    import jax.numpy as jnp
+
+    scale = (npoints - 1) / (cmax - cmin)
+
+    @jax.jit
+    def quantize(sxx_dbfs: "jax.Array") -> "jax.Array":
+        q = (sxx_dbfs - cmin) * scale
+        q = jnp.clip(jnp.round(q), 0, npoints - 1)
+        return q.astype(jnp.uint8)
+
+    return quantize
+
+
+def quantize_on_device(sxx_dbfs, crange: Tuple[float, float],
+                       npoints: int = 256) -> np.ndarray:
+    """dB array -> uint8 level indices, computed on device.
+
+    Values outside crange clamp to the end levels (the reference clamps
+    before contouring, drfview.py:1515-1516). npoints <= 256 so a single
+    byte per pixel leaves HBM.
+    """
+    if npoints > 256:
+        raise ValueError("npoints must fit uint8 (<=256)")
+    fn = _make_quantize_fn(npoints, float(crange[0]), float(crange[1]))
+    return np.asarray(fn(sxx_dbfs))
+
+
+def apply_lut(indices: np.ndarray, colors: Optional[np.ndarray] = None) -> np.ndarray:
+    """uint8 level indices -> (..., 4) uint8 RGBA on host."""
+    lut = rgba_lut(get_colormap("viridis") if colors is None else colors)
+    return lut[indices]
+
+
+def sti_tile(
+    sxx_dbfs: np.ndarray,
+    freqs_hz: np.ndarray,
+    crange: Tuple[float, float],
+    frange_khz: Tuple[float, float] = (-1e9, 1e9),
+    colors: Optional[np.ndarray] = None,
+    max_nfreqs: int = MAX_PLOT_FREQS,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One STI image tile: (rgba (ntime, nplot, 4) uint8, plot_freqs_hz).
+
+    ``sxx_dbfs`` is (nfft, ntime) — one subchannel in reference layout.
+    Time ascends upward in the reference's waterfall (README.md:11);
+    orientation is left to the client, this returns time-major rows.
+    """
+    idx, plot_freqs = freq_crop_decimate(freqs_hz, frange_khz, max_nfreqs)
+    npoints = len(colors) if colors is not None else 256
+    q = quantize_on_device(sxx_dbfs[idx, :].T, crange, min(npoints, 256))
+    return apply_lut(q, colors), plot_freqs
+
+
+def save_sti_png(
+    filename: str,
+    freqs_hz: np.ndarray,
+    times: Sequence,
+    sxx_dbfs: np.ndarray,
+    colorrange: Tuple[float, float],
+    freqrange_khz: Tuple[float, float] = (-1e9, 1e9),
+    timerange: Optional[Tuple] = None,
+    colors: Optional[np.ndarray] = None,
+    renderer: str = "auto",
+) -> str:
+    """Save an STI waterfall PNG (reference saveSpectroFile,
+    drfview.py:1459-1527).
+
+    sxx_dbfs: (nfft, ntime) single-subchannel spectra. Appends ``.png`` if
+    missing; crops by frequency (kHz) and time masks with np.ix_ semantics
+    (reference: drfview.py:1490-1502); clamps to colorrange
+    (drfview.py:1515-1516); renders 500-level filled contours at
+    8x4 in / 300 dpi via matplotlib when available (drfview.py:1507-1527),
+    else writes the quantized pixel tile directly via PIL.
+    """
+    if filename[-4:].lower() != ".png":
+        filename += ".png"
+    fvec_khz = np.asarray(freqs_hz) * 1e-3
+    times = np.asarray(times)
+    keepf = (fvec_khz >= freqrange_khz[0]) & (fvec_khz <= freqrange_khz[1])
+    if timerange is not None:
+        keept = (times >= timerange[0]) & (times <= timerange[1])
+    else:
+        keept = np.ones(len(times), bool)
+    spectra = np.asarray(sxx_dbfs)[np.ix_(keepf, keept)].astype(float)
+    f_khz = fvec_khz[keepf]
+    t = times[keept]
+    np.clip(spectra, colorrange[0], colorrange[1], out=spectra)
+    cdata = get_colormap("viridis", 500) if colors is None else colors
+
+    if renderer == "auto":
+        try:
+            import matplotlib  # noqa: F401
+
+            renderer = "matplotlib"
+        except Exception:
+            renderer = "pixels"
+
+    if renderer == "matplotlib":
+        import matplotlib
+
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+
+        fig = plt.figure()
+        fig.set_size_inches(8, 4)
+        ax = fig.add_axes([0.1, 0.15, 0.8, 0.80])
+        levels = np.linspace(colorrange[0], colorrange[1], len(cdata))
+        ax.contourf(f_khz, t, spectra.T, levels=levels, colors=list(cdata))
+        ax.set_ylabel("Time")
+        ax.set_xlabel("Frequency (kHz)")
+        fig.savefig(filename, format="png", dpi=300)
+        plt.close(fig)
+    else:
+        from PIL import Image
+
+        q = quantize_on_device(spectra.T[::-1], colorrange,
+                               min(len(cdata), 256))
+        rgba = apply_lut(q, cdata[: min(len(cdata), 256)])
+        Image.fromarray(rgba, mode="RGBA").save(filename)
+    return filename
+
+
+def save_psd_csv(filename: str, freqs_hz: np.ndarray,
+                 psd_dbfs: np.ndarray) -> str:
+    """Save a median PSD as CSV (the reference README wishlist's 'save PSD'
+    item, README.md:18)."""
+    if not filename.lower().endswith(".csv"):
+        filename += ".csv"
+    np.savetxt(filename, np.column_stack([freqs_hz, psd_dbfs]),
+               delimiter=",", header="freq_hz,psd_dbfs", comments="")
+    return filename

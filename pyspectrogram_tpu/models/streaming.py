@@ -1,0 +1,173 @@
+"""Streaming STI: blockwise overlap-save STFT + on-device rolling ring.
+
+The reference's "streaming" mode recomputes the entire trailing-30 s window
+from scratch every iteration (reference: drfProc.py:239-241, 291-293) — an
+O(window) recompute per refresh. Here streaming is incremental: fixed-size
+sample blocks are pushed; each push computes only the new STI columns
+(overlap-save: a (frame_len - hop)-sample carry rides between blocks,
+README wishlist streaming mode, README.md:16) and appends them to a
+rolling on-device ring of dB columns. The ring never leaves HBM except
+when a client snapshots it (or a quantized uint8 view of it).
+
+Shapes are fully static: ``block_len`` must be a multiple of ``hop``, so
+every push yields exactly ``block_len // hop`` columns and the carry stays
+(frame_len - hop) samples.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pyspectrogram_tpu.ops.stft import (
+    _to_complex,
+    median_over_time,
+    psd_frames,
+    to_dbfs,
+)
+from pyspectrogram_tpu.ops.windows import WindowSpec, get_window
+
+
+@dataclasses.dataclass
+class StreamState:
+    """On-device streaming state (a pytree)."""
+
+    carry: jax.Array        # (frame_len - hop, nsub, 2) trailing samples
+    ring: jax.Array         # (ring_len, nsub, nfft) LINEAR power columns,
+                            # oldest first (dB happens at the display edge so
+                            # medians stay exact: median-of-dB != dB-of-median
+                            # for even column counts)
+    total_cols: jax.Array   # int32 scalar: columns produced since start
+
+
+jax.tree_util.register_dataclass(
+    StreamState, data_fields=["carry", "ring", "total_cols"], meta_fields=[]
+)
+
+
+class StreamingSti:
+    """Incremental STI over an unbounded sample stream.
+
+    >>> s = StreamingSti(nfft=1024, nint=2, nsub=1, block_len=8192)
+    >>> state = s.init_state()
+    >>> state, cols_db = s.push(state, packed_block)   # jitted, on device
+    >>> sti_db, n_valid = s.snapshot(state)            # host view of ring
+    """
+
+    def __init__(
+        self,
+        *,
+        nfft: int,
+        nint: int = 1,
+        nsub: int = 1,
+        block_len: int,
+        hop: Optional[int] = None,
+        ring_len: int = 1024,
+        mode: str = "welch",
+        window: WindowSpec = ("kaiser", 1.7),
+        ref: float = 1.0,
+        eps: float = 1e-15,
+    ):
+        self.nfft, self.nint, self.nsub = nfft, nint, nsub
+        self.frame_len = nfft * nint
+        self.hop = self.frame_len if hop is None else hop
+        if self.hop <= 0 or self.hop > self.frame_len:
+            raise ValueError("hop must be in (0, nfft*nint]")
+        if block_len % self.hop != 0:
+            raise ValueError("block_len must be a multiple of hop")
+        self.block_len = block_len
+        self.cols_per_block = block_len // self.hop
+        if self.cols_per_block > ring_len:
+            raise ValueError("ring_len must hold at least one block of columns")
+        self.ring_len = ring_len
+        self.mode = mode
+        self.eps = eps
+
+        win64 = get_window(window, nfft)
+        self._win = jnp.asarray(win64.astype(np.float32))
+        self._inv_scale = 1.0 / (float(win64.sum()) ** 2 * float(ref) ** 2)
+        self._push = self._build_push()
+
+    def init_state(self) -> StreamState:
+        return StreamState(
+            carry=jnp.zeros((self.frame_len - self.hop, self.nsub, 2),
+                            jnp.float32),
+            ring=jnp.zeros((self.ring_len, self.nsub, self.nfft),
+                           jnp.float32),
+            total_cols=jnp.int32(0),
+        )
+
+    def _build_push(self):
+        nfft, nint, nsub = self.nfft, self.nint, self.nsub
+        frame_len, hop, k = self.frame_len, self.hop, self.cols_per_block
+        mode, eps = self.mode, self.eps
+        win, inv_scale = self._win, self._inv_scale
+
+        @jax.jit
+        def push(state: StreamState, block: jax.Array):
+            buf = jnp.concatenate([state.carry, block.astype(jnp.float32)],
+                                  axis=0)
+            flat = buf.reshape(buf.shape[0], nsub * 2)
+            starts = jnp.arange(k, dtype=jnp.int32) * hop
+
+            def one(s):
+                return jax.lax.dynamic_slice(flat, (s, 0), (frame_len, nsub * 2))
+
+            fr = jax.vmap(one)(starts).reshape(k, frame_len, nsub, 2)
+            fr = jnp.moveaxis(fr, 1, 2)                 # (k, nsub, frame_len, 2)
+            c = _to_complex(fr, jnp.float32).astype(jnp.complex64)
+            if mode == "welch":
+                c = c.reshape(k, nsub, nint, nfft)
+                p = psd_frames(c, win, inv_scale).mean(axis=2)
+            else:
+                p = psd_frames(c[..., :nfft], win, inv_scale)
+            cols = jnp.fft.fftshift(p, axes=-1)       # (k, nsub, nfft)
+
+            new_state = StreamState(
+                carry=buf[buf.shape[0] - (frame_len - hop):],
+                ring=jnp.concatenate([state.ring[k:], cols], axis=0),
+                total_cols=state.total_cols + k,
+            )
+            return new_state, to_dbfs(cols, eps)
+
+        return push
+
+    def push(self, state: StreamState, block) -> Tuple[StreamState, jax.Array]:
+        """Consume one (block_len, nsub, 2) plane-packed block; returns
+        (new_state, new dB columns (cols_per_block, nsub, nfft))."""
+        return self._push(state, block)
+
+    # ------------------------------------------------------------- queries
+    def valid_cols(self, state: StreamState) -> int:
+        return int(min(int(state.total_cols), self.ring_len))
+
+    def snapshot(self, state: StreamState) -> Tuple[np.ndarray, int]:
+        """Host copy of the ring in dBFS (oldest column first; unfilled
+        slots read as the eps floor) + valid count."""
+        db = jax.jit(functools.partial(to_dbfs, eps=self.eps))(state.ring)
+        return np.asarray(db), self.valid_cols(state)
+
+    def median_psd(self, state: StreamState) -> np.ndarray:
+        """Median dBFS PSD over the valid ring columns (median taken in
+        linear power, like the batch path; reference: drfProc.py:401)."""
+        n = self.valid_cols(state)
+        if n == 0:
+            raise ValueError("no columns pushed yet")
+        med = self._median_fn(n)(state.ring)
+        return np.asarray(med)
+
+    @functools.lru_cache(maxsize=32)
+    def _median_fn(self, n: int):
+        start = self.ring_len - n
+
+        @jax.jit
+        def f(ring):
+            return to_dbfs(median_over_time(ring[start:]), self.eps)
+
+        return f

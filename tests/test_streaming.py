@@ -1,0 +1,100 @@
+"""Streaming STI: block pushes must equal the batch computation."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pyspectrogram_tpu.models.streaming import StreamingSti
+from pyspectrogram_tpu.ops import stft
+
+
+def _packed(nsamp, nsub, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((nsamp, nsub, 2)).astype(np.float32)
+
+
+def test_streaming_matches_batch():
+    nfft, nint, nsub = 128, 2, 2
+    block_len = nfft * nint * 4          # 4 columns per push
+    nblocks = 5
+    x = _packed(block_len * nblocks, nsub)
+
+    s = StreamingSti(nfft=nfft, nint=nint, nsub=nsub, block_len=block_len,
+                     ring_len=64)
+    state = s.init_state()
+    col_chunks = []
+    for b in range(nblocks):
+        state, cols = s.push(state, jnp.asarray(
+            x[b * block_len : (b + 1) * block_len]))
+        col_chunks.append(np.asarray(cols))
+    got = np.concatenate(col_chunks, axis=0)          # (20, nsub, nfft)
+
+    ntime = nblocks * 4
+    starts = np.arange(ntime, dtype=np.int32) * nfft * nint
+    batch = stft.make_sti_fn(nfft=nfft, nint=nint, mode="welch")(
+        jnp.asarray(x), jnp.asarray(starts))
+    np.testing.assert_allclose(got, np.asarray(batch["sxx_dbfs"]), atol=1e-4)
+
+    # ring holds the last 20 columns, oldest first
+    ring, nvalid = s.snapshot(state)
+    assert nvalid == 20
+    np.testing.assert_allclose(ring[-20:], got, atol=1e-6)
+    # median over valid columns == batch median
+    med = s.median_psd(state)
+    np.testing.assert_allclose(med, np.asarray(batch["sxx_med_dbfs"]),
+                               atol=1e-4)
+
+
+def test_streaming_overlap_hop():
+    """hop < frame_len: columns overlap; carry must stitch blocks so
+    columns spanning a block boundary are exact."""
+    nfft, nsub = 64, 1
+    hop = nfft // 2
+    block_len = nfft * 2                  # 4 columns per push (hop=32)
+    x = _packed(block_len * 3, nsub, seed=1)
+
+    s = StreamingSti(nfft=nfft, nsub=nsub, block_len=block_len, hop=hop,
+                     ring_len=32, mode="parity")
+    state = s.init_state()
+    chunks = []
+    for b in range(3):
+        state, cols = s.push(state, jnp.asarray(
+            x[b * block_len : (b + 1) * block_len]))
+        chunks.append(np.asarray(cols))
+    got = np.concatenate(chunks, axis=0)
+
+    # batch oracle: note the stream's first column starts at -carry_len
+    # (zero-padded warmup); compare the steady-state columns (from the
+    # first column fully inside the data).
+    carry = nfft - hop
+    pad = np.zeros((carry, nsub, 2), np.float32)
+    xp = np.concatenate([pad, x], axis=0)
+    ncols = got.shape[0]
+    starts = np.arange(ncols, dtype=np.int32) * hop
+    batch = stft.make_sti_fn(nfft=nfft, mode="parity")(
+        jnp.asarray(xp), jnp.asarray(starts))
+    np.testing.assert_allclose(got, np.asarray(batch["sxx_dbfs"]), atol=1e-4)
+
+
+def test_ring_wraparound():
+    nfft = 64
+    block_len = nfft * 2
+    s = StreamingSti(nfft=nfft, nsub=1, block_len=block_len, ring_len=4)
+    state = s.init_state()
+    seen = []
+    for b in range(5):  # 10 columns through a 4-slot ring
+        state, cols = s.push(state, jnp.asarray(_packed(block_len, 1, seed=b)))
+        seen.append(np.asarray(cols))
+    all_cols = np.concatenate(seen, axis=0)
+    ring, nvalid = s.snapshot(state)
+    assert nvalid == 4
+    assert int(state.total_cols) == 10
+    np.testing.assert_allclose(ring, all_cols[-4:], atol=1e-6)
+
+
+def test_block_len_validation():
+    with pytest.raises(ValueError):
+        StreamingSti(nfft=64, nsub=1, block_len=100)   # not multiple of hop
+    with pytest.raises(ValueError):
+        StreamingSti(nfft=64, nsub=1, block_len=64 * 8, ring_len=2)
