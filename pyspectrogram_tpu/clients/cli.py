@@ -1,0 +1,230 @@
+"""pstpu — headless CLI over the public array API.
+
+The reference has no CLI at all (argv goes straight to QApplication,
+reference: drfview.py:1761); every capability here is also reachable from
+the GUI through the same SpectrogramConfig/StiPipeline surface.
+
+Subcommands:
+  info    — channels, subchannels, rates, bounds of a Digital RF dataset
+  sti     — compute an STI and save a waterfall PNG (and optional .npz)
+  psd     — compute the median PSD and save CSV
+  filter  — high/low/band-pass filter a span and write a new DRF channel
+  synth   — generate a synthetic tone/chirp/noise capture
+  bench   — run the standard throughput benchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def cmd_info(args) -> int:
+    from pyspectrogram_tpu.io import RFDataset, sample_to_datetime
+
+    ds = RFDataset(args.dataset)
+    out = {}
+    for chan in ds.channels:
+        lo, hi = ds.bnds[chan]
+        sr = ds.sr_dict[chan]
+        out[chan] = {
+            "sample_rate": str(sr),
+            "num_subchannels": int(len(ds.chan_2sub[chan])),
+            "bounds": [int(lo), int(hi)],
+            "start": sample_to_datetime(lo, sr).isoformat(),
+            "end": sample_to_datetime(hi, sr).isoformat(),
+            "dbfs_ref": ds.ref_dict[chan],
+            "entries": [e for e, (c, _) in ds.chan_entries.items() if c == chan],
+        }
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def _config_from(args):
+    from pyspectrogram_tpu.utils.config import SpectrogramConfig
+
+    kw = dict(
+        nfft=args.nfft, nint=args.nint, ntime=args.ntime, mode=args.mode,
+        channel=args.channel,
+    )
+    if args.window:
+        kw["window"] = (
+            ("kaiser", args.kaiser_beta) if args.window == "kaiser"
+            else args.window
+        )
+    if args.crange:
+        kw["color_range_db"] = tuple(args.crange)
+    if args.frange:
+        kw["freq_window_khz"] = tuple(args.frange)
+    if args.tstart is not None or args.tend is not None:
+        kw["time_span"] = (args.tstart, args.tend)
+    return SpectrogramConfig(**kw)
+
+
+def cmd_sti(args) -> int:
+    from pyspectrogram_tpu.display import save_sti_png
+    from pyspectrogram_tpu.io import RFDataset
+    from pyspectrogram_tpu.models import StiPipeline
+
+    ds = RFDataset(args.dataset)
+    cfg = _config_from(args)
+    res = StiPipeline(ds, cfg).compute()
+    sub = args.subchannel
+    out = save_sti_png(
+        args.out, res.freqs, res.times, res.sxx_dbfs[..., sub],
+        colorrange=cfg.color_range_db, freqrange_khz=cfg.freq_window_khz,
+        renderer=args.renderer,
+    )
+    if args.npz:
+        np.savez(
+            args.npz, freqs=res.freqs,
+            times=np.asarray([t.isoformat() for t in res.times]),
+            sxx_dbfs=res.sxx_dbfs, sxx_med_dbfs=res.sxx_med_dbfs,
+        )
+    print(json.dumps({
+        "png": out, "shape": list(res.sxx_dbfs.shape),
+        "peak_dbfs": float(res.sxx_med_dbfs[..., sub].max()),
+        "p50_column_db": float(np.median(res.sxx_dbfs[..., sub])),
+    }))
+    return 0
+
+
+def cmd_psd(args) -> int:
+    from pyspectrogram_tpu.display import save_psd_csv
+    from pyspectrogram_tpu.io import RFDataset
+    from pyspectrogram_tpu.models import StiPipeline
+
+    ds = RFDataset(args.dataset)
+    res = StiPipeline(ds, _config_from(args)).compute()
+    out = save_psd_csv(args.out, res.freqs, res.sxx_med_dbfs[:, args.subchannel])
+    print(json.dumps({"csv": out, "nbins": len(res.freqs)}))
+    return 0
+
+
+def cmd_filter(args) -> int:
+    from pyspectrogram_tpu.io import DigitalRFWriter, RFDataset
+    from pyspectrogram_tpu.ops.filters import filter_signal
+
+    ds = RFDataset(args.dataset)
+    chan = args.channel or ds.channels[0]
+    lo, hi = ds.bnds[chan.split(":")[0]]
+    x = ds.read(lo, hi - lo + 1, chan)
+    if x.ndim == 2:
+        x = x[:, args.subchannel]
+    cutoff = args.cutoff[0] if len(args.cutoff) == 1 else tuple(args.cutoff)
+    sr = ds.sr_dict[chan.split(":")[0]]
+    y = filter_signal(x, float(sr), args.kind, cutoff, nfft=args.nfft)
+    w = DigitalRFWriter(
+        args.out, f"{chan.split(':')[0]}_filtered", np.complex64,
+        start_global_index=lo,
+        sample_rate_numerator=sr.numerator,
+        sample_rate_denominator=sr.denominator,
+    )
+    w.rf_write(y.astype(np.complex64))
+    print(json.dumps({"out": str(args.out), "n_samples": len(y)}))
+    return 0
+
+
+def cmd_synth(args) -> int:
+    from pyspectrogram_tpu.io.synthetic import write_capture
+
+    meta = write_capture(
+        args.out, channel=args.channel or "ch0", kind=args.kind,
+        n_samples=args.n_samples,
+        sample_rate_numerator=args.sample_rate,
+        num_subchannels=args.nsub,
+        freqs_hz=args.freqs if args.freqs else None,
+        noise_rms=args.noise_rms,
+    )
+    print(json.dumps(meta))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench as bench_mod  # repo-root harness when run from checkout
+
+    sps, p50, p99 = bench_mod.bench_sti(nfft=args.nfft, nint=args.nint,
+                                        ntime=args.ntime, iters=args.iters)
+    print(json.dumps({"samples_per_sec": sps, "p50_s": p50, "p99_s": p99}))
+    return 0
+
+
+def _add_common(p):
+    p.add_argument("--channel", default=None, help="chan or chan:sub")
+    p.add_argument("--subchannel", type=int, default=0)
+    p.add_argument("--nfft", type=int, default=1024)
+    p.add_argument("--nint", type=int, default=1)
+    p.add_argument("--ntime", type=int, default=100)
+    p.add_argument("--mode", choices=["welch", "parity"], default="welch")
+    p.add_argument("--window", default="kaiser",
+                   choices=["kaiser", "hann", "hamming", "blackman", "boxcar"])
+    p.add_argument("--kaiser-beta", type=float, default=1.7)
+    p.add_argument("--crange", type=float, nargs=2, metavar=("MIN", "MAX"))
+    p.add_argument("--frange", type=float, nargs=2, metavar=("KHZ_MIN", "KHZ_MAX"))
+    p.add_argument("--tstart", type=float, help="start time (s since epoch)")
+    p.add_argument("--tend", type=float, help="end time (s since epoch)")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="pstpu",
+                                 description="TPU-native Digital RF spectrograms")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("info", help="describe a Digital RF dataset")
+    p.add_argument("dataset")
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("sti", help="render an STI waterfall PNG")
+    p.add_argument("dataset")
+    p.add_argument("--out", default="sti.png")
+    p.add_argument("--npz", default=None, help="also dump arrays to .npz")
+    p.add_argument("--renderer", default="auto",
+                   choices=["auto", "matplotlib", "pixels"])
+    _add_common(p)
+    p.set_defaults(fn=cmd_sti)
+
+    p = sub.add_parser("psd", help="save the median PSD as CSV")
+    p.add_argument("dataset")
+    p.add_argument("--out", default="psd.csv")
+    _add_common(p)
+    p.set_defaults(fn=cmd_psd)
+
+    p = sub.add_parser("filter", help="spectral filter -> new DRF channel")
+    p.add_argument("dataset")
+    p.add_argument("--out", required=True, help="output DRF top dir")
+    p.add_argument("--kind", required=True,
+                   choices=["lowpass", "highpass", "bandpass", "bandstop"])
+    p.add_argument("--cutoff", type=float, nargs="+", required=True,
+                   help="Hz (1 value) or band lo hi (2 values)")
+    p.add_argument("--channel", default=None)
+    p.add_argument("--subchannel", type=int, default=0)
+    p.add_argument("--nfft", type=int, default=1024)
+    p.set_defaults(fn=cmd_filter)
+
+    p = sub.add_parser("synth", help="write a synthetic capture")
+    p.add_argument("--out", required=True)
+    p.add_argument("--kind", default="tone", choices=["tone", "chirp", "noise"])
+    p.add_argument("--channel", default="ch0")
+    p.add_argument("--n-samples", type=int, default=1 << 18)
+    p.add_argument("--sample-rate", type=int, default=1_000_000)
+    p.add_argument("--nsub", type=int, default=1)
+    p.add_argument("--freqs", type=float, nargs="+", default=None)
+    p.add_argument("--noise-rms", type=float, default=0.0)
+    p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser("bench", help="throughput benchmark")
+    p.add_argument("--nfft", type=int, default=4096)
+    p.add_argument("--nint", type=int, default=4)
+    p.add_argument("--ntime", type=int, default=128)
+    p.add_argument("--iters", type=int, default=50)
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,74 @@
+"""CLI end-to-end: synth -> info -> sti -> psd -> filter round trips."""
+
+import json
+
+import numpy as np
+import pytest
+
+from pyspectrogram_tpu.clients.cli import main
+
+
+def _run(capsys, *argv):
+    rc = main(list(argv))
+    out = capsys.readouterr().out
+    return rc, json.loads(out)
+
+
+def test_synth_info_sti_psd(tmp_path, capsys):
+    drf = tmp_path / "cap"
+    rc, meta = _run(capsys, "synth", "--out", str(drf), "--kind", "tone",
+                    "--n-samples", "65536", "--sample-rate", "1000000",
+                    "--freqs", "125000")
+    assert rc == 0 and meta["channel"] == "ch0"
+
+    rc, info = _run(capsys, "info", str(drf))
+    assert rc == 0
+    assert info["ch0"]["sample_rate"] == "1000000"
+    assert info["ch0"]["entries"] == ["ch0:0"]
+    assert info["ch0"]["start"].startswith("2016-01-01")
+
+    png = tmp_path / "w.png"
+    npz = tmp_path / "w.npz"
+    rc, sti = _run(capsys, "sti", str(drf), "--out", str(png), "--npz",
+                   str(npz), "--nfft", "512", "--ntime", "12",
+                   "--renderer", "pixels")
+    assert rc == 0 and png.exists() and npz.exists()
+    assert sti["shape"] == [512, 12, 1]
+    assert abs(sti["peak_dbfs"]) < 0.1  # full-scale tone ~ 0 dBFS
+
+    arrs = np.load(npz)
+    peak_f = arrs["freqs"][np.argmax(arrs["sxx_med_dbfs"][:, 0])]
+    assert peak_f == pytest.approx(125000.0, abs=1000)
+
+    csv = tmp_path / "p.csv"
+    rc, psd = _run(capsys, "psd", str(drf), "--out", str(csv), "--nfft", "256",
+                   "--ntime", "8")
+    assert rc == 0 and csv.exists() and psd["nbins"] == 256
+
+
+def test_filter_roundtrip(tmp_path, capsys):
+    drf = tmp_path / "cap2"
+    _run(capsys, "synth", "--out", str(drf), "--kind", "tone",
+         "--n-samples", "32768", "--sample-rate", "1000000",
+         "--freqs", "300000")
+    out = tmp_path / "filtered"
+    rc, res = _run(capsys, "filter", str(drf), "--out", str(out),
+                   "--kind", "lowpass", "--cutoff", "100000",
+                   "--nfft", "512")
+    assert rc == 0
+    # filtered channel readable; 300 kHz tone suppressed -> near silence
+    from pyspectrogram_tpu.io import RFDataset
+
+    ds = RFDataset(out)
+    chan = ds.channels[0]
+    lo, hi = ds.bnds[chan]
+    y = ds.read(lo, hi - lo + 1, chan)
+    assert np.abs(y[512:-512]).max() < 1e-2
+
+
+def test_cli_rejects_bad_args(tmp_path, capsys):
+    with pytest.raises(SystemExit):
+        main(["sti"])  # missing dataset
+    with pytest.raises(SystemExit):
+        main(["filter", str(tmp_path), "--out", "x", "--kind", "nope",
+              "--cutoff", "1"])
