@@ -20,14 +20,14 @@ import numpy as np
 
 
 def _make_inputs(nfft, nint, ntime, nsub, seed=0):
-    """Plane-packed complex input: (nsamp, nsub, 2) float32 — the canonical
+    """Plane-major complex input: (nsub*2, nsamp) float32 — the canonical
     device-boundary layout (complex transfers are not portable across TPU
-    transports; see ops.stft.pack_complex_host)."""
+    transports; see kernels.sti_pallas)."""
     import jax.numpy as jnp
 
     rng = np.random.default_rng(seed)
     nsamp = nfft * nint * ntime
-    x = rng.standard_normal((nsamp, nsub, 2)).astype(np.float32)
+    x = rng.standard_normal((nsub * 2, nsamp)).astype(np.float32)
     starts = (np.arange(ntime) * nfft * nint).astype(np.int32)
     return jnp.asarray(x), jnp.asarray(starts)
 
@@ -57,7 +57,7 @@ def _roundtrip_overhead_s(repeats=5):
 
 
 def bench_sti(nfft=4096, nint=4, ntime=128, nsub=2, mode="welch",
-              fft_impl="xla", iters=20, repeats=5):
+              fft_impl="auto", iters=20, repeats=5):
     """Returns (samples_per_sec, p50_block_latency_s, p99_s).
 
     Times ``iters`` STI steps chained in one on-device lax.fori_loop (the
@@ -67,9 +67,9 @@ def bench_sti(nfft=4096, nint=4, ntime=128, nsub=2, mode="welch",
     """
     import jax
     import jax.numpy as jnp
-    from pyspectrogram_tpu.ops.stft import make_sti_fn
+    from pyspectrogram_tpu.ops.stft import make_sti_fn_pm
 
-    fn = make_sti_fn(nfft=nfft, nint=nint, mode=mode, fft_impl=fft_impl)
+    fn = make_sti_fn_pm(nfft=nfft, nint=nint, mode=mode, fft_impl=fft_impl)
     samples, starts = _make_inputs(nfft, nint, ntime, nsub)
     n_proc = nfft * nint * ntime * nsub  # samples consumed per step
 
@@ -101,6 +101,7 @@ def main():
     ap.add_argument("--ntime", type=int, default=128)
     ap.add_argument("--nsub", type=int, default=2)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas"])
     args = ap.parse_args()
 
     import jax
@@ -110,7 +111,7 @@ def main():
 
     if args.all:
         for nfft in (1024, 4096, 65536):
-            for impl in ("xla",):
+            for impl in ("auto", "xla"):
                 for mode in ("welch", "parity"):
                     try:
                         sps, p50, p99 = bench_sti(
@@ -129,7 +130,8 @@ def main():
                               file=sys.stderr)
 
     sps, p50, _ = bench_sti(nfft=args.nfft, nint=args.nint, ntime=args.ntime,
-                            nsub=args.nsub, iters=args.iters)
+                            nsub=args.nsub, iters=args.iters,
+                            fft_impl=args.impl)
     print(json.dumps({
         "metric": f"sti_throughput_c64_nfft{args.nfft}",
         "value": round(sps, 1),

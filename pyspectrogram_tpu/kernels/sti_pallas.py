@@ -1,0 +1,217 @@
+"""Fused Pallas STI kernel: window -> GEMM-FFT -> |X|^2 -> Welch average ->
+fftshift in one VMEM-resident pass per STI column.
+
+This is the fused kernel the north star mandates (BASELINE.json): the
+reference's window -> periodogram chain (reference: drfProc.py:300-310,
+364-403) becomes one Pallas program per STI column:
+
+* the strided frame gather stays in XLA (vmapped dynamic_slice lowers to
+  contiguous HBM block copies and is near memory speed-of-light; arbitrary
+  frame starts cannot be tile-aligned for an in-kernel DMA, so fusing the
+  gather would force 128-sample start alignment and break reference
+  parity);
+* each grid step receives one column's frames as an auto-pipelined VMEM
+  block (Pallas double-buffers blocks across grid steps for free);
+* the FFT runs as two MXU matmuls + twiddle (see kernels.gemm_fft for the
+  math) with the factor split lane-aligned (n2 = 128), so each (nfft,)
+  segment reshapes to its natural (n1, 128) VMEM tiling for free;
+* |X|^2 accumulates across nint segments in VMEM; the fftshift becomes a
+  static half-swap on the transposed (n2, n1) power tile, whose row-major
+  flattening IS the natural frequency order (k = n1*k2 + k1);
+* output is LINEAR fftshifted power (ntime, nsub, nfft); dB and the
+  median ride in XLA where they fuse with downstream consumers.
+
+Input layout: plane-major float32 ``(nsub*2, nsamp)`` — row 2s is
+subchannel s's real plane, row 2s+1 its imaginary plane — so gathers are
+contiguous row slices.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pyspectrogram_tpu.ops.windows import WindowSpec, get_window
+
+# lane-aligned split: n2 fixed to the TPU lane width so segment reshapes
+# (nfft,) -> (n1, 128) are layout no-ops
+LANE = 128
+
+# VMEM budget: one column block (nsub*2 x frame_len f32) is double-buffered
+# by the pipeline; keep well under the ~16 MB/core VMEM
+MAX_BLOCK_BYTES = 6 * 1024 * 1024
+
+
+def lane_factors(nfft: int) -> Tuple[int, int]:
+    if nfft % LANE or (nfft & (nfft - 1)):
+        raise ValueError("pallas STI kernel needs power-of-two nfft >= 256")
+    return nfft // LANE, LANE
+
+
+def pallas_supported(nfft: int, nint: int = 1, nsub: int = 1,
+                     mode: str = "welch") -> bool:
+    nseg = nint if mode == "welch" else 1
+    block = nsub * 2 * nfft * nseg * 4 * 2  # double-buffered
+    return (
+        nfft >= 256
+        and nfft % LANE == 0
+        and (nfft & (nfft - 1)) == 0
+        and nfft // LANE <= 512          # D1 (n1, n1) must sit in VMEM
+        and block <= MAX_BLOCK_BYTES
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def make_plan_lane(nfft: int) -> dict:
+    """DFT factor matrices for the split n = n2*p + q with n2 = 128:
+    D1[k1,p] = W_n1^(k1 p), D2[q,k2] = W_n2^(q k2), T[k1,q] = W_nfft^(q k1);
+    X[n1*k2 + k1] = (D1 @ x2 * T @ D2)[k1, k2] for x2 = x.reshape(n1, n2)."""
+    n1, n2 = lane_factors(nfft)
+    p = np.arange(n1)
+    q = np.arange(n2)
+    d1 = np.exp(-2j * np.pi * np.outer(p, p) / n1)
+    d2 = np.exp(-2j * np.pi * np.outer(q, q) / n2)
+    tw = np.exp(-2j * np.pi * np.outer(p, q) / nfft)
+    f32 = lambda a: np.ascontiguousarray(a, np.float32)  # noqa: E731
+    return dict(d1r=f32(d1.real), d1i=f32(d1.imag),
+                d2r=f32(d2.real), d2i=f32(d2.imag),
+                twr=f32(tw.real), twi=f32(tw.imag))
+
+
+@functools.lru_cache(maxsize=64)
+def make_pallas_sti_psd(
+    *,
+    nfft: int,
+    nint: int = 1,
+    mode: str = "welch",
+    window: WindowSpec = ("kaiser", 1.7),
+    ref: float = 1.0,
+    interpret: bool = False,
+):
+    """Build ``f(samples_pm, starts) -> linear power (ntime, nsub, nfft)``.
+
+    samples_pm: (nsub*2, nsamp) float32 plane-major buffer;
+    starts:     (ntime,) int32 frame starts (relative sample offsets).
+    Welch mode averages nint segment periodograms; parity computes only the
+    first segment (the reference's verified truncation semantics,
+    drfProc.py:387-396).
+    """
+    n1, n2 = lane_factors(nfft)
+    nseg = nint if mode == "welch" else 1
+    gather_len = nfft * nseg  # parity gathers only what it consumes
+
+    plan = make_plan_lane(nfft)
+    win64 = get_window(window, nfft)
+    win2 = win64.reshape(n1, n2).astype(np.float32)
+    inv_scale = np.float32(
+        1.0 / (float(win64.sum()) ** 2 * float(ref) ** 2 * nseg)
+    )
+    consts = [win2, plan["d1r"], plan["d1i"], plan["d2r"], plan["d2i"],
+              plan["twr"], plan["twi"]]
+
+    def kernel(frames_ref, win_ref, d1r_ref, d1i_ref, d2r_ref, d2i_ref,
+               twr_ref, twi_ref, out_ref, accum, *, nsub: int):
+        # MXU f32 matmuls default to single-pass bf16 (~3e-2 rel err on the
+        # DFT); HIGHEST forces the bf16x3 decomposition -> ~1e-6, matching
+        # the interpret-mode/XLA numerics. The matmuls are far from the
+        # kernel's bottleneck, so the extra passes are nearly free.
+        dot = functools.partial(
+            jnp.dot,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        d1r, d1i = d1r_ref[...], d1i_ref[...]
+        d2r, d2i = d2r_ref[...], d2i_ref[...]
+        twr, twi = twr_ref[...], twi_ref[...]
+        win = win_ref[...]
+
+        for sub in range(nsub):  # static unroll (nsub is small)
+            accum[...] = jnp.zeros((n1, n2), jnp.float32)
+
+            def seg_body(seg, _, sub=sub):
+                off = pl.multiple_of(seg * nfft, LANE)
+                xr = frames_ref[0, 2 * sub, pl.ds(off, nfft)]
+                xi = frames_ref[0, 2 * sub + 1, pl.ds(off, nfft)]
+                xr = xr.reshape(n1, n2) * win
+                xi = xi.reshape(n1, n2) * win
+                # stage 1: DFT along p (sublane/contraction dim)
+                yr = dot(d1r, xr) - dot(d1i, xi)
+                yi = dot(d1r, xi) + dot(d1i, xr)
+                zr = yr * twr - yi * twi
+                zi = yr * twi + yi * twr
+                # stage 2: DFT along q (lane dim)
+                xmr = dot(zr, d2r) - dot(zi, d2i)
+                xmi = dot(zr, d2i) + dot(zi, d2r)
+                accum[...] += xmr * xmr + xmi * xmi
+                return 0
+
+            jax.lax.fori_loop(0, nseg, seg_body, 0)
+
+            p = accum[...] * inv_scale
+            # Xm[k1,k2] -> natural order is O[k2,k1] flattened; fftshift
+            # adds nfft/2 = n1*(n2/2): swap the row halves of O.
+            o = p.T                               # (n2, n1)
+            h = n2 // 2
+            out_ref[0, sub, :h, :] = o[h:, :]
+            out_ref[0, sub, h:, :] = o[:h, :]
+
+    def build(ntime: int, nsub: int):
+        flops_seg = 8 * 2 * (n1 * n1 * n2 + n1 * n2 * n2)
+        return pl.pallas_call(
+            functools.partial(kernel, nsub=nsub),
+            grid=(ntime,),
+            in_specs=[
+                pl.BlockSpec((1, nsub * 2, gather_len),
+                             lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+            out_specs=pl.BlockSpec((1, nsub, n2, n1),
+                                   lambda t: (t, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((ntime, nsub, n2, n1), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((n1, n2), jnp.float32)],
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=ntime * nsub * nseg * flops_seg,
+                bytes_accessed=ntime * nsub * nseg * nfft * 8
+                + ntime * nsub * nfft * 4,
+                transcendentals=0,
+            ),
+        )
+
+    @jax.jit
+    def psd(samples_pm: jax.Array, starts: jax.Array) -> jax.Array:
+        nsub = samples_pm.shape[0] // 2
+        ntime = starts.shape[0]
+        if not pallas_supported(nfft, nint, nsub, mode):
+            raise ValueError(
+                f"pallas STI unsupported for nfft={nfft} nint={nint} "
+                f"nsub={nsub} mode={mode}"
+            )
+
+        def one_start(s):
+            return jax.vmap(
+                lambda row: jax.lax.dynamic_slice(row, (s,), (gather_len,))
+            )(samples_pm)
+
+        frames = jax.vmap(one_start)(starts)     # (ntime, nsub*2, gather_len)
+        out = build(ntime, nsub)(frames, *[jnp.asarray(c) for c in consts])
+        return out.reshape(ntime, nsub, nfft)
+
+    return psd
+
+
+def to_plane_major(packed: np.ndarray) -> np.ndarray:
+    """(nsamp, nsub, 2) time-major packed -> (nsub*2, nsamp) plane-major
+    float32 (host-side; one transpose)."""
+    nsamp, nsub, _ = packed.shape
+    return np.ascontiguousarray(
+        np.moveaxis(packed.astype(np.float32), 0, -1).reshape(nsub * 2, nsamp)
+    )

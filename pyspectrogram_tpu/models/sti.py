@@ -51,20 +51,23 @@ def assemble_device_block(
     ds: RFDataset, chan: str, isub: Optional[int], n_st: np.ndarray,
     frame_len: int,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Read ``len(n_st)`` frames into one compact plane-packed buffer.
+    """Read ``len(n_st)`` frames into one plane-major device buffer.
 
-    Returns (packed, starts_rel, col_mask):
-      packed:     (ntime*frame_len, nsub, 2) float32 (or int16 for raw
-                  integer channels — normalization happens on-device via
-                  the folded power scale);
-      starts_rel: (ntime,) int32 offsets into the packed buffer;
+    Returns (samples_pm, starts_rel, col_mask):
+      samples_pm: (nsub*2, ntime*frame_len) float32 (or int16 for raw
+                  integer channels — dBFS normalization happens on-device
+                  via the folded power scale);
+      starts_rel: (ntime,) int32 offsets into the buffer (t*frame_len);
       col_mask:   (ntime,) True where the frame had no data gaps.
 
     Replaces the reference's per-column ``read_vector`` loop
-    (reference: drfProc.py:161-164) with coalesced bulk reads.
+    (reference: drfProc.py:161-164) with coalesced bulk reads; the frame
+    slicing + plane deinterleave runs in the native C++ ingest kernel when
+    available (pyspectrogram_tpu.native.ingest).
     """
+    from pyspectrogram_tpu.native import ingest
+
     reader = ds.reader
-    props = reader._channel_props(chan)
     ntime = len(n_st)
     lo = int(n_st[0])
     hi = int(n_st[-1]) + frame_len
@@ -73,35 +76,33 @@ def assemble_device_block(
 
     if coalesce:
         raw, mask = reader.read_vector_raw(lo, dense_span, chan, return_mask=True)
-        frames = [raw[s - lo : s - lo + frame_len] for s in n_st]
-        fmask = [mask[s - lo : s - lo + frame_len].all() for s in n_st]
+        rel = np.asarray(n_st, np.int64) - lo
+        fmask = [mask[s : s + frame_len].all() for s in rel]
     else:
         frames, fmask = [], []
         for s in n_st:
-            r, m = reader.read_vector_raw(int(s), frame_len, chan, return_mask=True)
+            r, m = reader.read_vector_raw(int(s), frame_len, chan,
+                                          return_mask=True)
             frames.append(r)
             fmask.append(m.all())
-    block = np.concatenate(frames, axis=0)  # (ntime*frame_len, nsub)
+        raw = np.concatenate(frames, axis=0)
+        rel = np.arange(ntime, dtype=np.int64) * frame_len
     if isub is not None:
-        block = block[:, isub : isub + 1]
-    packed = _pack_planes(block)
-    starts_rel = (np.arange(ntime, dtype=np.int32) * frame_len)
-    return packed, starts_rel, np.asarray(fmask, bool)
+        raw = raw[:, isub : isub + 1]
+    raw = _assemblable(raw)
+    samples_pm = ingest.assemble_plane_major(raw, rel, frame_len)
+    starts_rel = np.arange(ntime, dtype=np.int32) * frame_len
+    return samples_pm, starts_rel, np.asarray(fmask, bool)
 
 
-def _pack_planes(block: np.ndarray) -> np.ndarray:
-    """(n, nsub) storage-dtype block -> (n, nsub, 2) real planes.
-
-    float-complex -> float32 planes; integer compound -> native int16/int32
-    planes (halves the host->HBM bytes); real data -> zero imaginary plane.
-    """
-    if block.dtype.names is not None:
-        return np.stack([block["r"], block["i"]], axis=-1)
-    if block.dtype.kind == "c":
-        c64 = np.ascontiguousarray(block.astype(np.complex64))
-        return c64.view(np.float32).reshape(block.shape + (2,))
-    f32 = block.astype(np.float32)
-    return np.stack([f32, np.zeros_like(f32)], axis=-1)
+def _assemblable(raw: np.ndarray) -> np.ndarray:
+    """Coerce a storage-dtype block to a layout the ingest kernels accept:
+    complex64, int16-compound, or (for real / other dtypes) complex64."""
+    if raw.dtype == np.complex64:
+        return raw
+    if raw.dtype.names is not None and raw.dtype["r"] == np.int16:
+        return raw
+    return raw.astype(np.complex64)
 
 
 class StiPipeline:
@@ -148,15 +149,15 @@ class StiPipeline:
         n_st = self.ds.sti_frame_starts(s_samp, e_samp, cfg.nfft, cfg.nint,
                                         cfg.ntime)
         frame_len = cfg.nfft * cfg.nint
-        packed, starts_rel, col_mask = assemble_device_block(
+        samples_pm, starts_rel, col_mask = assemble_device_block(
             self.ds, chan, isub, n_st, frame_len
         )
 
-        fn = stft.make_sti_fn(
+        fn = stft.make_sti_fn_pm(
             nfft=cfg.nfft, nint=cfg.nint, mode=cfg.mode, window=cfg.window,
             ref=ref, eps=cfg.eps,
         )
-        out = fn(jnp.asarray(packed), jnp.asarray(starts_rel))
+        out = fn(jnp.asarray(samples_pm), jnp.asarray(starts_rel))
         sxx_dbfs = stft.to_reference_layout(out["sxx_dbfs"])
         sxx_med_dbfs = np.moveaxis(np.asarray(out["sxx_med_dbfs"]), -1, 0)
 

@@ -1,0 +1,155 @@
+"""ctypes bindings for the native ingest kernels (csrc/pstpu_ingest.cpp).
+
+The shared library is built on demand with g++ (cached beside the package
+or under ~/.cache/pstpu). Every entry point has a numpy fallback so the
+framework works on machines without a toolchain; ``native_available()``
+reports which path is active.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_SRC = Path(__file__).resolve().parents[2] / "csrc" / "pstpu_ingest.cpp"
+
+
+def _cache_dir() -> Path:
+    d = os.environ.get("PSTPU_CACHE", "")
+    if d:
+        return Path(d)
+    return Path(os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache")) / "pstpu"
+
+
+def _build() -> Optional[Path]:
+    if not _SRC.exists():
+        return None
+    out = _cache_dir() / "libpstpu_ingest.so"
+    if out.exists() and out.stat().st_mtime >= _SRC.stat().st_mtime:
+        return out
+    out.parent.mkdir(parents=True, exist_ok=True)
+    cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared",
+           "-o", str(out), str(_SRC)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except Exception:
+        return None
+    return out
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        path = _build()
+        if path is None:
+            return None
+        try:
+            lib = ctypes.CDLL(str(path))
+            assert lib.pstpu_ingest_abi_version() == 1
+        except Exception:
+            return None
+        i64 = ctypes.c_int64
+        i32 = ctypes.c_int32
+        fp = ctypes.POINTER(ctypes.c_float)
+        sp = ctypes.POINTER(ctypes.c_int16)
+        ip = ctypes.POINTER(ctypes.c_int64)
+        lib.assemble_pm_c64.argtypes = [fp, i64, i32, ip, i32, i64, fp]
+        lib.assemble_pm_i16.argtypes = [sp, i64, i32, ip, i32, i64, sp]
+        lib.assemble_tm_c64.argtypes = [fp, i64, i32, ip, i32, i64, fp]
+        lib.deinterleave_c64.argtypes = [fp, i64, i32, fp]
+        _LIB = lib
+        return _LIB
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def assemble_plane_major(span: np.ndarray, starts_rel: np.ndarray,
+                         frame_len: int) -> np.ndarray:
+    """Span (span_len, nsub) complex64 or int16-compound -> plane-major
+    (nsub*2, ntime*frame_len) frames buffer for the device.
+
+    starts_rel are frame starts relative to the span. Uses the C++ kernel
+    when available, numpy otherwise (identical results).
+    """
+    starts = np.ascontiguousarray(starts_rel, np.int64)
+    ntime = len(starts)
+    nsub = span.shape[1]
+    lib = _load()
+
+    if span.dtype == np.complex64:
+        span_c = np.ascontiguousarray(span)
+        out = np.empty((nsub * 2, ntime * frame_len), np.float32)
+        if lib is not None:
+            lib.assemble_pm_c64(
+                _ptr(span_c.view(np.float32), ctypes.c_float),
+                span_c.shape[0], nsub, _ptr(starts, ctypes.c_int64),
+                ntime, frame_len, _ptr(out, ctypes.c_float))
+            return out
+        return _assemble_pm_numpy(span_c, starts, frame_len, out)
+    if span.dtype.names is not None and span.dtype["r"] == np.int16:
+        span_c = np.ascontiguousarray(span)
+        out = np.empty((nsub * 2, ntime * frame_len), np.int16)
+        if lib is not None:
+            lib.assemble_pm_i16(
+                _ptr(span_c.view(np.int16), ctypes.c_int16),
+                span_c.shape[0], nsub, _ptr(starts, ctypes.c_int64),
+                ntime, frame_len, _ptr(out, ctypes.c_int16))
+            return out
+        ri = span_c.view(np.int16).reshape(span_c.shape[0], nsub, 2)
+        return _assemble_pm_numpy_planes(ri, starts, frame_len, out)
+    # generic fallback: convert to complex64 first
+    return assemble_plane_major(span.astype(np.complex64), starts, frame_len)
+
+
+def _assemble_pm_numpy(span_c64: np.ndarray, starts, frame_len, out):
+    nsub = span_c64.shape[1]
+    ri = span_c64.view(np.float32).reshape(span_c64.shape[0], nsub, 2)
+    return _assemble_pm_numpy_planes(ri, starts, frame_len, out)
+
+
+def _assemble_pm_numpy_planes(ri: np.ndarray, starts, frame_len, out):
+    ntime = len(starts)
+    nsub = ri.shape[1]
+    for t, s in enumerate(starts):
+        fr = ri[s : s + frame_len]                   # (frame_len, nsub, 2)
+        sl = slice(t * frame_len, (t + 1) * frame_len)
+        for sub in range(nsub):
+            out[2 * sub, sl] = fr[:, sub, 0]
+            out[2 * sub + 1, sl] = fr[:, sub, 1]
+    return out
+
+
+def deinterleave_plane_major(x: np.ndarray) -> np.ndarray:
+    """(n, nsub) complex64 -> (nsub*2, n) float32 planes."""
+    x = np.ascontiguousarray(x, np.complex64)
+    n, nsub = x.shape
+    out = np.empty((nsub * 2, n), np.float32)
+    lib = _load()
+    if lib is not None:
+        lib.deinterleave_c64(_ptr(x.view(np.float32), ctypes.c_float),
+                             n, nsub, _ptr(out, ctypes.c_float))
+        return out
+    ri = x.view(np.float32).reshape(n, nsub, 2)
+    for sub in range(nsub):
+        out[2 * sub] = ri[:, sub, 0]
+        out[2 * sub + 1] = ri[:, sub, 1]
+    return out

@@ -242,6 +242,90 @@ def to_dbfs(x: jax.Array, eps: float = 1e-15) -> jax.Array:
     return 10.0 * jnp.log10(x + jnp.asarray(eps, x.dtype))
 
 
+@functools.lru_cache(maxsize=256)
+def make_sti_fn_pm(
+    *,
+    nfft: int,
+    nint: int = 1,
+    mode: str = "welch",
+    window: WindowSpec = ("kaiser", 1.7),
+    ref: float = 1.0,
+    eps: float = 1e-15,
+    fft_impl: str = "auto",
+    return_linear: bool = False,
+):
+    """Plane-major STI factory — the production device entry point.
+
+    ``f(samples_pm, starts)`` with samples_pm (nsub*2, nsamp) float32
+    (row 2s = subchannel s real plane, row 2s+1 = imag plane; see
+    kernels.sti_pallas) and starts (ntime,) int32. Output layout matches
+    :func:`make_sti_fn`.
+
+    fft_impl: "pallas" (fused kernel), "xla", or "auto" — auto uses the
+    fused Pallas kernel when the config supports it and a TPU is the
+    default backend, else the XLA path.
+    """
+    from pyspectrogram_tpu.kernels import sti_pallas
+
+    if fft_impl == "auto":
+        use_pallas = (
+            sti_pallas.pallas_supported(nfft, nint, mode=mode)
+            and jax.default_backend() == "tpu"
+        )
+    elif fft_impl == "pallas":
+        use_pallas = True
+    elif fft_impl == "xla":
+        use_pallas = False
+    else:
+        raise ValueError(f"unknown fft_impl {fft_impl!r}")
+
+    if use_pallas:
+        psd_fn = sti_pallas.make_pallas_sti_psd(
+            nfft=nfft, nint=nint, mode=mode, window=window, ref=ref,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        win64 = get_window(window, nfft)
+        inv_scale = 1.0 / (float(win64.sum()) ** 2 * float(ref) ** 2)
+        win = win64.astype(np.float32)
+        frame_len = nfft * nint if mode == "welch" else nfft
+
+        def psd_fn(samples_pm, starts):
+            def one_start(s):
+                return jax.vmap(
+                    lambda row: jax.lax.dynamic_slice(row, (s,), (frame_len,))
+                )(samples_pm)
+
+            fr = jax.vmap(one_start)(starts)       # (ntime, nsub*2, L)
+            c = jax.lax.complex(fr[:, 0::2, :], fr[:, 1::2, :]).astype(
+                jnp.complex64)
+            if mode == "welch":
+                c = c.reshape(c.shape[0], c.shape[1], nint, nfft)
+                p = psd_frames(c, jnp.asarray(win), inv_scale).mean(axis=2)
+            else:
+                p = psd_frames(c, jnp.asarray(win), inv_scale)
+            return jnp.fft.fftshift(p, axes=-1)
+
+    @jax.jit
+    def sti_fn(samples_pm: jax.Array, starts: jax.Array) -> dict:
+        if samples_pm.dtype != jnp.float32:
+            # raw integer planes ship over PCIe at half the bytes and are
+            # widened once on device; normalization rides the power scale
+            samples_pm = samples_pm.astype(jnp.float32)
+        p = psd_fn(samples_pm, starts)            # (ntime, nsub, nfft) linear
+        p_med = median_over_time(p)
+        out = {
+            "sxx_dbfs": to_dbfs(p, eps),
+            "sxx_med_dbfs": to_dbfs(p_med, eps),
+        }
+        if return_linear:
+            out["sxx"] = p
+            out["sxx_med"] = p_med
+        return out
+
+    return sti_fn
+
+
 def to_reference_layout(sxx: np.ndarray) -> np.ndarray:
     """(ntime, nsub, nfft) device layout -> (nfft, ntime, nsub) reference
     layout (reference: drfProc.py:365)."""

@@ -1,0 +1,114 @@
+"""Fused Pallas STI kernel vs the XLA path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pyspectrogram_tpu.kernels.sti_pallas import (
+    lane_factors,
+    make_pallas_sti_psd,
+    make_plan_lane,
+    pallas_supported,
+    to_plane_major,
+)
+from pyspectrogram_tpu.kernels.gemm_fft import make_plan, gemm_fft_numpy
+from pyspectrogram_tpu.ops import stft
+
+
+def _inputs(nfft, nint, ntime, nsub, seed=0):
+    rng = np.random.default_rng(seed)
+    nsamp = nfft * nint * ntime + 64
+    packed = rng.standard_normal((nsamp, nsub, 2)).astype(np.float32)
+    starts = np.linspace(0, nsamp - nfft * nint, ntime).astype(np.int32)
+    return packed, starts
+
+
+def test_gemm_fft_factorization_exact():
+    rng = np.random.default_rng(1)
+    for nfft in (256, 1024, 4096):
+        x = rng.standard_normal((2, nfft)) + 1j * rng.standard_normal((2, nfft))
+        Xr, Xi = gemm_fft_numpy(x.real, x.imag, make_plan(nfft, np.float64))
+        want = np.fft.fft(x, axis=-1)
+        np.testing.assert_allclose(Xr + 1j * Xi, want, rtol=1e-11, atol=1e-9)
+
+
+def test_lane_plan_identity():
+    """The lane-aligned plan reproduces the FFT through the kernel's exact
+    dataflow (reshape -> D1 -> twiddle -> D2 -> transpose-flatten)."""
+    nfft = 512
+    n1, n2 = lane_factors(nfft)
+    plan = make_plan_lane(nfft)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(nfft) + 1j * rng.standard_normal(nfft)
+    x2 = x.reshape(n1, n2)
+    d1 = plan["d1r"] + 1j * plan["d1i"]
+    d2 = plan["d2r"] + 1j * plan["d2i"]
+    tw = plan["twr"] + 1j * plan["twi"]
+    xm = ((d1.astype(complex) @ x2) * tw) @ d2
+    got = xm.T.reshape(nfft)
+    np.testing.assert_allclose(got, np.fft.fft(x), rtol=2e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("mode,nint", [("welch", 1), ("welch", 4), ("parity", 3)])
+def test_pallas_psd_matches_xla(mode, nint):
+    nfft, ntime, nsub = 256, 6, 2
+    packed, starts = _inputs(nfft, nint, ntime, nsub)
+    psd = make_pallas_sti_psd(nfft=nfft, nint=nint, mode=mode, interpret=True)
+    got = np.asarray(psd(jnp.asarray(to_plane_major(packed)),
+                         jnp.asarray(starts)))
+    want_fn = stft.make_sti_fn(nfft=nfft, nint=nint, mode=mode,
+                               return_linear=True)
+    want = np.asarray(want_fn(jnp.asarray(packed), jnp.asarray(starts))["sxx"])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+
+
+def test_pallas_with_ref_scaling():
+    nfft, ntime = 256, 4
+    packed, starts = _inputs(nfft, 1, ntime, 1, seed=3)
+    ref = 2.0 ** 15.5
+    psd = make_pallas_sti_psd(nfft=nfft, ref=ref, interpret=True)
+    got = np.asarray(psd(jnp.asarray(to_plane_major(packed)),
+                         jnp.asarray(starts)))
+    psd1 = make_pallas_sti_psd(nfft=nfft, ref=1.0, interpret=True)
+    base = np.asarray(psd1(jnp.asarray(to_plane_major(packed)),
+                           jnp.asarray(starts)))
+    np.testing.assert_allclose(got, base / ref ** 2, rtol=1e-6)
+
+
+def test_make_sti_fn_pm_layouts_agree():
+    """Plane-major factory (XLA impl) == time-major factory on the same
+    logical samples."""
+    nfft, nint, ntime, nsub = 128, 2, 5, 3
+    packed, starts = _inputs(nfft, nint, ntime, nsub, seed=4)
+    tm = stft.make_sti_fn(nfft=nfft, nint=nint)(
+        jnp.asarray(packed), jnp.asarray(starts))
+    pm = stft.make_sti_fn_pm(nfft=nfft, nint=nint, fft_impl="xla")(
+        jnp.asarray(to_plane_major(packed)), jnp.asarray(starts))
+    np.testing.assert_allclose(np.asarray(pm["sxx_dbfs"]),
+                               np.asarray(tm["sxx_dbfs"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pm["sxx_med_dbfs"]),
+                               np.asarray(tm["sxx_med_dbfs"]), atol=1e-4)
+
+
+def test_make_sti_fn_pm_int16_input():
+    rng = np.random.default_rng(5)
+    nfft, ntime = 128, 4
+    pm16 = rng.integers(-2 ** 14, 2 ** 14, (2, nfft * ntime)).astype(np.int16)
+    starts = (np.arange(ntime) * nfft).astype(np.int32)
+    ref = 2.0 ** 15.5
+    out16 = stft.make_sti_fn_pm(nfft=nfft, ref=ref, fft_impl="xla")(
+        jnp.asarray(pm16), jnp.asarray(starts))
+    outf = stft.make_sti_fn_pm(nfft=nfft, ref=ref, fft_impl="xla")(
+        jnp.asarray(pm16.astype(np.float32)), jnp.asarray(starts))
+    np.testing.assert_allclose(np.asarray(out16["sxx_dbfs"]),
+                               np.asarray(outf["sxx_dbfs"]), atol=1e-5)
+
+
+def test_pallas_supported_predicate():
+    assert pallas_supported(4096, 4, 2)
+    assert not pallas_supported(4000)          # not power of two
+    assert not pallas_supported(128)           # too small
+    assert not pallas_supported(1 << 20)       # D1 too large
+    assert not pallas_supported(65536, 64, 4)  # block exceeds VMEM budget

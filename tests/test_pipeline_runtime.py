@@ -69,9 +69,13 @@ def test_assemble_device_block_int16_dtype(int16_capture):
     chan = meta["channel"]
     lo, _ = ds.bnds[chan]
     n_st = np.asarray([lo, lo + 1000], dtype=np.int64)
-    packed, starts, mask = assemble_device_block(ds, chan, None, n_st, 256)
-    assert packed.dtype == np.int16 and packed.shape == (512, 1, 2)
+    pm, starts, mask = assemble_device_block(ds, chan, None, n_st, 256)
+    assert pm.dtype == np.int16 and pm.shape == (2, 512)
     assert list(starts) == [0, 256] and mask.all()
+    # plane rows carry the raw r/i values of the requested frames
+    raw = ds.reader.read_vector_raw(lo + 1000, 256, chan)
+    np.testing.assert_array_equal(pm[0, 256:], raw["r"][:, 0])
+    np.testing.assert_array_equal(pm[1, 256:], raw["i"][:, 0])
 
 
 def test_processor_loop_emits_and_stops(tone_capture):
