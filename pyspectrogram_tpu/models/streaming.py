@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 
 from pyspectrogram_tpu.ops.stft import (
-    _to_complex,
     median_over_time,
     psd_frames,
     to_dbfs,
@@ -38,7 +37,8 @@ from pyspectrogram_tpu.ops.windows import WindowSpec, get_window
 class StreamState:
     """On-device streaming state (a pytree)."""
 
-    carry: jax.Array        # (frame_len - hop, nsub, 2) trailing samples
+    carry: jax.Array        # (nsub*2, frame_len - hop) trailing samples,
+                            # plane-major like all device sample buffers
     ring: jax.Array         # (ring_len, nsub, nfft) LINEAR power columns,
                             # oldest first (dB happens at the display edge so
                             # medians stay exact: median-of-dB != dB-of-median
@@ -56,8 +56,12 @@ class StreamingSti:
 
     >>> s = StreamingSti(nfft=1024, nint=2, nsub=1, block_len=8192)
     >>> state = s.init_state()
-    >>> state, cols_db = s.push(state, packed_block)   # jitted, on device
+    >>> state, cols_db = s.push(state, pm_block)       # jitted, on device
     >>> sti_db, n_valid = s.snapshot(state)            # host view of ring
+
+    Blocks are plane-major (nsub*2, block_len) float32 (row 2s = subchannel
+    s real plane, row 2s+1 imag), like every device sample buffer in this
+    framework.
     """
 
     def __init__(
@@ -96,7 +100,7 @@ class StreamingSti:
 
     def init_state(self) -> StreamState:
         return StreamState(
-            carry=jnp.zeros((self.frame_len - self.hop, self.nsub, 2),
+            carry=jnp.zeros((self.nsub * 2, self.frame_len - self.hop),
                             jnp.float32),
             ring=jnp.zeros((self.ring_len, self.nsub, self.nfft),
                            jnp.float32),
@@ -112,16 +116,17 @@ class StreamingSti:
         @jax.jit
         def push(state: StreamState, block: jax.Array):
             buf = jnp.concatenate([state.carry, block.astype(jnp.float32)],
-                                  axis=0)
-            flat = buf.reshape(buf.shape[0], nsub * 2)
+                                  axis=1)               # (nsub*2, carry+blk)
             starts = jnp.arange(k, dtype=jnp.int32) * hop
 
-            def one(s):
-                return jax.lax.dynamic_slice(flat, (s, 0), (frame_len, nsub * 2))
+            def one_start(s):
+                return jax.vmap(
+                    lambda row: jax.lax.dynamic_slice(row, (s,), (frame_len,))
+                )(buf)
 
-            fr = jax.vmap(one)(starts).reshape(k, frame_len, nsub, 2)
-            fr = jnp.moveaxis(fr, 1, 2)                 # (k, nsub, frame_len, 2)
-            c = _to_complex(fr, jnp.float32).astype(jnp.complex64)
+            fr = jax.vmap(one_start)(starts)            # (k, nsub*2, flen)
+            c = jax.lax.complex(fr[:, 0::2, :], fr[:, 1::2, :]).astype(
+                jnp.complex64)                          # (k, nsub, flen)
             if mode == "welch":
                 c = c.reshape(k, nsub, nint, nfft)
                 p = psd_frames(c, win, inv_scale).mean(axis=2)
@@ -130,7 +135,7 @@ class StreamingSti:
             cols = jnp.fft.fftshift(p, axes=-1)       # (k, nsub, nfft)
 
             new_state = StreamState(
-                carry=buf[buf.shape[0] - (frame_len - hop):],
+                carry=buf[:, buf.shape[1] - (frame_len - hop):],
                 ring=jnp.concatenate([state.ring[k:], cols], axis=0),
                 total_cols=state.total_cols + k,
             )
@@ -139,7 +144,7 @@ class StreamingSti:
         return push
 
     def push(self, state: StreamState, block) -> Tuple[StreamState, jax.Array]:
-        """Consume one (block_len, nsub, 2) plane-packed block; returns
+        """Consume one plane-major (nsub*2, block_len) block; returns
         (new_state, new dB columns (cols_per_block, nsub, nfft))."""
         return self._push(state, block)
 

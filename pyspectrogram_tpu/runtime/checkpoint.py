@@ -1,0 +1,111 @@
+"""Session checkpoint / resume.
+
+The reference has no checkpointing beyond persisting the last-used
+directory in ``old_dir.txt`` (reference: drfview.py:1113-1125) — but the
+Digital RF data model itself is resumable: any STI is reproducible from
+``(start_sample, end_sample, nfft, nint, ntime, channel)`` because samples
+are addressed absolutely (reference: drfProc.py:132-167; SURVEY.md
+section 5). This module makes that explicit:
+
+* :func:`save_session` / :func:`load_session` persist the full request
+  tuple — dataset path, SpectrogramConfig, channel, absolute sample
+  bounds — so a stopped session re-opens exactly;
+* :func:`save_stream_state` / :func:`load_stream_state` snapshot a
+  streaming ring (carry samples + linear-power columns + column count), so
+  an interrupted streaming session resumes mid-stream with no recompute.
+
+Format: a single ``.npz`` with a JSON header — no external dependencies,
+stable across versions (``FORMAT_VERSION``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Optional, Tuple, Union
+
+import numpy as np
+
+from pyspectrogram_tpu.utils.config import SpectrogramConfig
+
+FORMAT_VERSION = 1
+
+
+def save_session(
+    path: Union[str, Path],
+    dataset_dir: Union[str, Path],
+    config: SpectrogramConfig,
+    sample_bounds: Optional[Tuple[int, int]] = None,
+    extra: Optional[dict] = None,
+) -> Path:
+    path = Path(path)
+    header = {
+        "format_version": FORMAT_VERSION,
+        "dataset_dir": str(dataset_dir),
+        "config": _config_to_dict(config),
+        "sample_bounds": list(sample_bounds) if sample_bounds else None,
+        "extra": extra or {},
+    }
+    np.savez(path, header=np.frombuffer(
+        json.dumps(header).encode(), dtype=np.uint8))
+    return path if path.suffix == ".npz" else path.with_suffix(".npz")
+
+
+def load_session(path: Union[str, Path]) -> dict:
+    with np.load(Path(path), allow_pickle=False) as z:
+        header = json.loads(bytes(z["header"].tobytes()).decode())
+    if header["format_version"] > FORMAT_VERSION:
+        raise ValueError(
+            f"session written by a newer format ({header['format_version']})"
+        )
+    header["config"] = _config_from_dict(header["config"])
+    if header["sample_bounds"] is not None:
+        header["sample_bounds"] = tuple(int(v) for v in header["sample_bounds"])
+    return header
+
+
+def save_stream_state(path: Union[str, Path], state, meta: dict) -> Path:
+    """Persist a models.streaming.StreamState + its StreamingSti params."""
+    path = Path(path)
+    header = {"format_version": FORMAT_VERSION, "meta": meta}
+    np.savez(
+        path,
+        header=np.frombuffer(json.dumps(header).encode(), dtype=np.uint8),
+        carry=np.asarray(state.carry),
+        ring=np.asarray(state.ring),
+        total_cols=np.asarray(state.total_cols),
+    )
+    return path if path.suffix == ".npz" else path.with_suffix(".npz")
+
+
+def load_stream_state(path: Union[str, Path]):
+    """Returns (StreamState-on-device, meta dict)."""
+    import jax.numpy as jnp
+
+    from pyspectrogram_tpu.models.streaming import StreamState
+
+    with np.load(Path(path), allow_pickle=False) as z:
+        header = json.loads(bytes(z["header"].tobytes()).decode())
+        state = StreamState(
+            carry=jnp.asarray(z["carry"]),
+            ring=jnp.asarray(z["ring"]),
+            total_cols=jnp.asarray(z["total_cols"]),
+        )
+    return state, header["meta"]
+
+
+def _config_to_dict(cfg: SpectrogramConfig) -> dict:
+    d = dataclasses.asdict(cfg)
+    d["window"] = list(cfg.window) if isinstance(cfg.window, tuple) else cfg.window
+    return d
+
+
+def _config_from_dict(d: dict) -> SpectrogramConfig:
+    d = dict(d)
+    if isinstance(d.get("window"), list):
+        d["window"] = tuple(d["window"])
+    for k in ("time_span", "freq_window_khz", "color_range_db"):
+        if isinstance(d.get(k), list):
+            d[k] = tuple(d[k])
+    return SpectrogramConfig(**d)

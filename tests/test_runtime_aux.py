@@ -1,0 +1,111 @@
+"""Aux subsystems: checkpoint/resume, async ingest feeder, stage timing."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pyspectrogram_tpu.io.ingest import PrefetchFeeder, stream_blocks
+from pyspectrogram_tpu.io.reader import RFDataset
+from pyspectrogram_tpu.models.streaming import StreamingSti
+from pyspectrogram_tpu.runtime import checkpoint
+from pyspectrogram_tpu.utils.config import SpectrogramConfig
+from pyspectrogram_tpu.utils.profiling import StageTimer
+
+
+def test_session_checkpoint_roundtrip(tmp_path):
+    cfg = SpectrogramConfig(nfft=2048, nint=3, ntime=50, mode="parity",
+                            window=("kaiser", 8.6), channel="ch0:1",
+                            time_span=(100.0, 200.0))
+    p = checkpoint.save_session(tmp_path / "sess.npz", "/data/capture", cfg,
+                                sample_bounds=(10 ** 15, 10 ** 15 + 12345),
+                                extra={"note": "x"})
+    h = checkpoint.load_session(p)
+    assert h["dataset_dir"] == "/data/capture"
+    assert h["config"] == cfg
+    assert h["sample_bounds"] == (10 ** 15, 10 ** 15 + 12345)
+    assert h["extra"] == {"note": "x"}
+
+
+def test_stream_state_checkpoint_resume(tmp_path):
+    """Interrupt a stream mid-way, checkpoint, resume: columns must be
+    identical to an uninterrupted run (incl. the carry across the cut)."""
+    nfft, nsub = 64, 1
+    hop = 32
+    block_len = 128
+    s = StreamingSti(nfft=nfft, nsub=nsub, block_len=block_len, hop=hop,
+                     ring_len=16, mode="parity")
+    rng = np.random.default_rng(0)
+    blocks = [rng.standard_normal((2, block_len)).astype(np.float32)
+              for _ in range(4)]
+
+    # uninterrupted
+    st = s.init_state()
+    want = []
+    for b in blocks:
+        st, c = s.push(st, jnp.asarray(b))
+        want.append(np.asarray(c))
+
+    # interrupted after 2 blocks
+    st1 = s.init_state()
+    for b in blocks[:2]:
+        st1, c = s.push(st1, jnp.asarray(b))
+    p = checkpoint.save_stream_state(tmp_path / "stream.npz", st1,
+                                     meta={"nfft": nfft, "hop": hop})
+    st2, meta = checkpoint.load_stream_state(p)
+    assert meta["nfft"] == nfft
+    got = []
+    for b in blocks[2:]:
+        st2, c = s.push(st2, jnp.asarray(b))
+        got.append(np.asarray(c))
+    np.testing.assert_allclose(np.concatenate(got),
+                               np.concatenate(want[2:]), atol=1e-6)
+
+
+def test_prefetch_feeder_order_and_error():
+    out = list(PrefetchFeeder(lambda i: i * 10, 5, depth=2, device_put=False))
+    assert out == [0, 10, 20, 30, 40]
+
+    def boom(i):
+        if i == 2:
+            raise RuntimeError("io failed")
+        return i
+
+    f = PrefetchFeeder(boom, 5, depth=1, device_put=False)
+    with pytest.raises(RuntimeError, match="io failed"):
+        list(f)
+
+
+def test_stream_blocks_feeds_streaming_sti(tone_capture):
+    """Disk -> prefetch feeder -> streaming ring, end to end."""
+    top, meta = tone_capture
+    ds = RFDataset(top)
+    chan = meta["channel"]
+    lo, hi = ds.bnds[chan]
+    nfft, block_len = 256, 1024
+    n_blocks = 8
+    s = StreamingSti(nfft=nfft, nsub=2, block_len=block_len, ring_len=64)
+    state = s.init_state()
+    with stream_blocks(ds, chan, lo, block_len, n_blocks) as feeder:
+        for blk in feeder:
+            assert blk.shape == (4, block_len)
+            state, _ = s.push(state, blk)
+    assert int(state.total_cols) == n_blocks * (block_len // nfft)
+    med = s.median_psd(state)
+    # tone capture: both subchannel PSD peaks near 0 dBFS
+    assert med.max() > -1.0
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("read"):
+        pass
+    with t.stage("read"):
+        pass
+    with t.stage("compute"):
+        pass
+    st = t.stats()
+    assert st["read"]["n"] == 2 and st["compute"]["n"] == 1
+    assert t.stats("read")["p50_s"] >= 0
+    t.reset()
+    assert t.stats("read") == {"n": 0}

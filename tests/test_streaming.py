@@ -10,8 +10,16 @@ from pyspectrogram_tpu.ops import stft
 
 
 def _packed(nsamp, nsub, seed=0):
+    """time-major packed samples (for the batch oracle)."""
     rng = np.random.default_rng(seed)
     return rng.standard_normal((nsamp, nsub, 2)).astype(np.float32)
+
+
+def _pm(packed):
+    """time-major (nsamp, nsub, 2) -> plane-major (nsub*2, nsamp)."""
+    from pyspectrogram_tpu.kernels.sti_pallas import to_plane_major
+
+    return to_plane_major(packed)
 
 
 def test_streaming_matches_batch():
@@ -26,7 +34,7 @@ def test_streaming_matches_batch():
     col_chunks = []
     for b in range(nblocks):
         state, cols = s.push(state, jnp.asarray(
-            x[b * block_len : (b + 1) * block_len]))
+            _pm(x[b * block_len : (b + 1) * block_len])))
         col_chunks.append(np.asarray(cols))
     got = np.concatenate(col_chunks, axis=0)          # (20, nsub, nfft)
 
@@ -60,7 +68,7 @@ def test_streaming_overlap_hop():
     chunks = []
     for b in range(3):
         state, cols = s.push(state, jnp.asarray(
-            x[b * block_len : (b + 1) * block_len]))
+            _pm(x[b * block_len : (b + 1) * block_len])))
         chunks.append(np.asarray(cols))
     got = np.concatenate(chunks, axis=0)
 
@@ -84,7 +92,7 @@ def test_ring_wraparound():
     state = s.init_state()
     seen = []
     for b in range(5):  # 10 columns through a 4-slot ring
-        state, cols = s.push(state, jnp.asarray(_packed(block_len, 1, seed=b)))
+        state, cols = s.push(state, jnp.asarray(_pm(_packed(block_len, 1, seed=b))))
         seen.append(np.asarray(cols))
     all_cols = np.concatenate(seen, axis=0)
     ring, nvalid = s.snapshot(state)
