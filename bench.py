@@ -93,6 +93,43 @@ def bench_sti(nfft=4096, nint=4, ntime=128, nsub=2, mode="welch",
     return n_proc / p50, p50, p99
 
 
+def bench_streaming(nfft=4096, nint=1, nsub=2, cols_per_block=8,
+                    ring_len=1024, iters=50, repeats=5):
+    """p50 block -> STI-column latency of the streaming ring path
+    (north-star target: < 5 ms, BASELINE.md)."""
+    import jax
+    import jax.numpy as jnp
+    from pyspectrogram_tpu.models.streaming import StreamingSti
+
+    block_len = nfft * nint * cols_per_block
+    s = StreamingSti(nfft=nfft, nint=nint, nsub=nsub, block_len=block_len,
+                     ring_len=ring_len)
+    rng = np.random.default_rng(0)
+    block = jnp.asarray(
+        rng.standard_normal((nsub * 2, block_len)).astype(np.float32))
+    push = s._push
+
+    @jax.jit
+    def run_k(state, block):
+        def body(i, st):
+            st, _ = push(st, block + i.astype(jnp.float32) * 0.0)
+            return st
+        return jax.lax.fori_loop(0, iters, body, state).ring[0, 0, 0]
+
+    overhead = _roundtrip_overhead_s()
+    state = s.init_state()
+    float(np.asarray(run_k(state, block)))
+    totals = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(np.asarray(run_k(state, block)))
+        totals.append(time.perf_counter() - t0)
+    per_block = np.asarray(
+        [max(t - overhead, 1e-9) / iters for t in totals])
+    sps = block_len * nsub / float(np.percentile(per_block, 50))
+    return sps, float(np.percentile(per_block, 50))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true", help="full suite to stderr")
@@ -128,6 +165,13 @@ def main():
                     except Exception as e:
                         print(f"# nfft={nfft} {impl} {mode} FAILED: {e}",
                               file=sys.stderr)
+        try:
+            ssps, sp50 = bench_streaming(nfft=4096, iters=args.iters)
+            print(f"# streaming 4096    {ssps/1e9:8.3f} GS/s  "
+                  f"p50 block->cols={sp50*1e3:7.3f} ms (target <5 ms)",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"# streaming FAILED: {e}", file=sys.stderr)
 
     sps, p50, _ = bench_sti(nfft=args.nfft, nint=args.nint, ntime=args.ntime,
                             nsub=args.nsub, iters=args.iters,

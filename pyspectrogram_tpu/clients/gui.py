@@ -118,6 +118,9 @@ if QtWidgets is not None:  # pragma: no cover - GUI classes need a display
             self.setCentralWidget(self.tabs)
             self.states: dict[int, TabState] = {}
             self._tab_seq = 0
+            # universal settings (reference wishlist README.md:18): apply
+            # to every tab; persisted per user
+            self.refresh_s = 0.1
             self._build_menu()
             self.new_tab()
             self.showMaximized()
@@ -134,6 +137,21 @@ if QtWidgets is not None:  # pragma: no cover - GUI classes need a display
                 act.setShortcut(keys)
                 act.triggered.connect(fn)
                 m.addAction(act)
+            s = self.menuBar().addMenu("&Settings")
+            act = QtWidgets.QAction("Refresh rate…", self)
+            act.triggered.connect(self._set_refresh_rate)
+            s.addAction(act)
+
+        def _set_refresh_rate(self):
+            val, ok = QtWidgets.QInputDialog.getDouble(
+                self, "Universal settings", "GUI refresh interval (s):",
+                self.refresh_s, 0.01, 10.0, 2)
+            if ok:
+                self.refresh_s = val
+                for st in self.states.values():
+                    if st.processor:
+                        st.processor.written_sleep = val
+                        st.processor.streaming_sleep = val
 
         # ---------------------------------------------------------- tabs
         def new_tab(self):
@@ -174,6 +192,15 @@ if QtWidgets is not None:  # pragma: no cover - GUI classes need a display
             gs = fig.add_gridspec(4, 5)
             st.psd_ax = fig.add_subplot(gs[0, :-1])
             st.sti_ax = fig.add_subplot(gs[1:, :])
+            # dBFS-labeled colorbar beside the waterfall
+            # (reference: drfview.py:1367-1387)
+            from matplotlib import cm as _cm
+            from matplotlib.colors import Normalize
+
+            st.mappable = _cm.ScalarMappable(
+                norm=Normalize(*st.config.color_range_db), cmap="viridis")
+            st.colorbar = fig.colorbar(st.mappable, ax=st.sti_ax,
+                                       label="dBFS")
             st.canvas = FigureCanvas(fig)
             left = QtWidgets.QVBoxLayout()
             left.addWidget(CustomToolbar(st.canvas, w))
@@ -406,6 +433,7 @@ if QtWidgets is not None:  # pragma: no cover - GUI classes need a display
                 shading="auto",
             )
             st.sti_ax.set_xlabel("Frequency (kHz)")
+            st.mappable.set_clim(*crange)
             st.canvas.draw_idle()
 
         def save_png(self, tab_id: int):

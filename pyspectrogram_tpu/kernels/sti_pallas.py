@@ -63,9 +63,20 @@ def pallas_supported(nfft: int, nint: int = 1, nsub: int = 1,
         nfft >= 256
         and nfft % LANE == 0
         and (nfft & (nfft - 1)) == 0
-        and nfft // LANE <= 512          # D1 (n1, n1) must sit in VMEM
+        # n1 <= 128 keeps the DFT factors + column block + pipeline
+        # buffers comfortably inside the ~16 MB VMEM (n1 = 512 measured
+        # 312 KB over the scoped limit at nfft = 65536)
+        and nfft // LANE <= 128
         and block <= MAX_BLOCK_BYTES
     )
+
+
+def pallas_auto_profitable(nfft: int, nint: int = 1, nsub: int = 1,
+                           mode: str = "welch") -> bool:
+    """Where the fused kernel beats XLA (measured on v5e): below 2048 the
+    (n1, n1) stage-1 matmuls are too small to feed the MXU and the
+    per-column grid overhead dominates — XLA wins there."""
+    return nfft >= 2048 and pallas_supported(nfft, nint, nsub, mode)
 
 
 @functools.lru_cache(maxsize=32)

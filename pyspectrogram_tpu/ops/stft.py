@@ -269,7 +269,7 @@ def make_sti_fn_pm(
 
     if fft_impl == "auto":
         use_pallas = (
-            sti_pallas.pallas_supported(nfft, nint, mode=mode)
+            sti_pallas.pallas_auto_profitable(nfft, nint, mode=mode)
             and jax.default_backend() == "tpu"
         )
     elif fft_impl == "pallas":

@@ -41,6 +41,9 @@ from pyspectrogram_tpu.runtime.signals import (
 )
 from pyspectrogram_tpu.utils.config import SpectrogramConfig
 from pyspectrogram_tpu.utils.errors import TerminateReason
+from pyspectrogram_tpu.utils.log import get_logger, log_event
+
+logger = get_logger("pstpu.processor")
 
 
 class SpectrogramProcessor:
@@ -95,6 +98,8 @@ class SpectrogramProcessor:
         self.sub_chan_list = list(self.ds.chan_entries)
         self.is_running = True
         self._ready.set()
+        log_event(logger, "processor ready", tab_id=tab_id,
+                  channels=self.chan_listing, streaming=streaming)
 
     # ------------------------------------------------------------- control
     @property
@@ -206,6 +211,9 @@ class SpectrogramProcessor:
         self.reason = reason
         self.is_running = False
         self._stop.set()
+        log_event(logger, "processor terminated", tab_id=self.tab_id,
+                  reason=int(reason), detail=reason.describe(),
+                  latency=self.latency_stats())
         self.callbacks.emit_terminated(Terminated(self.tab_id, reason))
 
     # --------------------------------------------------------- observability

@@ -1,0 +1,52 @@
+"""Structured logging.
+
+The reference has no logging at all — bare prints and traceback dumps
+(reference: drfview.py:1135, drfProc.py:327; SURVEY.md section 5). This
+module provides one stdlib-logging-based structured logger used across the
+runtime: human-readable lines by default, single-line JSON with
+``PSTPU_LOG_JSON=1`` (for log aggregation in production).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Optional
+
+
+class _JsonFormatter(logging.Formatter):
+    def format(self, record: logging.LogRecord) -> str:
+        out = {
+            "ts": round(time.time(), 3),
+            "level": record.levelname,
+            "logger": record.name,
+            "msg": record.getMessage(),
+        }
+        extra = getattr(record, "fields", None)
+        if extra:
+            out.update(extra)
+        return json.dumps(out)
+
+
+def get_logger(name: str = "pstpu") -> logging.Logger:
+    logger = logging.getLogger(name)
+    if not logger.handlers:
+        h = logging.StreamHandler()
+        if os.environ.get("PSTPU_LOG_JSON") == "1":
+            h.setFormatter(_JsonFormatter())
+        else:
+            h.setFormatter(logging.Formatter(
+                "%(asctime)s %(levelname)s %(name)s: %(message)s"))
+        logger.addHandler(h)
+        logger.setLevel(os.environ.get("PSTPU_LOG_LEVEL", "INFO").upper())
+        logger.propagate = False
+    return logger
+
+
+def log_event(logger: logging.Logger, msg: str,
+              level: int = logging.INFO, **fields) -> None:
+    """Log with structured fields (rendered into JSON mode verbatim)."""
+    logger.log(level, msg if not fields else f"{msg} {fields}",
+               extra={"fields": fields})
