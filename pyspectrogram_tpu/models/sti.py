@@ -111,13 +111,19 @@ class StiPipeline:
     Jitted device programs are cached per (nfft, nint, mode, window, ref)
     via make_sti_fn's cache, so settings changes recompile only when a
     static shape/knob actually changes.
+
+    Pass ``mesh`` (a jax.sharding.Mesh from parallel.make_mesh) to run each
+    request over multiple devices: STI columns shard across the ``time``
+    axis and subchannels across ``chan`` (nsub must divide by the chan-axis
+    size; ntime is padded to the time-axis size automatically).
     """
 
     def __init__(self, dataset: RFDataset, config: SpectrogramConfig,
-                 use_device: bool = True):
+                 use_device: bool = True, mesh=None):
         self.ds = dataset
         self.config = config
         self.use_device = use_device
+        self.mesh = mesh
         self._iteration = -1
 
     def channel_of(self, config: SpectrogramConfig) -> Tuple[str, Optional[int]]:
@@ -153,14 +159,18 @@ class StiPipeline:
             self.ds, chan, isub, n_st, frame_len
         )
 
-        fn = stft.make_sti_fn_pm(
-            nfft=cfg.nfft, nint=cfg.nint, mode=cfg.mode, window=cfg.window,
-            ref=ref, eps=cfg.eps,
-        )
-        out = fn(jnp.asarray(samples_pm), jnp.asarray(starts_rel))
-        sxx_dbfs = stft.to_reference_layout(out["sxx_dbfs"])
+        if self.mesh is not None:
+            out = self._compute_sharded(cfg, ref, samples_pm, starts_rel)
+        else:
+            fn = stft.make_sti_fn_pm(
+                nfft=cfg.nfft, nint=cfg.nint, mode=cfg.mode,
+                window=cfg.window, ref=ref, eps=cfg.eps,
+            )
+            out = fn(jnp.asarray(samples_pm), jnp.asarray(starts_rel))
+        # drop any time-axis padding the sharded path added
+        sxx_tm = np.asarray(out["sxx_dbfs"])[: cfg.ntime]
+        sxx_dbfs = stft.to_reference_layout(sxx_tm)
         sxx_med_dbfs = np.moveaxis(np.asarray(out["sxx_med_dbfs"]), -1, 0)
-
         times = np.asarray(
             [sample_to_datetime(int(s), sr) for s in n_st]
         )
@@ -174,4 +184,29 @@ class StiPipeline:
             sample_rate=sr,
             frame_starts=np.asarray(n_st),
             mask=col_mask,
+        )
+
+    def _compute_sharded(self, cfg: SpectrogramConfig, ref: float,
+                         samples_pm: np.ndarray, starts_rel: np.ndarray):
+        """Multi-device request: shard columns over 'time', subchannels
+        over 'chan' (see parallel.sharded for the layout)."""
+        import jax
+        import jax.numpy as jnp
+
+        from pyspectrogram_tpu.parallel.mesh import TIME_AXIS, pad_starts
+        from pyspectrogram_tpu.parallel.sharded import make_sharded_sti_fn
+
+        padded, nvalid = pad_starts(
+            np.asarray(starts_rel, np.int32), self.mesh.shape[TIME_AXIS]
+        )
+        fn = make_sharded_sti_fn(
+            self.mesh, nfft=cfg.nfft, nint=cfg.nint, ntime_valid=nvalid,
+            mode=cfg.mode, window=cfg.window, ref=ref, eps=cfg.eps,
+        )
+        s_sh, st_sh = fn.input_shardings()
+        if samples_pm.dtype != np.float32:
+            samples_pm = samples_pm.astype(np.float32)
+        return fn(
+            jax.device_put(jnp.asarray(samples_pm), s_sh),
+            jax.device_put(jnp.asarray(padded), st_sh),
         )

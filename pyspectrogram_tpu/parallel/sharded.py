@@ -1,8 +1,9 @@
 """Multi-device STI via shard_map over a (time, chan) mesh.
 
 Sharding layout (SURVEY.md section 2.3):
-* sample buffer:  sharded over ``chan`` (subchannel slices), replicated
-  over ``time`` — every device holds only its channels' samples;
+* sample buffer:  plane-major (nsub*2, nsamp), sharded over ``chan`` rows
+  (r/i plane pairs stay on one device: nsub must divide by the chan-axis
+  size), replicated over ``time``;
 * frame starts:   sharded over ``time`` — each device computes a disjoint
   block of STI columns (independent frame starts,
   reference: drfProc.py:159);
@@ -16,25 +17,19 @@ Sharding layout (SURVEY.md section 2.3):
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from jax import shard_map
-
-from pyspectrogram_tpu.ops.stft import (
-    _to_complex,
-    median_over_time,
-    psd_frames,
-    to_dbfs,
-)
+from pyspectrogram_tpu.ops.stft import median_over_time, psd_frames, to_dbfs
 from pyspectrogram_tpu.ops.windows import WindowSpec, get_window
 from pyspectrogram_tpu.parallel.mesh import CHAN_AXIS, TIME_AXIS
 
 
+@functools.lru_cache(maxsize=64)
 def make_sharded_sti_fn(
     mesh: Mesh,
     *,
@@ -45,70 +40,59 @@ def make_sharded_sti_fn(
     window: WindowSpec = ("kaiser", 1.7),
     ref: float = 1.0,
     eps: float = 1e-15,
-    compute_dtype=jnp.complex64,
 ):
     """Jitted multi-device STI.
 
-    Returned ``f(samples, starts)``:
-      samples: (nsamp, nsub[, 2]) — nsub divisible by the chan-axis size;
-      starts:  (ntime_padded,) int32 — divisible by the time-axis size;
-               only the first ``ntime_valid`` columns count for the median.
+    Returned ``f(samples_pm, starts)``:
+      samples_pm: (nsub*2, nsamp) float32 plane-major — nsub divisible by
+                  the chan-axis size;
+      starts:     (ntime_padded,) int32 — divisible by the time-axis size;
+                  only the first ``ntime_valid`` columns count for the
+                  median (padding repeats the last start, see
+                  mesh.pad_starts).
     Returns {"sxx_dbfs": (ntime_padded, nsub, nfft) sharded (time, chan),
              "sxx_med_dbfs": (nsub, nfft) sharded (chan,)}.
     """
     win64 = get_window(window, nfft)
     inv_scale = 1.0 / (float(win64.sum()) ** 2 * float(ref) ** 2)
-    real_dtype = jnp.float64 if compute_dtype == jnp.complex128 else jnp.float32
-    win = jnp.asarray(win64.astype(real_dtype))
+    win = jnp.asarray(win64.astype(np.float32))
     frame_len = nfft * nint if mode == "welch" else nfft
 
-    def local_sti(samples, starts):
-        offs = jnp.arange(frame_len, dtype=starts.dtype)
-        idx = starts[:, None] + offs[None, :]
-        frames = jnp.moveaxis(jnp.take(samples, idx, axis=0), 1, 2)
-        x = _to_complex(frames, real_dtype).astype(compute_dtype)
-        if mode == "welch":
-            x = x.reshape(x.shape[0], x.shape[1], nint, nfft)
-            p = psd_frames(x, win, inv_scale).mean(axis=2)
-        else:
-            p = psd_frames(x, win, inv_scale)
-        return jnp.fft.fftshift(p, axes=-1)  # (ntime_local, nsub_local, nfft)
+    def local_sti(samples_pm, starts):
+        def one_start(s):
+            return jax.vmap(
+                lambda row: jax.lax.dynamic_slice(row, (s,), (frame_len,))
+            )(samples_pm)
 
-    def sharded(samples, starts):
-        p_local = local_sti(samples, starts)
+        fr = jax.vmap(one_start)(starts)          # (ntime_l, nsub2_l, L)
+        c = jax.lax.complex(fr[:, 0::2, :], fr[:, 1::2, :]).astype(
+            jnp.complex64)
+        if mode == "welch":
+            c = c.reshape(c.shape[0], c.shape[1], nint, nfft)
+            p = psd_frames(c, win, inv_scale).mean(axis=2)
+        else:
+            p = psd_frames(c, win, inv_scale)
+        return jnp.fft.fftshift(p, axes=-1)       # (ntime_l, nsub_l, nfft)
+
+    def sharded(samples_pm, starts):
+        p_local = local_sti(samples_pm, starts)
         # gather all columns of my channel shard for the time median
         p_all = jax.lax.all_gather(p_local, TIME_AXIS, axis=0, tiled=True)
-        p_med = median_over_time(p_all, ntime_valid)  # (nsub_local, nfft)
+        p_med = median_over_time(p_all, ntime_valid)  # (nsub_l, nfft)
         return {
             "sxx_dbfs": to_dbfs(p_local, eps),
             "sxx_med_dbfs": to_dbfs(p_med, eps),
         }
 
-    def specs_for(samples_ndim):
-        in_specs = (
-            # (nsamp, nsub) or (nsamp, nsub, 2): shard the subchannel axis
-            P(*([None, CHAN_AXIS] + [None] * (samples_ndim - 2))),
-            P(TIME_AXIS),
-        )
-        out_specs = {
-            "sxx_dbfs": P(TIME_AXIS, CHAN_AXIS, None),
-            "sxx_med_dbfs": P(CHAN_AXIS, None),
-        }
-        return in_specs, out_specs
+    in_specs = (P(CHAN_AXIS, None), P(TIME_AXIS))
+    out_specs = {
+        "sxx_dbfs": P(TIME_AXIS, CHAN_AXIS, None),
+        "sxx_med_dbfs": P(CHAN_AXIS, None),
+    }
+    fn = jax.jit(shard_map(sharded, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False))
 
-    @functools.lru_cache(maxsize=8)
-    def build(samples_ndim: int):
-        in_specs, out_specs = specs_for(samples_ndim)
-        fn = shard_map(
-            sharded, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_vma=False,
-        )
-        return jax.jit(fn)
-
-    def apply(samples, starts):
-        return build(np.ndim(samples))(samples, starts)
-
-    apply.input_shardings = lambda samples_ndim=2: tuple(
-        NamedSharding(mesh, s) for s in specs_for(samples_ndim)[0]
+    fn.input_shardings = lambda: tuple(
+        NamedSharding(mesh, s) for s in in_specs
     )
-    return apply
+    return fn

@@ -16,10 +16,12 @@ from pyspectrogram_tpu.parallel import (
 
 
 def _buffer(nsamp, nsub, seed=0):
+    """time-major packed (for the single-device oracle) + plane-major."""
     rng = np.random.default_rng(seed)
-    return (rng.standard_normal((nsamp, nsub)).astype(np.float32)
-            + 1j * rng.standard_normal((nsamp, nsub)).astype(np.float32)
-            ).astype(np.complex64)
+    packed = rng.standard_normal((nsamp, nsub, 2)).astype(np.float32)
+    pm = np.ascontiguousarray(
+        np.moveaxis(packed, 0, -1).reshape(nsub * 2, nsamp))
+    return packed, pm
 
 
 def test_mesh_shapes():
@@ -41,17 +43,18 @@ def test_pad_starts():
 @pytest.mark.parametrize("tp,cp", [(8, 1), (4, 2), (2, 4)])
 def test_sharded_matches_single_device(tp, cp):
     nfft, nint, ntime, nsub = 64, 2, 16, 4
-    samples = _buffer(nfft * nint * ntime + 32, nsub)
-    starts = np.linspace(0, len(samples) - nfft * nint, ntime, dtype=np.int32)
+    nsamp = nfft * nint * ntime + 32
+    packed, pm = _buffer(nsamp, nsub)
+    starts = np.linspace(0, nsamp - nfft * nint, ntime, dtype=np.int32)
 
     single = stft.make_sti_fn(nfft=nfft, nint=nint, mode="welch")
-    want = single(jnp.asarray(samples), jnp.asarray(starts))
+    want = single(jnp.asarray(packed), jnp.asarray(starts))
 
     mesh = make_mesh(time_parallel=tp, chan_parallel=cp)
     sharded = make_sharded_sti_fn(
         mesh, nfft=nfft, nint=nint, ntime_valid=ntime, mode="welch"
     )
-    got = sharded(jnp.asarray(samples), jnp.asarray(starts))
+    got = sharded(jnp.asarray(pm), jnp.asarray(starts))
 
     np.testing.assert_allclose(
         np.asarray(got["sxx_dbfs"]), np.asarray(want["sxx_dbfs"]), atol=2e-3
@@ -66,17 +69,18 @@ def test_sharded_with_padded_time_axis():
     """ntime not divisible by the time axis: padded columns must not bias
     the median."""
     nfft, ntime, nsub = 64, 13, 2
-    samples = _buffer(nfft * ntime + 200, nsub, seed=3)
-    starts = np.linspace(0, len(samples) - nfft, ntime, dtype=np.int32)
+    nsamp = nfft * ntime + 200
+    packed, pm = _buffer(nsamp, nsub, seed=3)
+    starts = np.linspace(0, nsamp - nfft, ntime, dtype=np.int32)
     padded, nvalid = pad_starts(starts, 8)
     assert nvalid == 13 and len(padded) == 16
 
     single = stft.make_sti_fn(nfft=nfft)
-    want = single(jnp.asarray(samples), jnp.asarray(starts))
+    want = single(jnp.asarray(packed), jnp.asarray(starts))
 
     mesh = make_mesh()
     sharded = make_sharded_sti_fn(mesh, nfft=nfft, ntime_valid=nvalid)
-    got = sharded(jnp.asarray(samples), jnp.asarray(padded))
+    got = sharded(jnp.asarray(pm), jnp.asarray(padded))
     np.testing.assert_allclose(
         np.asarray(got["sxx_dbfs"])[:nvalid], np.asarray(want["sxx_dbfs"]),
         atol=2e-3,
@@ -90,17 +94,18 @@ def test_sharded_with_padded_time_axis():
 def test_sharded_accepts_device_sharded_inputs():
     """Inputs pre-placed with the advertised shardings stay sharded."""
     nfft, ntime, nsub = 64, 16, 4
-    samples = _buffer(nfft * ntime, nsub, seed=4)
-    starts = np.linspace(0, len(samples) - nfft, ntime, dtype=np.int32)
+    nsamp = nfft * ntime
+    packed, pm = _buffer(nsamp, nsub, seed=4)
+    starts = np.linspace(0, nsamp - nfft, ntime, dtype=np.int32)
     mesh = make_mesh(time_parallel=4, chan_parallel=2)
     f = make_sharded_sti_fn(mesh, nfft=nfft, ntime_valid=ntime)
-    s_sh, st_sh = f.input_shardings(2)
-    samples_d = jax.device_put(jnp.asarray(samples), s_sh)
+    s_sh, st_sh = f.input_shardings()
+    samples_d = jax.device_put(jnp.asarray(pm), s_sh)
     starts_d = jax.device_put(jnp.asarray(starts), st_sh)
     out = f(samples_d, starts_d)
     assert out["sxx_dbfs"].sharding.spec == P("time", "chan")
     single = stft.make_sti_fn(nfft=nfft)
-    want = single(jnp.asarray(samples), jnp.asarray(starts))
+    want = single(jnp.asarray(packed), jnp.asarray(starts))
     np.testing.assert_allclose(
         np.asarray(out["sxx_dbfs"]), np.asarray(want["sxx_dbfs"]), atol=2e-3
     )

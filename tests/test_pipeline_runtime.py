@@ -185,3 +185,20 @@ def test_processor_loop_exception_reports_code4(tone_capture):
     proc.pipeline.compute = lambda cfg: (_ for _ in ()).throw(RuntimeError("boom"))
     proc.run()
     assert events["terminated"][-1].reason == TerminateReason.LOOP_EXCEPTION
+
+
+def test_pipeline_with_mesh_matches_single_device(tone_capture):
+    """StiPipeline(mesh=...) shards the request over the CPU mesh and
+    returns arrays identical to the single-device path (incl. when ntime
+    needs time-axis padding)."""
+    from pyspectrogram_tpu.parallel import make_mesh
+
+    top, meta = tone_capture
+    ds = RFDataset(top)
+    cfg = SpectrogramConfig(nfft=128, nint=2, ntime=13)  # 13 % 4 != 0
+    want = StiPipeline(RFDataset(top), cfg).compute()
+    mesh = make_mesh(time_parallel=4, chan_parallel=2)
+    got = StiPipeline(ds, cfg, mesh=mesh).compute()
+    assert got.sxx_dbfs.shape == want.sxx_dbfs.shape == (128, 13, 2)
+    np.testing.assert_allclose(got.sxx_dbfs, want.sxx_dbfs, atol=2e-3)
+    np.testing.assert_allclose(got.sxx_med_dbfs, want.sxx_med_dbfs, atol=2e-3)
