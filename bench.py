@@ -94,7 +94,7 @@ def bench_sti(nfft=4096, nint=4, ntime=128, nsub=2, mode="welch",
 
 
 def bench_streaming(nfft=4096, nint=1, nsub=2, cols_per_block=8,
-                    ring_len=1024, iters=50, repeats=5):
+                    ring_len=256, iters=50, repeats=5):
     """p50 block -> STI-column latency of the streaming ring path
     (north-star target: < 5 ms, BASELINE.md)."""
     import jax
@@ -112,7 +112,9 @@ def bench_streaming(nfft=4096, nint=1, nsub=2, cols_per_block=8,
     @jax.jit
     def run_k(state, block):
         def body(i, st):
-            st, _ = push(st, block + i.astype(jnp.float32) * 0.0)
+            # each push depends on the previous state's carry/ring, so the
+            # loop body cannot be hoisted or elided
+            st, _ = push(st, block)
             return st
         return jax.lax.fori_loop(0, iters, body, state).ring[0, 0, 0]
 

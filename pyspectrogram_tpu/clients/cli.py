@@ -124,7 +124,66 @@ def cmd_filter(args) -> int:
         sample_rate_denominator=sr.denominator,
     )
     w.rf_write(y.astype(np.complex64))
-    print(json.dumps({"out": str(args.out), "n_samples": len(y)}))
+    result = {"out": str(args.out), "n_samples": len(y)}
+    if args.wav:
+        from pyspectrogram_tpu.ops.filters import save_wav
+
+        result["wav"] = save_wav(args.wav, y, int(sr))
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_stream(args) -> int:
+    """Incremental streaming: prefetch blocks from disk, push through the
+    on-device STI ring, save the final waterfall + median PSD."""
+    import jax.numpy as jnp
+
+    from pyspectrogram_tpu.display import save_sti_png
+    from pyspectrogram_tpu.io import RFDataset, sample_to_datetime
+    from pyspectrogram_tpu.io.ingest import stream_blocks
+    from pyspectrogram_tpu.models.streaming import StreamingSti
+    from pyspectrogram_tpu.ops.stft import shifted_freqs
+
+    ds = RFDataset(args.dataset)
+    chan = args.channel or ds.channels[0]
+    chan = chan.split(":")[0]
+    lo, hi = ds.bnds[chan]
+    nsub = len(ds.chan_2sub[chan])
+    sr = ds.sr_dict[chan]
+    block_len = args.nfft * args.nint * args.cols_per_block
+    n_blocks = (hi - lo + 1) // block_len
+    if n_blocks == 0:
+        print(json.dumps({"error": "capture shorter than one block"}))
+        return 1
+
+    s = StreamingSti(
+        nfft=args.nfft, nint=args.nint, nsub=nsub, block_len=block_len,
+        ring_len=args.ring_len, mode=args.mode, ref=ds.ref_dict[chan],
+    )
+    state = s.init_state()
+    with stream_blocks(ds, chan, lo, block_len, n_blocks) as feeder:
+        for blk in feeder:
+            state, _ = s.push(state, jnp.asarray(np.asarray(blk, np.float32)))
+    ring_db, nvalid = s.snapshot(state)
+    freqs = shifted_freqs(args.nfft, sr)
+    cols = ring_db[args.ring_len - nvalid:]          # oldest -> newest
+    hop_samples = s.hop
+    first_col_sample = lo + (int(state.total_cols) - nvalid) * hop_samples
+    times = np.asarray([
+        sample_to_datetime(first_col_sample + k * hop_samples, sr)
+        for k in range(nvalid)
+    ])
+    out = save_sti_png(
+        args.out, freqs, times, cols[..., args.subchannel, :].T,
+        colorrange=tuple(args.crange) if args.crange else (-110.0, -40.0),
+        renderer=args.renderer,
+    )
+    print(json.dumps({
+        "png": out,
+        "columns": int(state.total_cols),
+        "ring_columns": nvalid,
+        "peak_dbfs": float(s.median_psd(state)[args.subchannel].max()),
+    }))
     return 0
 
 
@@ -202,7 +261,24 @@ def main(argv=None) -> int:
     p.add_argument("--channel", default=None)
     p.add_argument("--subchannel", type=int, default=0)
     p.add_argument("--nfft", type=int, default=1024)
+    p.add_argument("--wav", default=None,
+                   help="also write the regenerated signal as 16-bit WAV")
     p.set_defaults(fn=cmd_filter)
+
+    p = sub.add_parser("stream", help="incremental STI via the on-device ring")
+    p.add_argument("dataset")
+    p.add_argument("--out", default="stream.png")
+    p.add_argument("--channel", default=None)
+    p.add_argument("--subchannel", type=int, default=0)
+    p.add_argument("--nfft", type=int, default=1024)
+    p.add_argument("--nint", type=int, default=1)
+    p.add_argument("--mode", choices=["welch", "parity"], default="welch")
+    p.add_argument("--cols-per-block", type=int, default=8)
+    p.add_argument("--ring-len", type=int, default=512)
+    p.add_argument("--crange", type=float, nargs=2)
+    p.add_argument("--renderer", default="auto",
+                   choices=["auto", "matplotlib", "pixels"])
+    p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("synth", help="write a synthetic capture")
     p.add_argument("--out", required=True)

@@ -142,6 +142,26 @@ def filter_signal(
     return y[:, 0] + 1j * y[:, 1]
 
 
+def save_wav(path: str, x: np.ndarray, sample_rate: int,
+             mode: str = "real") -> str:
+    """Write a regenerated signal as a 16-bit WAV file — the reference's
+    audio-regeneration wishlist end product (README.md:17; the reference
+    descends from an audio spectrogram tool).
+
+    mode: "real" takes the real part (baseband audio), "mag" the
+    magnitude envelope. The signal is peak-normalized to 0.9 FS.
+    """
+    from scipy.io import wavfile
+
+    if not path.lower().endswith(".wav"):
+        path += ".wav"
+    y = np.real(x) if mode == "real" else np.abs(x)
+    peak = np.max(np.abs(y)) or 1.0
+    pcm = np.round(y / peak * 0.9 * 32767).astype(np.int16)
+    wavfile.write(path, int(sample_rate), pcm)
+    return path
+
+
 def regenerate_signal(
     spectra_packed: np.ndarray,
     nfft: int,

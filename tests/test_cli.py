@@ -72,3 +72,33 @@ def test_cli_rejects_bad_args(tmp_path, capsys):
     with pytest.raises(SystemExit):
         main(["filter", str(tmp_path), "--out", "x", "--kind", "nope",
               "--cutoff", "1"])
+
+
+def test_stream_command(tmp_path, capsys):
+    drf = tmp_path / "cap3"
+    _run(capsys, "synth", "--out", str(drf), "--kind", "tone",
+         "--n-samples", "65536", "--sample-rate", "1000000",
+         "--freqs", "-250000")
+    png = tmp_path / "s.png"
+    rc, res = _run(capsys, "stream", str(drf), "--out", str(png),
+                   "--nfft", "256", "--cols-per-block", "4",
+                   "--ring-len", "64", "--renderer", "pixels")
+    assert rc == 0 and png.exists()
+    assert res["columns"] == 65536 // 256
+    assert res["ring_columns"] == 64
+    assert abs(res["peak_dbfs"]) < 0.1  # full-scale tone
+
+
+def test_filter_wav_output(tmp_path, capsys):
+    drf = tmp_path / "cap4"
+    _run(capsys, "synth", "--out", str(drf), "--kind", "tone",
+         "--n-samples", "16384", "--sample-rate", "100000",
+         "--freqs", "5000")
+    rc, res = _run(capsys, "filter", str(drf), "--out", str(tmp_path / "f"),
+                   "--kind", "lowpass", "--cutoff", "20000",
+                   "--nfft", "256", "--wav", str(tmp_path / "audio"))
+    assert rc == 0 and res["wav"].endswith(".wav")
+    from scipy.io import wavfile
+
+    rate, data = wavfile.read(res["wav"])
+    assert rate == 100000 and len(data) > 15000

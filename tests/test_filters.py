@@ -93,3 +93,19 @@ def test_regenerate_with_mask_subset():
     np.testing.assert_allclose(
         y[sl], np.exp(2j * np.pi * 100e3 * t)[sl], atol=5e-3
     )
+
+
+def test_save_wav(tmp_path):
+    from scipy.io import wavfile
+
+    from pyspectrogram_tpu.ops.filters import save_wav
+
+    sr, n = 8000, 4000
+    t = np.arange(n) / sr
+    x = np.exp(2j * np.pi * 440 * t)
+    p = save_wav(str(tmp_path / "tone"), x, sr)
+    rate, data = wavfile.read(p)
+    assert rate == sr and data.dtype == np.int16 and len(data) == n
+    # 440 Hz must dominate the spectrum of the written audio
+    spec = np.abs(np.fft.rfft(data.astype(float)))
+    assert abs(np.fft.rfftfreq(n, 1 / sr)[np.argmax(spec)] - 440) < 2
