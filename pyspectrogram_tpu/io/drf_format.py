@@ -25,7 +25,7 @@ import datetime
 import re
 from fractions import Fraction
 from pathlib import Path
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -18,7 +18,7 @@ All device work happens on plane-packed real arrays at the boundary
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -26,7 +26,7 @@ Design choices (TPU-first, see SURVEY.md section 7):
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ import json
 import logging
 import os
 import time
-from typing import Optional
 
 
 class _JsonFormatter(logging.Formatter):
