@@ -69,16 +69,29 @@ def bench_sti(nfft=4096, nint=4, ntime=128, nsub=2, mode="welch",
     import jax.numpy as jnp
     from pyspectrogram_tpu.ops.stft import make_sti_fn_pm
 
-    fn = make_sti_fn_pm(nfft=nfft, nint=nint, mode=mode, fft_impl=fft_impl)
+    # inputs are packed frames at t*frame_len (like the pipeline produces)
+    fn = make_sti_fn_pm(nfft=nfft, nint=nint, mode=mode, fft_impl=fft_impl,
+                        contiguous=True)
     samples, starts = _make_inputs(nfft, nint, ntime, nsub)
     n_proc = nfft * nint * ntime * nsub  # samples consumed per step
 
     @jax.jit
     def run_k(samples, starts):
-        def body(i, acc):
-            out = fn(samples, starts + (i & 1))
-            return acc + out["sxx_med_dbfs"][0, 0]
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+        # the contiguous path ignores `starts`, so loop-dependence must ride
+        # the sample buffer itself: each iteration writes the previous
+        # result into one sample (in-place inside the loop carry), which
+        # makes every step's computation depend on the last — nothing can
+        # be hoisted or elided.
+        def body(i, carry):
+            acc, samples = carry
+            out = fn(samples, starts)
+            acc = acc + out["sxx_med_dbfs"][0, 0]
+            samples = jax.lax.dynamic_update_slice(
+                samples, (acc * 1e-30).reshape(1, 1), (0, 0))
+            return acc, samples
+        acc, _ = jax.lax.fori_loop(0, iters, body,
+                                   (jnp.float32(0), samples))
+        return acc
 
     overhead = _roundtrip_overhead_s()
     float(np.asarray(run_k(samples, starts)))  # warm/compile

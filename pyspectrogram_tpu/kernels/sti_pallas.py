@@ -105,6 +105,7 @@ def make_pallas_sti_psd(
     window: WindowSpec = ("kaiser", 1.7),
     ref: float = 1.0,
     interpret: bool = False,
+    contiguous: bool = False,
 ):
     """Build ``f(samples_pm, starts) -> linear power (ntime, nsub, nfft)``.
 
@@ -113,6 +114,12 @@ def make_pallas_sti_psd(
     Welch mode averages nint segment periodograms; parity computes only the
     first segment (the reference's verified truncation semantics,
     drfProc.py:387-396).
+
+    ``contiguous=True`` asserts that column t's frame begins at
+    t*nfft*nint (the layout the pipeline's frame assembly always produces):
+    the XLA gather disappears entirely — the kernel's input BlockSpec
+    slices the samples buffer directly, saving one full materialization of
+    the frames array per step. ``starts`` is then only validated, not used.
     """
     n1, n2 = lane_factors(nfft)
     nseg = nint if mode == "welch" else 1
@@ -148,8 +155,12 @@ def make_pallas_sti_psd(
 
             def seg_body(seg, _, sub=sub):
                 off = pl.multiple_of(seg * nfft, LANE)
-                xr = frames_ref[0, 2 * sub, pl.ds(off, nfft)]
-                xi = frames_ref[0, 2 * sub + 1, pl.ds(off, nfft)]
+                if contiguous:
+                    xr = frames_ref[2 * sub, pl.ds(off, nfft)]
+                    xi = frames_ref[2 * sub + 1, pl.ds(off, nfft)]
+                else:
+                    xr = frames_ref[0, 2 * sub, pl.ds(off, nfft)]
+                    xi = frames_ref[0, 2 * sub + 1, pl.ds(off, nfft)]
                 xr = xr.reshape(n1, n2) * win
                 xi = xi.reshape(n1, n2) * win
                 # stage 1: DFT along p (sublane/contraction dim)
@@ -175,14 +186,26 @@ def make_pallas_sti_psd(
 
     def build(ntime: int, nsub: int):
         flops_seg = 8 * 2 * (n1 * n1 * n2 + n1 * n2 * n2)
+        if contiguous:
+            # column t's samples live at [t*frame_len, ...): slice the
+            # buffer directly (block units: width gather_len, so frame_len
+            # offsets advance nint blocks per column in parity mode)
+            stride_blocks = (nfft * nint) // gather_len
+            frames_spec = pl.BlockSpec(
+                (nsub * 2, gather_len),
+                lambda t: (0, t * stride_blocks),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            frames_spec = pl.BlockSpec(
+                (1, nsub * 2, gather_len), lambda t: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
         return pl.pallas_call(
             functools.partial(kernel, nsub=nsub),
             grid=(ntime,),
-            in_specs=[
-                pl.BlockSpec((1, nsub * 2, gather_len),
-                             lambda t: (t, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+            in_specs=[frames_spec]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
             out_specs=pl.BlockSpec((1, nsub, n2, n1),
                                    lambda t: (t, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
@@ -206,6 +229,12 @@ def make_pallas_sti_psd(
                 f"pallas STI unsupported for nfft={nfft} nint={nint} "
                 f"nsub={nsub} mode={mode}"
             )
+        if contiguous:
+            if samples_pm.shape[1] < ntime * nfft * nint:
+                raise ValueError("buffer shorter than ntime contiguous frames")
+            out = build(ntime, nsub)(
+                samples_pm, *[jnp.asarray(c) for c in consts])
+            return out.reshape(ntime, nsub, nfft)
 
         def one_start(s):
             return jax.vmap(

@@ -165,6 +165,8 @@ class StiPipeline:
             fn = stft.make_sti_fn_pm(
                 nfft=cfg.nfft, nint=cfg.nint, mode=cfg.mode,
                 window=cfg.window, ref=ref, eps=cfg.eps,
+                contiguous=True,  # assemble_device_block packs frames at
+                                  # t*frame_len, so the kernel skips the gather
             )
             out = fn(jnp.asarray(samples_pm), jnp.asarray(starts_rel))
         # drop any time-axis padding the sharded path added

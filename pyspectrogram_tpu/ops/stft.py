@@ -253,6 +253,7 @@ def make_sti_fn_pm(
     eps: float = 1e-15,
     fft_impl: str = "auto",
     return_linear: bool = False,
+    contiguous: bool = False,
 ):
     """Plane-major STI factory — the production device entry point.
 
@@ -264,6 +265,11 @@ def make_sti_fn_pm(
     fft_impl: "pallas" (fused kernel), "xla", or "auto" — auto uses the
     fused Pallas kernel when the config supports it and a TPU is the
     default backend, else the XLA path.
+
+    ``contiguous=True`` declares that column t's frame starts at
+    t*nfft*nint in the buffer (true for every buffer the pipeline's frame
+    assembly produces) — the pallas path then slices the buffer directly
+    with no gather pass at all.
     """
     from pyspectrogram_tpu.kernels import sti_pallas
 
@@ -283,6 +289,7 @@ def make_sti_fn_pm(
         psd_fn = sti_pallas.make_pallas_sti_psd(
             nfft=nfft, nint=nint, mode=mode, window=window, ref=ref,
             interpret=jax.default_backend() != "tpu",
+            contiguous=contiguous,
         )
     else:
         win64 = get_window(window, nfft)

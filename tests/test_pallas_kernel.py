@@ -112,3 +112,23 @@ def test_pallas_supported_predicate():
     assert not pallas_supported(128)           # too small
     assert not pallas_supported(1 << 20)       # D1 too large
     assert not pallas_supported(65536, 64, 4)  # block exceeds VMEM budget
+
+
+@pytest.mark.parametrize("mode,nint", [("welch", 3), ("parity", 2)])
+def test_pallas_contiguous_matches_gathered(mode, nint):
+    """contiguous=True (BlockSpec-sliced input, no gather) must equal the
+    gathered path when frames really are packed at t*frame_len."""
+    nfft, ntime, nsub = 256, 5, 2
+    rng = np.random.default_rng(7)
+    nsamp = nfft * nint * ntime
+    packed = rng.standard_normal((nsamp, nsub, 2)).astype(np.float32)
+    starts = (np.arange(ntime) * nfft * nint).astype(np.int32)
+    pm = to_plane_major(packed)
+    a = make_pallas_sti_psd(nfft=nfft, nint=nint, mode=mode, interpret=True,
+                            contiguous=True)
+    b = make_pallas_sti_psd(nfft=nfft, nint=nint, mode=mode, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(a(jnp.asarray(pm), jnp.asarray(starts))),
+        np.asarray(b(jnp.asarray(pm), jnp.asarray(starts))),
+        rtol=1e-6,
+    )
