@@ -106,18 +106,6 @@ def packed_view(arr: np.ndarray) -> np.ndarray:
     return arr
 
 
-def unpacked_dtype(disk_dtype: np.dtype) -> np.dtype:
-    """In-memory dtype for an on-disk dtype (r/i compound -> complex)."""
-    disk_dtype = np.dtype(disk_dtype)
-    if disk_dtype.names is not None:
-        base = disk_dtype["r"]
-        if base.kind == "f":
-            return np.dtype(f"c{2 * base.itemsize}")
-        # complex integer: no native numpy type; caller unpacks fields.
-        return disk_dtype
-    return disk_dtype
-
-
 def storage_dtype_of(props: "ChannelProperties") -> np.dtype:
     """On-disk sample dtype described by channel properties."""
     base = np.dtype(f"{'f' if props.h5_class == H5T_FLOAT else 'i'}{props.h5_size}")
@@ -188,13 +176,6 @@ class ChannelProperties:
             sample, self.sample_rate_numerator, self.sample_rate_denominator
         )
         return ms - ms % self.file_cadence_millisecs
-
-    def subdir_start_s(self, sample: int) -> int:
-        ms = sample_to_millisecond(
-            sample, self.sample_rate_numerator, self.sample_rate_denominator
-        )
-        s = ms // 1000
-        return s - s % self.subdir_cadence_secs
 
     def file_first_sample(self, file_ms: int) -> int:
         return millisecond_to_sample_ceil(

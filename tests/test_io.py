@@ -183,3 +183,35 @@ def test_interop_with_upstream_digital_rf(tmp_path):
         np.asarray(rd.read_vector(lo, 1000, "chU")),
         ours.read_vector(lo, 1000, "chU").astype(np.complex64),
     )
+
+
+def test_awkward_rational_rate_roundtrip(tmp_path):
+    """File/subdir placement and bounds at a non-integer rational rate
+    (30 MHz / 13): every sample must land in exactly one file and read
+    back exactly, across file and subdir boundaries."""
+    num, den = 30_000_000, 13
+    sr = num / den  # ~2.3076923 MHz
+    start = int(1_451_661_840 * sr)  # non-aligned start
+    n = 50_000
+    rng = np.random.default_rng(9)
+    data = (rng.standard_normal((n, 1)) + 1j * rng.standard_normal((n, 1))
+            ).astype(np.complex64)
+    w = DigitalRFWriter(
+        tmp_path, "awk", np.complex64,
+        start_global_index=start,
+        sample_rate_numerator=num, sample_rate_denominator=den,
+        file_cadence_millisecs=5,   # ~11538.46 samples per file
+        subdir_cadence_secs=1,
+    )
+    # uneven chunks to cross many file boundaries mid-write
+    i = 0
+    for c in (7, 11_111, 23_456, n - 7 - 11_111 - 23_456):
+        w.rf_write(data[i : i + c])
+        i += c
+    r = DigitalRFReader(tmp_path)
+    assert r.get_bounds("awk") == (start, start + n - 1)
+    out = r.read_vector(start, n, "awk").astype(np.complex64)
+    np.testing.assert_array_equal(out, data)
+    # spot-read crossing a subdir boundary
+    out2 = r.read_vector(start + 20_000, 15_000, "awk").astype(np.complex64)
+    np.testing.assert_array_equal(out2, data[20_000:35_000])
