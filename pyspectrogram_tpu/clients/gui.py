@@ -279,6 +279,8 @@ if QtWidgets is not None:  # pragma: no cover - GUI classes need a display
             st.save_btn.clicked.connect(lambda: self.save_png(tab_id))
             st.sub_combo.currentIndexChanged.connect(
                 lambda i: self._set_subchan(tab_id, i))
+            st.chan_combo.currentTextChanged.connect(
+                lambda name: self._set_channel(tab_id, name))
             return w
 
         # --------------------------------------------------- processor
@@ -337,6 +339,23 @@ if QtWidgets is not None:  # pragma: no cover - GUI classes need a display
             st.subchan = max(0, i)
             if st.last is not None:
                 self._redraw(st)
+
+        def _set_channel(self, tab_id: int, name: str):
+            """Channel switch: repopulate subchannels and retarget the
+            processor (the reference repopulates combos on start only,
+            drfview.py:1186-1194; live switching is an improvement)."""
+            st = self.states[tab_id]
+            if not name or st.processor is None:
+                return
+            nsub = len(st.processor.ds.chan_2sub.get(name, []))
+            if nsub == 0:
+                return
+            st.sub_combo.blockSignals(True)
+            st.sub_combo.clear()
+            st.sub_combo.addItems([str(i) for i in range(nsub)])
+            st.sub_combo.blockSignals(False)
+            st.subchan = 0
+            st.processor.select_channel(name)
 
         # ----------------------------------------------------- settings
         def _config_from_widgets(self, st: TabState) -> SpectrogramConfig:
