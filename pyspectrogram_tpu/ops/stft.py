@@ -253,6 +253,7 @@ def make_sti_fn_pm(
     eps: float = 1e-15,
     fft_impl: str = "auto",
     return_linear: bool = False,
+    return_minmax: bool = False,
     contiguous: bool = False,
 ):
     """Plane-major STI factory — the production device entry point.
@@ -325,6 +326,11 @@ def make_sti_fn_pm(
             "sxx_dbfs": to_dbfs(p, eps),
             "sxx_med_dbfs": to_dbfs(p_med, eps),
         }
+        if return_minmax:
+            # min/median/max summary spectra — the capability of the
+            # reference's alternate proc_data path (drfProc.py:406-453)
+            out["sxx_min_dbfs"] = to_dbfs(p.min(axis=0), eps)
+            out["sxx_max_dbfs"] = to_dbfs(p.max(axis=0), eps)
         if return_linear:
             out["sxx"] = p
             out["sxx_med"] = p_med

@@ -132,3 +132,20 @@ def test_pallas_contiguous_matches_gathered(mode, nint):
         np.asarray(b(jnp.asarray(pm), jnp.asarray(starts))),
         rtol=1e-6,
     )
+
+
+def test_make_sti_fn_pm_minmax_summary():
+    rng = np.random.default_rng(8)
+    nfft, ntime = 128, 6
+    pm = rng.standard_normal((2, nfft * ntime)).astype(np.float32)
+    starts = (np.arange(ntime) * nfft).astype(np.int32)
+    out = stft.make_sti_fn_pm(nfft=nfft, fft_impl="xla", return_minmax=True,
+                              return_linear=True)(
+        jnp.asarray(pm), jnp.asarray(starts))
+    p = np.asarray(out["sxx"])
+    np.testing.assert_allclose(
+        np.asarray(out["sxx_min_dbfs"]),
+        10 * np.log10(p.min(axis=0) + 1e-15), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out["sxx_max_dbfs"]),
+        10 * np.log10(p.max(axis=0) + 1e-15), rtol=1e-6)
