@@ -161,8 +161,10 @@ def make_pallas_sti_psd(
                 else:
                     xr = frames_ref[0, 2 * sub, pl.ds(off, nfft)]
                     xi = frames_ref[0, 2 * sub + 1, pl.ds(off, nfft)]
-                xr = xr.reshape(n1, n2) * win
-                xi = xi.reshape(n1, n2) * win
+                # raw integer planes widen here, per VMEM block — the
+                # HBM-side buffer stays at half the bytes
+                xr = xr.astype(jnp.float32).reshape(n1, n2) * win
+                xi = xi.astype(jnp.float32).reshape(n1, n2) * win
                 # stage 1: DFT along p (sublane/contraction dim)
                 yr = dot(d1r, xr) - dot(d1i, xi)
                 yi = dot(d1r, xi) + dot(d1i, xr)

@@ -316,9 +316,11 @@ def make_sti_fn_pm(
 
     @jax.jit
     def sti_fn(samples_pm: jax.Array, starts: jax.Array) -> dict:
-        if samples_pm.dtype != jnp.float32:
-            # raw integer planes ship over PCIe at half the bytes and are
-            # widened once on device; normalization rides the power scale
+        if samples_pm.dtype != jnp.float32 and not (use_pallas and contiguous):
+            # raw integer planes ship over PCIe at half the bytes; the
+            # gathered/XLA paths widen once on device (normalization rides
+            # the power scale), the contiguous pallas kernel widens per
+            # VMEM block with no extra HBM pass at all
             samples_pm = samples_pm.astype(jnp.float32)
         p = psd_fn(samples_pm, starts)            # (ntime, nsub, nfft) linear
         p_med = median_over_time(p)

@@ -149,3 +149,22 @@ def test_make_sti_fn_pm_minmax_summary():
     np.testing.assert_allclose(
         np.asarray(out["sxx_max_dbfs"]),
         10 * np.log10(p.max(axis=0) + 1e-15), rtol=1e-6)
+
+
+def test_pallas_contiguous_int16_input():
+    """Raw int16 planes feed the contiguous kernel directly (widened per
+    VMEM block), matching the widen-then-XLA result."""
+    rng = np.random.default_rng(9)
+    nfft, nint, ntime = 256, 2, 6
+    pm16 = rng.integers(-2 ** 14, 2 ** 14,
+                        (4, nfft * nint * ntime)).astype(np.int16)
+    starts = (np.arange(ntime) * nfft * nint).astype(np.int32)
+    ref = 2.0 ** 15.5
+    a = stft.make_sti_fn_pm(nfft=nfft, nint=nint, ref=ref,
+                            fft_impl="pallas", contiguous=True)(
+        jnp.asarray(pm16), jnp.asarray(starts))
+    b = stft.make_sti_fn_pm(nfft=nfft, nint=nint, ref=ref, fft_impl="xla",
+                            contiguous=True)(
+        jnp.asarray(pm16.astype(np.float32)), jnp.asarray(starts))
+    np.testing.assert_allclose(np.asarray(a["sxx_dbfs"]),
+                               np.asarray(b["sxx_dbfs"]), atol=1e-3)
