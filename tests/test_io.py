@@ -215,3 +215,48 @@ def test_awkward_rational_rate_roundtrip(tmp_path):
     # spot-read crossing a subdir boundary
     out2 = r.read_vector(start + 20_000, 15_000, "awk").astype(np.complex64)
     np.testing.assert_array_equal(out2, data[20_000:35_000])
+
+
+def test_gap_spanning_file_boundaries(tmp_path):
+    """A skip() that crosses several file windows: files in the gap must
+    not exist, bounds stay correct, reads zero-fill exactly the gap."""
+    sr = 100_000
+    start = 1_451_661_840 * sr
+    w = DigitalRFWriter(
+        tmp_path, "chS", np.complex64, start_global_index=start,
+        sample_rate_numerator=sr, file_cadence_millisecs=10,  # 1000/file
+        subdir_cadence_secs=1,
+    )
+    rng = np.random.default_rng(3)
+    a = (rng.standard_normal((1500, 1)) + 1j * rng.standard_normal((1500, 1))
+         ).astype(np.complex64)
+    b = (rng.standard_normal((1500, 1)) + 1j * rng.standard_normal((1500, 1))
+         ).astype(np.complex64)
+    w.rf_write(a)
+    w.skip(5_000)  # spans 5 whole file windows
+    w.rf_write(b)
+
+    r = DigitalRFReader(tmp_path)
+    assert r.get_bounds("chS") == (start, start + 8_000 - 1)
+    dense, mask = r.read_vector_raw(start, 8_000, "chS", return_mask=True)
+    assert mask[:1500].all() and not mask[1500:6500].any() and mask[6500:].all()
+    out = r.read_vector(start, 8_000, "chS").astype(np.complex64)
+    np.testing.assert_array_equal(out[:1500], a)
+    np.testing.assert_array_equal(out[6500:], b)
+    assert np.all(out[1500:6500] == 0)
+    runs = r.read(start, 8_000, "chS")
+    assert list(runs) == [start, start + 6_500]
+    assert len(runs[start]) == 1500 and len(runs[start + 6_500]) == 1500
+
+
+def test_rf_write_with_explicit_jump_index(tmp_path):
+    w = DigitalRFWriter(tmp_path, "chJ", np.complex64,
+                        start_global_index=1000, sample_rate_numerator=1000)
+    w.rf_write(np.ones(100, np.complex64))
+    w.rf_write(np.full(50, 2 + 0j, np.complex64), global_index=1500)
+    with pytest.raises(Exception):
+        w.rf_write(np.ones(10, np.complex64), global_index=1400)  # backwards
+    r = DigitalRFReader(tmp_path)
+    assert r.get_bounds("chJ") == (1000, 1549)
+    runs = r.read(1000, 600, "chJ")
+    assert list(runs) == [1000, 1500]

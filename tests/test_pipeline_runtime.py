@@ -202,3 +202,40 @@ def test_pipeline_with_mesh_matches_single_device(tone_capture):
     assert got.sxx_dbfs.shape == want.sxx_dbfs.shape == (128, 13, 2)
     np.testing.assert_allclose(got.sxx_dbfs, want.sxx_dbfs, atol=2e-3)
     np.testing.assert_allclose(got.sxx_med_dbfs, want.sxx_med_dbfs, atol=2e-3)
+
+
+def test_processor_settings_hammer_threadsafe(tone_capture):
+    """Concurrent settings updates from another thread must never corrupt
+    a running loop — every emitted result is internally consistent with
+    SOME config snapshot (the reference has a data race here;
+    drfview.py:933-940 vs drfProc.py:335-341)."""
+    import threading
+
+    top, _ = tone_capture
+    results = []
+    cb = ProcessorCallbacks(
+        on_iterated=lambda e: results.append(
+            (e.sxx_dbfs.shape[0], e.sxx_dbfs.shape[1])))
+    proc = SpectrogramProcessor(
+        "written", top, tab_id=9, config=SpectrogramConfig(nfft=64, ntime=4),
+        callbacks=cb, written_sleep=0.0, max_iterations=12,
+    )
+    stop = threading.Event()
+
+    def hammer():
+        sizes = [(64, 4), (128, 5), (256, 6)]
+        i = 0
+        while not stop.is_set():
+            nfft, ntime = sizes[i % 3]
+            proc.update_settings(nfft=nfft, ntime=ntime)
+            i += 1
+
+    t = threading.Thread(target=hammer, daemon=True)
+    t.start()
+    proc.run()
+    stop.set()
+    t.join(5)
+    assert len(results) == 12
+    # every result must be one of the coherent (nfft, ntime) pairs —
+    # never a torn combination like (128, 6)
+    assert set(results) <= {(64, 4), (128, 5), (256, 6)}
