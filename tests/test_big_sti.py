@@ -1,0 +1,63 @@
+"""Distributed-FFT STI (giant nfft) vs the single-device path, CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pyspectrogram_tpu.ops import stft
+from pyspectrogram_tpu.parallel import make_mesh
+from pyspectrogram_tpu.parallel.big_sti import (
+    frames_to_x2,
+    make_bigfft_sti_fn,
+    to_freq_order,
+)
+
+
+@pytest.mark.parametrize("mode,nint", [("welch", 2), ("parity", 1)])
+def test_bigfft_sti_matches_single_device(mode, nint):
+    nfft, ntime, nsub = 1 << 12, 4, 2
+    nseg = nint if mode == "welch" else 1
+    frame_len = nfft * nint
+    rng = np.random.default_rng(0)
+    packed = rng.standard_normal((frame_len * ntime, nsub, 2)).astype(np.float32)
+    starts = (np.arange(ntime) * frame_len).astype(np.int32)
+
+    want = stft.make_sti_fn(nfft=nfft, nint=nint, mode=mode)(
+        jnp.asarray(packed), jnp.asarray(starts))
+
+    mesh = make_mesh(time_parallel=8, chan_parallel=1)
+    fn = make_bigfft_sti_fn(mesh, "time", nfft=nfft, nint=nint, mode=mode)
+    n1, n2 = fn.n1n2
+
+    # assemble (ntime, nsub, 2, nseg*nfft) column frames (gather_len only)
+    gather_len = nfft * nseg
+    frames_pm = np.empty((ntime, nsub, 2, gather_len), np.float32)
+    for t in range(ntime):
+        for s in range(nsub):
+            frames_pm[t, s, 0] = packed[t * frame_len : t * frame_len + gather_len, s, 0]
+            frames_pm[t, s, 1] = packed[t * frame_len : t * frame_len + gather_len, s, 1]
+    x2 = jax.device_put(
+        jnp.asarray(frames_to_x2(frames_pm, nfft, nseg, n1, n2)),
+        fn.input_sharding)
+
+    out = fn(x2)
+    got_sxx = to_freq_order(out["sxx_dbfs"])
+    got_med = to_freq_order(out["sxx_med_dbfs"])
+    assert out["sxx_dbfs"].sharding.spec == jax.sharding.PartitionSpec(
+        None, None, "time")
+    np.testing.assert_allclose(got_sxx, np.asarray(want["sxx_dbfs"]),
+                               atol=2e-2)
+    np.testing.assert_allclose(got_med, np.asarray(want["sxx_med_dbfs"]),
+                               atol=2e-2)
+
+
+def test_to_freq_order_roundtrip():
+    a = np.arange(24.0).reshape(2, 3, 4)  # (batch, n1, n2)
+    out = to_freq_order(a)
+    assert out.shape == (2, 12)
+    # X[n1*k2 + k1] = Xm[k1, k2]
+    for k1 in range(3):
+        for k2 in range(4):
+            assert out[0, 3 * k2 + k1] == a[0, k1, k2]
