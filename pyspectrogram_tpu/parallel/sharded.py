@@ -40,6 +40,7 @@ def make_sharded_sti_fn(
     window: WindowSpec = ("kaiser", 1.7),
     ref: float = 1.0,
     eps: float = 1e-15,
+    fft_impl: str = "auto",
 ):
     """Jitted multi-device STI.
 
@@ -53,12 +54,30 @@ def make_sharded_sti_fn(
     Returns {"sxx_dbfs": (ntime_padded, nsub, nfft) sharded (time, chan),
              "sxx_med_dbfs": (nsub, nfft) sharded (chan,)}.
     """
+    from pyspectrogram_tpu.kernels import sti_pallas
+
+    if fft_impl == "auto":
+        use_pallas = (
+            sti_pallas.pallas_auto_profitable(nfft, nint, mode=mode)
+            and jax.default_backend() == "tpu"
+        )
+    else:
+        use_pallas = fft_impl == "pallas"
+    if use_pallas:
+        # fused kernel per shard (each device runs it on its column block)
+        pallas_psd = sti_pallas.make_pallas_sti_psd(
+            nfft=nfft, nint=nint, mode=mode, window=window, ref=ref,
+            interpret=jax.default_backend() != "tpu",
+        )
+
     win64 = get_window(window, nfft)
     inv_scale = 1.0 / (float(win64.sum()) ** 2 * float(ref) ** 2)
     win = jnp.asarray(win64.astype(np.float32))
     frame_len = nfft * nint if mode == "welch" else nfft
 
     def local_sti(samples_pm, starts):
+        if use_pallas:
+            return pallas_psd(samples_pm, starts)
         def one_start(s):
             return jax.vmap(
                 lambda row: jax.lax.dynamic_slice(row, (s,), (frame_len,))

@@ -109,3 +109,22 @@ def test_sharded_accepts_device_sharded_inputs():
     np.testing.assert_allclose(
         np.asarray(out["sxx_dbfs"]), np.asarray(want["sxx_dbfs"]), atol=2e-3
     )
+
+
+def test_sharded_pallas_impl_matches_xla():
+    """Fused kernel inside shard_map (interpret mode on the CPU mesh)."""
+    nfft, ntime, nsub = 256, 16, 2
+    nsamp = nfft * ntime
+    packed, pm = _buffer(nsamp, nsub, seed=6)
+    starts = (np.arange(ntime) * nfft).astype(np.int32)
+    mesh = make_mesh(time_parallel=8, chan_parallel=1)
+    a = make_sharded_sti_fn(mesh, nfft=nfft, ntime_valid=ntime,
+                            fft_impl="pallas")
+    b = make_sharded_sti_fn(mesh, nfft=nfft, ntime_valid=ntime,
+                            fft_impl="xla")
+    out_a = a(jnp.asarray(pm), jnp.asarray(starts))
+    out_b = b(jnp.asarray(pm), jnp.asarray(starts))
+    np.testing.assert_allclose(np.asarray(out_a["sxx_dbfs"]),
+                               np.asarray(out_b["sxx_dbfs"]), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out_a["sxx_med_dbfs"]),
+                               np.asarray(out_b["sxx_med_dbfs"]), atol=1e-3)
