@@ -152,7 +152,7 @@ def main():
     ap.add_argument("--nint", type=int, default=4)
     ap.add_argument("--ntime", type=int, default=128)
     ap.add_argument("--nsub", type=int, default=2)
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas"])
     args = ap.parse_args()
 

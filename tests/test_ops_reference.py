@@ -118,3 +118,25 @@ def test_spectrogram_proc_matches_scipy_spectrogram():
     np.testing.assert_allclose(t, t_s, rtol=1e-12)
     np.testing.assert_allclose(sxx, np.fft.fftshift(sxx_s, axes=0), rtol=1e-10)
     np.testing.assert_allclose(med, np.median(np.fft.fftshift(sxx_s, axes=0), axis=-1))
+
+
+def test_spectrogram_proc_time_integration():
+    """integration_dt averages dt-sized chunks of segments (the reference
+    proc_data's n_int mean, drfProc.py:439-445)."""
+    rng = np.random.default_rng(4)
+    sr, nfft = 1e4, 64
+    x = rng.standard_normal(nfft * 12) + 1j * rng.standard_normal(nfft * 12)
+    t_full, f, sxx_full, *_ = ref.spectrogram_proc(x, sr, nfft)
+    # 3.5 segments worth of time -> n_int truncates to 3 (int(dt/seg_dt),
+    # the same truncation the reference's proc_data applies,
+    # drfProc.py:439; an exact 3.0 would be float-fragile: 2.999.. -> 2)
+    dt = 3.5 * nfft / sr
+    t, f2, sxx, med, mn, mx = ref.spectrogram_proc(x, sr, nfft,
+                                                   integration_dt=dt)
+    assert sxx.shape == (nfft, 3)  # 12 segs -> 3 full 3-seg chunks (+rest)
+    np.testing.assert_allclose(sxx[:, 0], sxx_full[:, :3].mean(axis=1),
+                               rtol=1e-12)
+    np.testing.assert_allclose(t, t_full[[0, 3, 6]], rtol=1e-12)
+    np.testing.assert_allclose(med, np.median(sxx, axis=-1))
+    np.testing.assert_allclose(mn, sxx.min(axis=-1))
+    np.testing.assert_allclose(mx, sxx.max(axis=-1))
