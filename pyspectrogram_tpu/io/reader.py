@@ -27,7 +27,10 @@ from typing import Dict, List, Optional, Tuple, Union
 import numpy as np
 
 from pyspectrogram_tpu.io import drf_format as fmt
-from pyspectrogram_tpu.utils.errors import ChannelNotFoundError, FormatError
+from pyspectrogram_tpu.utils.errors import (
+    ChannelNotFoundError,
+    FormatError,
+)
 
 
 class DigitalRFReader:
@@ -64,16 +67,28 @@ class DigitalRFReader:
         (reference: drfProc.py:80-87)."""
         import h5py
 
-        props = self._channel_props(channel)
         files = fmt.list_data_files(self.top_dir / channel)
         if not files:
             raise FormatError(f"channel {channel} has no data files")
-        with h5py.File(files[0][1], "r") as f:
-            first = int(f["rf_data_index"][0, 0])
-        with h5py.File(files[-1][1], "r") as f:
-            idx = f["rf_data_index"][...]
-            nrows = f["rf_data"].shape[0]
-            last = int(idx[-1, 0]) + (nrows - int(idx[-1, 1])) - 1
+        # A live writer creates a file before its first index row lands
+        # (reference scenario: readers chase a growing capture,
+        # drfProc.py:169-179) — skip not-yet-populated files at either end.
+        first = last = None
+        for _, path in files:
+            with h5py.File(path, "r") as f:
+                idx = f["rf_data_index"]
+                if idx.shape[0]:
+                    first = int(idx[0, 0])
+                    break
+        for _, path in reversed(files):
+            with h5py.File(path, "r") as f:
+                idx = f["rf_data_index"][...]
+                nrows = f["rf_data"].shape[0]
+                if len(idx):
+                    last = int(idx[-1, 0]) + (nrows - int(idx[-1, 1])) - 1
+                    break
+        if first is None or last is None:
+            raise FormatError(f"channel {channel} has no written samples yet")
         return first, last
 
     # ---- reads ---------------------------------------------------------
@@ -262,9 +277,17 @@ class RFDataset:
 
     def bnds_update(self) -> None:
         """Refresh bounds so reads chase a growing dataset
-        (reference: drfProc.py:169-179)."""
+        (reference: drfProc.py:169-179).
+
+        A concurrent writer can leave a file transiently unreadable
+        (created but unpopulated, or mid-append); such a refresh keeps the
+        previous bounds instead of failing the processing loop.
+        """
         for chan in self.chan_2sub:
-            bnds = self.reader.get_bounds(chan)
+            try:
+                bnds = self.reader.get_bounds(chan)
+            except (OSError, KeyError, FormatError):
+                continue
             sr = self.sr_dict[chan]
             self.bnds[chan] = bnds
             self.time_bnds = (
