@@ -96,6 +96,8 @@ class StreamingSti:
         win64 = get_window(window, nfft)
         self._win = jnp.asarray(win64.astype(np.float32))
         self._inv_scale = 1.0 / (float(win64.sum()) ** 2 * float(ref) ** 2)
+        self._window = window
+        self._ref = float(ref)
         self._push = self._build_push()
 
     def init_state(self) -> StreamState:
@@ -113,10 +115,35 @@ class StreamingSti:
         mode, eps = self.mode, self.eps
         win, inv_scale = self._win, self._inv_scale
 
+        # non-overlapping columns on TPU: the block IS contiguous frames,
+        # so the fused Pallas kernel consumes it directly
+        from pyspectrogram_tpu.kernels import sti_pallas
+
+        use_pallas = (
+            hop == frame_len
+            and sti_pallas.pallas_auto_profitable(nfft, nint, mode=mode)
+            and jax.default_backend() == "tpu"
+        )
+        if use_pallas:
+            pallas_psd = sti_pallas.make_pallas_sti_psd(
+                nfft=nfft, nint=nint, mode=mode, window=self._window,
+                ref=self._ref, contiguous=True,
+            )
+
         @jax.jit
         def push(state: StreamState, block: jax.Array):
             buf = jnp.concatenate([state.carry, block.astype(jnp.float32)],
                                   axis=1)               # (nsub*2, carry+blk)
+            if use_pallas:
+                # linear fftshifted power straight from the fused kernel
+                cols = pallas_psd(buf,
+                                  jnp.arange(k, dtype=jnp.int32) * hop)
+                new_state = StreamState(
+                    carry=buf[:, buf.shape[1] - (frame_len - hop):],
+                    ring=jnp.concatenate([state.ring[k:], cols], axis=0),
+                    total_cols=state.total_cols + k,
+                )
+                return new_state, to_dbfs(cols, eps)
             starts = jnp.arange(k, dtype=jnp.int32) * hop
 
             def one_start(s):

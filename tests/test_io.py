@@ -260,3 +260,23 @@ def test_rf_write_with_explicit_jump_index(tmp_path):
     assert r.get_bounds("chJ") == (1000, 1549)
     runs = r.read(1000, 600, "chJ")
     assert list(runs) == [1000, 1500]
+
+
+def test_multi_channel_dataset_and_entry_selection(tmp_path):
+    """Two channels at different rates: per-channel state, union time
+    bounds, and chan:sub entry reads (reference: drfProc.py:74-92)."""
+    write_capture(tmp_path, channel="a0", n_samples=10_000,
+                  sample_rate_numerator=100_000, num_subchannels=2)
+    write_capture(tmp_path, channel="b1", n_samples=30_000,
+                  sample_rate_numerator=200_000, num_subchannels=1,
+                  start_global_index=200_000 * 1_451_661_900)
+    ds = RFDataset(tmp_path)
+    assert ds.channels == ["a0", "b1"]
+    assert sorted(ds.chan_entries) == ["a0:0", "a0:1", "b1:0"]
+    assert ds.sr_dict["a0"] == Fraction(100_000)
+    assert ds.sr_dict["b1"] == Fraction(200_000)
+    t0, t1 = ds.time_bnds
+    assert t0 == ds.bnds["a0"][0] / 100_000      # earliest channel start
+    assert t1 == ds.bnds["b1"][1] / 200_000      # latest channel end
+    x = ds.read(ds.bnds["a0"][0], 100, "a0:1")
+    assert x.shape == (100,)
