@@ -203,8 +203,12 @@ def cmd_synth(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    import bench as bench_mod  # repo-root harness when run from checkout
-
+    try:
+        import bench as bench_mod  # repo-root harness (checkout only)
+    except ImportError:
+        print(json.dumps({"error": "bench harness requires a repo checkout "
+                                   "(bench.py on sys.path)"}))
+        return 1
     sps, p50, p99 = bench_mod.bench_sti(nfft=args.nfft, nint=args.nint,
                                         ntime=args.ntime, iters=args.iters)
     print(json.dumps({"samples_per_sec": sps, "p50_s": p50, "p99_s": p99}))

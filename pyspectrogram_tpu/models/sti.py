@@ -119,10 +119,9 @@ class StiPipeline:
     """
 
     def __init__(self, dataset: RFDataset, config: SpectrogramConfig,
-                 use_device: bool = True, mesh=None):
+                 mesh=None):
         self.ds = dataset
         self.config = config
-        self.use_device = use_device
         self.mesh = mesh
         self._iteration = -1
 
