@@ -280,3 +280,41 @@ def test_multi_channel_dataset_and_entry_selection(tmp_path):
     assert t1 == ds.bnds["b1"][1] / 200_000      # latest channel end
     x = ds.read(ds.bnds["a0"][0], 100, "a0:1")
     assert x.shape == (100,)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_randomized_roundtrip_sweep(tmp_path, seed):
+    """Randomized cadences, rates, chunk splits, and read offsets: the
+    write->read round trip must be exact for any legal configuration."""
+    rng = np.random.default_rng(seed)
+    num = int(rng.choice([48_000, 100_000, 30_000_000]))
+    den = int(rng.choice([1, 7, 13])) if num == 30_000_000 else 1
+    fcms = int(rng.choice([5, 40, 250, 1000]))
+    sub_s = int(rng.choice([1, 2]))
+    if sub_s * 1000 % fcms:
+        fcms = 250
+    nsub = int(rng.integers(1, 4))
+    n = int(rng.integers(5_000, 40_000))
+    start = int(rng.integers(10 ** 12, 10 ** 13))
+    data = (rng.standard_normal((n, nsub)) + 1j * rng.standard_normal((n, nsub))
+            ).astype(np.complex64)
+    w = DigitalRFWriter(
+        tmp_path / f"t{seed}", "ch", np.complex64,
+        start_global_index=start,
+        sample_rate_numerator=num, sample_rate_denominator=den,
+        subdir_cadence_secs=sub_s, file_cadence_millisecs=fcms,
+        num_subchannels=nsub,
+    )
+    i = 0
+    while i < n:
+        c = int(min(n - i, rng.integers(1, 9000)))
+        w.rf_write(data[i : i + c])
+        i += c
+    r = DigitalRFReader(tmp_path / f"t{seed}")
+    assert r.get_bounds("ch") == (start, start + n - 1)
+    out = r.read_vector(start, n, "ch").astype(np.complex64)
+    np.testing.assert_array_equal(out, data)
+    off = int(rng.integers(0, n // 2))
+    ln = int(rng.integers(1, n - off))
+    out2 = r.read_vector(start + off, ln, "ch").astype(np.complex64)
+    np.testing.assert_array_equal(out2, data[off : off + ln])
