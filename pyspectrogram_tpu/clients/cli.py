@@ -72,6 +72,13 @@ def cmd_sti(args) -> int:
     ds = RFDataset(args.dataset)
     cfg = _config_from(args)
     res = StiPipeline(ds, cfg).compute()
+    if args.save_session:
+        from pyspectrogram_tpu.runtime import checkpoint
+
+        checkpoint.save_session(
+            args.save_session, args.dataset, cfg,
+            sample_bounds=(int(res.frame_starts[0]),
+                           int(res.frame_starts[-1])))
     sub = args.subchannel
     out = save_sti_png(
         args.out, res.freqs, res.times, res.sxx_dbfs[..., sub],
@@ -88,6 +95,33 @@ def cmd_sti(args) -> int:
         "png": out, "shape": list(res.sxx_dbfs.shape),
         "peak_dbfs": float(res.sxx_med_dbfs[..., sub].max()),
         "p50_column_db": float(np.median(res.sxx_dbfs[..., sub])),
+    }))
+    return 0
+
+
+def cmd_resume(args) -> int:
+    """Re-run a saved session exactly (dataset + full request tuple;
+    SURVEY.md section 5 checkpoint/resume: any STI is reproducible from
+    its request because samples are absolutely indexed)."""
+    from pyspectrogram_tpu.display import save_sti_png
+    from pyspectrogram_tpu.io import RFDataset
+    from pyspectrogram_tpu.models import StiPipeline
+    from pyspectrogram_tpu.runtime import checkpoint
+
+    sess = checkpoint.load_session(args.session)
+    ds = RFDataset(args.dataset or sess["dataset_dir"])
+    cfg = sess["config"]
+    res = StiPipeline(ds, cfg).compute()
+    out = save_sti_png(
+        args.out, res.freqs, res.times, res.sxx_dbfs[..., args.subchannel],
+        colorrange=cfg.color_range_db, freqrange_khz=cfg.freq_window_khz,
+        renderer=args.renderer,
+    )
+    print(json.dumps({
+        "png": out, "shape": list(res.sxx_dbfs.shape),
+        "config": {"nfft": cfg.nfft, "nint": cfg.nint, "ntime": cfg.ntime,
+                   "mode": cfg.mode},
+        "frame_start0": int(res.frame_starts[0]),
     }))
     return 0
 
@@ -246,8 +280,20 @@ def main(argv=None) -> int:
     p.add_argument("--npz", default=None, help="also dump arrays to .npz")
     p.add_argument("--renderer", default="auto",
                    choices=["auto", "matplotlib", "pixels"])
+    p.add_argument("--save-session", default=None,
+                   help="persist the request tuple for exact resume")
     _add_common(p)
     p.set_defaults(fn=cmd_sti)
+
+    p = sub.add_parser("resume", help="re-run a saved session exactly")
+    p.add_argument("session")
+    p.add_argument("--dataset", default=None,
+                   help="override the saved dataset path")
+    p.add_argument("--out", default="resumed.png")
+    p.add_argument("--subchannel", type=int, default=0)
+    p.add_argument("--renderer", default="auto",
+                   choices=["auto", "matplotlib", "pixels"])
+    p.set_defaults(fn=cmd_resume)
 
     p = sub.add_parser("psd", help="save the median PSD as CSV")
     p.add_argument("dataset")

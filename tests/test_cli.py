@@ -102,3 +102,23 @@ def test_filter_wav_output(tmp_path, capsys):
 
     rate, data = wavfile.read(res["wav"])
     assert rate == 100000 and len(data) > 15000
+
+
+def test_session_save_and_resume(tmp_path, capsys):
+    drf = tmp_path / "cap5"
+    _run(capsys, "synth", "--out", str(drf), "--kind", "tone",
+         "--n-samples", "32768", "--sample-rate", "1000000",
+         "--freqs", "100000")
+    sess = tmp_path / "sess.npz"
+    rc, a = _run(capsys, "sti", str(drf), "--out", str(tmp_path / "a.png"),
+                 "--nfft", "512", "--ntime", "10", "--renderer", "pixels",
+                 "--save-session", str(sess))
+    assert rc == 0 and sess.exists()
+    rc, b = _run(capsys, "resume", str(sess), "--out",
+                 str(tmp_path / "b.png"), "--renderer", "pixels")
+    assert rc == 0
+    assert b["config"] == {"nfft": 512, "nint": 1, "ntime": 10,
+                           "mode": "welch"}
+    assert b["shape"] == a["shape"]
+    # exact resume: identical request -> identical frame placement
+    assert (tmp_path / "b.png").exists()
