@@ -221,6 +221,59 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_watch(args) -> int:
+    """Live viewer, headless: run the streaming processor loop against a
+    (possibly growing) capture, printing one status line per refresh and
+    saving the final waterfall (the reference GUI's live mode without Qt;
+    reference: drfProc.py:239-241, 291-293)."""
+    import sys as _sys
+
+    from pyspectrogram_tpu.display import save_sti_png
+    from pyspectrogram_tpu.runtime import (
+        ProcessorCallbacks,
+        SpectrogramProcessor,
+    )
+
+    last = {}
+
+    def on_iter(e):
+        peak = float(e.sxx_med_dbfs[:, args.subchannel].max())
+        print(f"# iter {e.i}: {e.sxx_dbfs.shape[1]} cols, "
+              f"peak {peak:6.1f} dBFS, "
+              f"span {e.times[0].time()} .. {e.times[-1].time()}",
+              file=_sys.stderr)
+        last["e"] = e
+
+    cfg = _config_from(args).replace(stream_seconds=args.window_s)
+    proc = SpectrogramProcessor(
+        "streaming", args.dataset, tab_id=0, config=cfg,
+        callbacks=ProcessorCallbacks(on_iterated=on_iter),
+        streaming_sleep=args.refresh_s,
+        max_iterations=args.iterations,
+    )
+    if not proc.is_running:
+        print(json.dumps({"error": proc.reason.describe()}))
+        return 1
+    try:
+        proc.run()
+    except KeyboardInterrupt:
+        proc.abort()
+    e = last.get("e")
+    if e is None:
+        print(json.dumps({"error": "no iterations completed"}))
+        return 1
+    out = save_sti_png(
+        args.out, e.freqs, e.times, e.sxx_dbfs[..., args.subchannel],
+        colorrange=cfg.color_range_db, freqrange_khz=cfg.freq_window_khz,
+        renderer=args.renderer,
+    )
+    print(json.dumps({
+        "png": out, "iterations": e.i + 1,
+        "latency": proc.latency_stats(),
+    }))
+    return 0
+
+
 def cmd_synth(args) -> int:
     from pyspectrogram_tpu.io.synthetic import write_capture
 
@@ -329,6 +382,19 @@ def main(argv=None) -> int:
     p.add_argument("--renderer", default="auto",
                    choices=["auto", "matplotlib", "pixels"])
     p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("watch", help="live streaming viewer (headless)")
+    p.add_argument("dataset")
+    p.add_argument("--out", default="watch.png")
+    p.add_argument("--window-s", type=float, default=30.0,
+                   help="trailing window span (reference streamtime)")
+    p.add_argument("--refresh-s", type=float, default=0.08)
+    p.add_argument("--iterations", type=int, default=None,
+                   help="stop after N refreshes (default: run until Ctrl-C)")
+    _add_common(p)
+    p.add_argument("--renderer", default="auto",
+                   choices=["auto", "matplotlib", "pixels"])
+    p.set_defaults(fn=cmd_watch)
 
     p = sub.add_parser("synth", help="write a synthetic capture")
     p.add_argument("--out", required=True)

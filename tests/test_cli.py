@@ -122,3 +122,18 @@ def test_session_save_and_resume(tmp_path, capsys):
     assert b["shape"] == a["shape"]
     # exact resume: identical request -> identical frame placement
     assert (tmp_path / "b.png").exists()
+
+
+def test_watch_command(tmp_path, capsys):
+    drf = tmp_path / "cap6"
+    _run(capsys, "synth", "--out", str(drf), "--kind", "tone",
+         "--n-samples", "131072", "--sample-rate", "1000000",
+         "--freqs", "50000")
+    png = tmp_path / "watch.png"
+    rc, res = _run(capsys, "watch", str(drf), "--out", str(png),
+                   "--nfft", "256", "--ntime", "8", "--window-s", "0.05",
+                   "--refresh-s", "0.0", "--iterations", "3",
+                   "--renderer", "pixels")
+    assert rc == 0 and png.exists()
+    assert res["iterations"] == 3
+    assert res["latency"]["n"] == 3
