@@ -6,9 +6,14 @@ the GUI through the same SpectrogramConfig/StiPipeline surface.
 
 Subcommands:
   info    — channels, subchannels, rates, bounds of a Digital RF dataset
-  sti     — compute an STI and save a waterfall PNG (and optional .npz)
+  sti     — compute an STI and save a waterfall PNG (and optional .npz);
+            --save-session persists the request tuple
+  resume  — re-run a saved session exactly
   psd     — compute the median PSD and save CSV
+  stream  — one pass of incremental streaming through the on-device ring
+  watch   — live streaming viewer loop (headless GUI-equivalent)
   filter  — high/low/band-pass filter a span and write a new DRF channel
+            (+ optional WAV regeneration)
   synth   — generate a synthetic tone/chirp/noise capture
   bench   — run the standard throughput benchmark
 """
