@@ -73,10 +73,10 @@ def pallas_supported(nfft: int, nint: int = 1, nsub: int = 1,
 
 def pallas_auto_profitable(nfft: int, nint: int = 1, nsub: int = 1,
                            mode: str = "welch") -> bool:
-    """Where the fused kernel beats XLA (measured on v5e): below 2048 the
-    (n1, n1) stage-1 matmuls are too small to feed the MXU and the
-    per-column grid overhead dominates — XLA wins there."""
-    return nfft >= 2048 and pallas_supported(nfft, nint, nsub, mode)
+    """Where the fused kernel beats XLA (measured on v5e): at 1024 the
+    column-batched variant wins (2.70 vs 2.15 GS/s welch); below that the
+    (n1, n1) stage-1 matmuls are too small to feed the MXU and XLA wins."""
+    return nfft >= 1024 and pallas_supported(nfft, nint, nsub, mode)
 
 
 @functools.lru_cache(maxsize=32)
@@ -135,7 +135,7 @@ def make_pallas_sti_psd(
               plan["twr"], plan["twi"]]
 
     def kernel(frames_ref, win_ref, d1r_ref, d1i_ref, d2r_ref, d2i_ref,
-               twr_ref, twi_ref, out_ref, accum, *, nsub: int):
+               twr_ref, twi_ref, out_ref, accum, *, nsub: int, tb: int = 1):
         # MXU f32 matmuls default to single-pass bf16 (~3e-2 rel err on the
         # DFT); HIGHEST forces the bf16x3 decomposition -> ~1e-6, matching
         # the interpret-mode/XLA numerics. The matmuls are far from the
@@ -150,11 +150,11 @@ def make_pallas_sti_psd(
         twr, twi = twr_ref[...], twi_ref[...]
         win = win_ref[...]
 
-        for sub in range(nsub):  # static unroll (nsub is small)
+        for c, sub in [(c, s) for c in range(tb) for s in range(nsub)]:
             accum[...] = jnp.zeros((n1, n2), jnp.float32)
 
-            def seg_body(seg, _, sub=sub):
-                off = pl.multiple_of(seg * nfft, LANE)
+            def seg_body(seg, _, c=c, sub=sub):
+                off = pl.multiple_of(c * gather_len + seg * nfft, LANE)
                 if contiguous:
                     xr = frames_ref[2 * sub, pl.ds(off, nfft)]
                     xi = frames_ref[2 * sub + 1, pl.ds(off, nfft)]
@@ -183,18 +183,32 @@ def make_pallas_sti_psd(
             # adds nfft/2 = n1*(n2/2): swap the row halves of O.
             o = p.T                               # (n2, n1)
             h = n2 // 2
-            out_ref[0, sub, :h, :] = o[h:, :]
-            out_ref[0, sub, h:, :] = o[:h, :]
+            out_ref[c, sub, :h, :] = o[h:, :]
+            out_ref[c, sub, h:, :] = o[:h, :]
+
+    def _pick_tb(ntime: int, nsub: int) -> int:
+        # batching several columns per grid step amortizes per-step
+        # overhead — a measured win only for small transforms (1024-pt:
+        # 2.15 -> 2.70 GS/s at tb=8; 4096-pt regressed), and only in the
+        # contiguous full-consumption case (parity would over-fetch)
+        if not contiguous or gather_len != nfft * nint or nfft > 1024:
+            return 1
+        for tb in (8, 4, 2):
+            if ntime % tb == 0 and nsub * 2 * tb * gather_len * 8 <= MAX_BLOCK_BYTES:
+                return tb
+        return 1
 
     def build(ntime: int, nsub: int):
         flops_seg = 8 * 2 * (n1 * n1 * n2 + n1 * n2 * n2)
+        tb = _pick_tb(ntime, nsub)
         if contiguous:
             # column t's samples live at [t*frame_len, ...): slice the
-            # buffer directly (block units: width gather_len, so frame_len
-            # offsets advance nint blocks per column in parity mode)
-            stride_blocks = (nfft * nint) // gather_len
+            # buffer directly (block units: width tb*gather_len, so
+            # frame_len offsets advance stride blocks per step in parity
+            # mode where gather_len < frame_len)
+            stride_blocks = (nfft * nint) // gather_len if tb == 1 else 1
             frames_spec = pl.BlockSpec(
-                (nsub * 2, gather_len),
+                (nsub * 2, tb * gather_len),
                 lambda t: (0, t * stride_blocks),
                 memory_space=pltpu.VMEM,
             )
@@ -204,11 +218,11 @@ def make_pallas_sti_psd(
                 memory_space=pltpu.VMEM,
             )
         return pl.pallas_call(
-            functools.partial(kernel, nsub=nsub),
-            grid=(ntime,),
+            functools.partial(kernel, nsub=nsub, tb=tb),
+            grid=(ntime // tb,),
             in_specs=[frames_spec]
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
-            out_specs=pl.BlockSpec((1, nsub, n2, n1),
+            out_specs=pl.BlockSpec((tb, nsub, n2, n1),
                                    lambda t: (t, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((ntime, nsub, n2, n1), jnp.float32),
