@@ -109,3 +109,27 @@ def test_stage_timer():
     assert t.stats("read")["p50_s"] >= 0
     t.reset()
     assert t.stats("read") == {"n": 0}
+
+
+def test_structured_logging(capsys, monkeypatch):
+    import importlib
+    import json as _json
+    import logging
+
+    from pyspectrogram_tpu.utils import log as logmod
+
+    monkeypatch.setenv("PSTPU_LOG_JSON", "1")
+    logger = logging.getLogger("pstpu.test_json")
+    logger.handlers.clear()
+    lg = logmod.get_logger.__wrapped__("pstpu.test_json") if hasattr(
+        logmod.get_logger, "__wrapped__") else logmod.get_logger(
+        "pstpu.test_json")
+    import io as _io
+
+    buf = _io.StringIO()
+    lg.handlers[0].stream = buf
+    logmod.log_event(lg, "unit event", tab_id=3, reason=0)
+    line = buf.getvalue().strip()
+    rec = _json.loads(line)
+    assert rec["msg"].startswith("unit event")
+    assert rec["tab_id"] == 3 and rec["level"] == "INFO"
