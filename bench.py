@@ -57,7 +57,7 @@ def _roundtrip_overhead_s(repeats=5):
 
 
 def bench_sti(nfft=4096, nint=4, ntime=128, nsub=2, mode="welch",
-              fft_impl="auto", iters=20, repeats=5):
+              fft_impl="auto", iters=20, repeats=5, precision="exact"):
     """Returns (samples_per_sec, p50_block_latency_s, p99_s).
 
     Times ``iters`` STI steps chained in one on-device lax.fori_loop (the
@@ -71,7 +71,7 @@ def bench_sti(nfft=4096, nint=4, ntime=128, nsub=2, mode="welch",
 
     # inputs are packed frames at t*frame_len (like the pipeline produces)
     fn = make_sti_fn_pm(nfft=nfft, nint=nint, mode=mode, fft_impl=fft_impl,
-                        contiguous=True)
+                        contiguous=True, precision=precision)
     samples, starts = _make_inputs(nfft, nint, ntime, nsub)
     n_proc = nfft * nint * ntime * nsub  # samples consumed per step
 
@@ -180,6 +180,15 @@ def main():
                     except Exception as e:
                         print(f"# nfft={nfft} {impl} {mode} FAILED: {e}",
                               file=sys.stderr)
+        try:
+            dsps, dp50, _ = bench_sti(nfft=4096, nint=args.nint,
+                                      ntime=args.ntime, nsub=args.nsub,
+                                      iters=args.iters, precision="display")
+            print(f"# nfft=  4096 pallas display-precision "
+                  f"{dsps/1e9:8.3f} GS/s  p50={dp50*1e3:7.3f} ms "
+                  f"(~0.12 dB, waterfall-grade)", file=sys.stderr)
+        except Exception as e:
+            print(f"# display-precision FAILED: {e}", file=sys.stderr)
         try:
             ssps, sp50 = bench_streaming(nfft=4096, iters=args.iters)
             print(f"# streaming 4096    {ssps/1e9:8.3f} GS/s  "

@@ -106,6 +106,7 @@ def make_pallas_sti_psd(
     ref: float = 1.0,
     interpret: bool = False,
     contiguous: bool = False,
+    precision: str = "exact",
 ):
     """Build ``f(samples_pm, starts) -> linear power (ntime, nsub, nfft)``.
 
@@ -114,6 +115,11 @@ def make_pallas_sti_psd(
     Welch mode averages nint segment periodograms; parity computes only the
     first segment (the reference's verified truncation semantics,
     drfProc.py:387-396).
+
+    ``precision``: "exact" (default) runs the DFT matmuls at
+    Precision.HIGHEST (bf16x3, ~1e-6 vs the f32 FFT); "display" uses the
+    MXU's native single-pass bf16 (~3e-2 relative on power, i.e. about
+    0.13 dB — invisible on a waterfall) for maximum throughput.
 
     ``contiguous=True`` asserts that column t's frame begins at
     t*nfft*nint (the layout the pipeline's frame assembly always produces):
@@ -143,7 +149,8 @@ def make_pallas_sti_psd(
         dot = functools.partial(
             jnp.dot,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=(jax.lax.Precision.HIGHEST if precision == "exact"
+                       else jax.lax.Precision.DEFAULT),
         )
         d1r, d1i = d1r_ref[...], d1i_ref[...]
         d2r, d2i = d2r_ref[...], d2i_ref[...]

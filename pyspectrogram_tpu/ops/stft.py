@@ -255,6 +255,7 @@ def make_sti_fn_pm(
     return_linear: bool = False,
     return_minmax: bool = False,
     contiguous: bool = False,
+    precision: str = "exact",
 ):
     """Plane-major STI factory — the production device entry point.
 
@@ -290,7 +291,7 @@ def make_sti_fn_pm(
         psd_fn = sti_pallas.make_pallas_sti_psd(
             nfft=nfft, nint=nint, mode=mode, window=window, ref=ref,
             interpret=jax.default_backend() != "tpu",
-            contiguous=contiguous,
+            contiguous=contiguous, precision=precision,
         )
     else:
         win64 = get_window(window, nfft)

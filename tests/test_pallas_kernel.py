@@ -168,3 +168,18 @@ def test_pallas_contiguous_int16_input():
         jnp.asarray(pm16.astype(np.float32)), jnp.asarray(starts))
     np.testing.assert_allclose(np.asarray(a["sxx_dbfs"]),
                                np.asarray(b["sxx_dbfs"]), atol=1e-3)
+
+
+def test_display_precision_mode():
+    """precision="display" stays within waterfall tolerance of exact."""
+    rng = np.random.default_rng(10)
+    nfft, ntime = 256, 4
+    pm = rng.standard_normal((2, nfft * ntime)).astype(np.float32)
+    starts = (np.arange(ntime) * nfft).astype(np.int32)
+    ex = stft.make_sti_fn_pm(nfft=nfft, fft_impl="pallas", contiguous=True)(
+        jnp.asarray(pm), jnp.asarray(starts))
+    fast = stft.make_sti_fn_pm(nfft=nfft, fft_impl="pallas", contiguous=True,
+                               precision="display")(
+        jnp.asarray(pm), jnp.asarray(starts))
+    d = np.abs(np.asarray(ex["sxx_dbfs"]) - np.asarray(fast["sxx_dbfs"]))
+    assert d.max() < 0.5  # CPU interpret: both exact; TPU: ~0.12 dB
