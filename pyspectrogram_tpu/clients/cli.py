@@ -53,7 +53,7 @@ def _config_from(args):
 
     kw = dict(
         nfft=args.nfft, nint=args.nint, ntime=args.ntime, mode=args.mode,
-        channel=args.channel,
+        channel=args.channel, precision=getattr(args, "precision", "exact"),
     )
     if args.window:
         kw["window"] = (
@@ -314,6 +314,9 @@ def _add_common(p):
     p.add_argument("--nint", type=int, default=1)
     p.add_argument("--ntime", type=int, default=100)
     p.add_argument("--mode", choices=["welch", "parity"], default="welch")
+    p.add_argument("--precision", choices=["exact", "display"],
+                   default="exact",
+                   help="'display' trades ~0.12 dB for ~2x throughput")
     p.add_argument("--window", default="kaiser",
                    choices=["kaiser", "hann", "hamming", "blackman", "boxcar"])
     p.add_argument("--kaiser-beta", type=float, default=1.7)

@@ -164,6 +164,7 @@ class StiPipeline:
             fn = stft.make_sti_fn_pm(
                 nfft=cfg.nfft, nint=cfg.nint, mode=cfg.mode,
                 window=cfg.window, ref=ref, eps=cfg.eps,
+                precision=cfg.precision,
                 contiguous=True,  # assemble_device_block packs frames at
                                   # t*frame_len, so the kernel skips the gather
             )
