@@ -204,6 +204,7 @@ class StiPipeline:
         fn = make_sharded_sti_fn(
             self.mesh, nfft=cfg.nfft, nint=cfg.nint, ntime_valid=nvalid,
             mode=cfg.mode, window=cfg.window, ref=ref, eps=cfg.eps,
+            precision=cfg.precision,
         )
         s_sh, st_sh = fn.input_shardings()
         if samples_pm.dtype != np.float32:

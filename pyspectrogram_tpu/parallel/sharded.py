@@ -41,6 +41,7 @@ def make_sharded_sti_fn(
     ref: float = 1.0,
     eps: float = 1e-15,
     fft_impl: str = "auto",
+    precision: str = "exact",
 ):
     """Jitted multi-device STI.
 
@@ -67,7 +68,7 @@ def make_sharded_sti_fn(
         # fused kernel per shard (each device runs it on its column block)
         pallas_psd = sti_pallas.make_pallas_sti_psd(
             nfft=nfft, nint=nint, mode=mode, window=window, ref=ref,
-            interpret=jax.default_backend() != "tpu",
+            interpret=jax.default_backend() != "tpu", precision=precision,
         )
 
     win64 = get_window(window, nfft)
