@@ -13,8 +13,14 @@ processor's event flow + latency stats.
 
 import sys
 import tempfile
+from pathlib import Path
 
 import numpy as np
+
+try:
+    import pyspectrogram_tpu  # noqa: F401
+except ImportError:  # run from a checkout without installing
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main(outdir=None):
