@@ -105,6 +105,11 @@ def _assemblable(raw: np.ndarray) -> np.ndarray:
     return raw.astype(np.complex64)
 
 
+#: with a mesh, transforms at or beyond this size run as the distributed
+#: 4-step FFT (one all-to-all per segment) instead of column sharding
+BIGFFT_THRESHOLD = 1 << 17
+
+
 class StiPipeline:
     """Reusable request executor over one dataset.
 
@@ -113,16 +118,19 @@ class StiPipeline:
     static shape/knob actually changes.
 
     Pass ``mesh`` (a jax.sharding.Mesh from parallel.make_mesh) to run each
-    request over multiple devices: STI columns shard across the ``time``
-    axis and subchannels across ``chan`` (nsub must divide by the chan-axis
-    size; ntime is padded to the time-axis size automatically).
+    request over multiple devices. Dispatch: transforms below
+    BIGFFT_THRESHOLD shard STI columns over ``time`` and subchannels over
+    ``chan`` (nsub must divide by the chan-axis size; ntime pads
+    automatically); at/above it the FFT itself distributes over ``time``
+    (parallel.big_sti), covering nfft beyond one core's VMEM.
     """
 
     def __init__(self, dataset: RFDataset, config: SpectrogramConfig,
-                 mesh=None):
+                 mesh=None, bigfft_threshold: int = BIGFFT_THRESHOLD):
         self.ds = dataset
         self.config = config
         self.mesh = mesh
+        self.bigfft_threshold = bigfft_threshold
         self._iteration = -1
 
     def channel_of(self, config: SpectrogramConfig) -> Tuple[str, Optional[int]]:
@@ -158,7 +166,9 @@ class StiPipeline:
             self.ds, chan, isub, n_st, frame_len
         )
 
-        if self.mesh is not None:
+        if self.mesh is not None and cfg.nfft >= self.bigfft_threshold:
+            out = self._compute_bigfft(cfg, ref, samples_pm)
+        elif self.mesh is not None:
             out = self._compute_sharded(cfg, ref, samples_pm, starts_rel)
         else:
             fn = stft.make_sti_fn_pm(
@@ -187,6 +197,43 @@ class StiPipeline:
             frame_starts=np.asarray(n_st),
             mask=col_mask,
         )
+
+    def _compute_bigfft(self, cfg: SpectrogramConfig, ref: float,
+                        samples_pm: np.ndarray):
+        """Distributed-FFT tier: the per-column transform itself shards
+        over the mesh 'time' axis (SURVEY.md section 5, multi-device
+        4-step FFT)."""
+        import jax
+        import jax.numpy as jnp
+
+        from pyspectrogram_tpu.parallel.big_sti import (
+            frames_to_x2,
+            make_bigfft_sti_fn,
+            to_freq_order,
+        )
+        from pyspectrogram_tpu.parallel.mesh import TIME_AXIS
+
+        fn = make_bigfft_sti_fn(
+            self.mesh, TIME_AXIS, nfft=cfg.nfft, nint=cfg.nint,
+            mode=cfg.mode, window=cfg.window, ref=ref, eps=cfg.eps,
+        )
+        n1, n2 = fn.n1n2
+        nseg = fn.nseg
+        nsub = samples_pm.shape[0] // 2
+        frame_len = cfg.nfft * cfg.nint
+        # (nsub*2, ntime*frame_len) -> (ntime, nsub, 2, nseg*nfft) frames
+        fp = samples_pm.astype(np.float32).reshape(
+            nsub, 2, cfg.ntime, frame_len)
+        frames_pm = np.ascontiguousarray(
+            np.moveaxis(fp, 2, 0)[..., : nseg * cfg.nfft])
+        x2 = jax.device_put(
+            jnp.asarray(frames_to_x2(frames_pm, cfg.nfft, nseg, n1, n2)),
+            fn.input_sharding)
+        out = fn(x2)
+        return {
+            "sxx_dbfs": to_freq_order(out["sxx_dbfs"]),
+            "sxx_med_dbfs": to_freq_order(out["sxx_med_dbfs"]),
+        }
 
     def _compute_sharded(self, cfg: SpectrogramConfig, ref: float,
                          samples_pm: np.ndarray, starts_rel: np.ndarray):

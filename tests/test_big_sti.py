@@ -61,3 +61,22 @@ def test_to_freq_order_roundtrip():
     for k1 in range(3):
         for k2 in range(4):
             assert out[0, 3 * k2 + k1] == a[0, k1, k2]
+
+
+def test_pipeline_bigfft_tier(tone_capture):
+    """StiPipeline auto-dispatches to the distributed-FFT tier for giant
+    transforms (threshold lowered here to test on the CPU mesh)."""
+    from pyspectrogram_tpu.io.reader import RFDataset
+    from pyspectrogram_tpu.models.sti import StiPipeline
+    from pyspectrogram_tpu.utils.config import SpectrogramConfig
+
+    top, meta = tone_capture
+    cfg = SpectrogramConfig(nfft=4096, nint=2, ntime=4)
+    want = StiPipeline(RFDataset(top), cfg).compute()
+    mesh = make_mesh(time_parallel=8, chan_parallel=1)
+    got = StiPipeline(RFDataset(top), cfg, mesh=mesh,
+                      bigfft_threshold=4096).compute()
+    assert got.sxx_dbfs.shape == want.sxx_dbfs.shape
+    np.testing.assert_allclose(got.sxx_dbfs, want.sxx_dbfs, atol=3e-2)
+    np.testing.assert_allclose(got.sxx_med_dbfs, want.sxx_med_dbfs,
+                               atol=3e-2)
