@@ -63,10 +63,10 @@ def pallas_supported(nfft: int, nint: int = 1, nsub: int = 1,
         nfft >= 256
         and nfft % LANE == 0
         and (nfft & (nfft - 1)) == 0
-        # n1 <= 128 keeps the DFT factors + column block + pipeline
-        # buffers comfortably inside the ~16 MB VMEM (n1 = 512 measured
-        # 312 KB over the scoped limit at nfft = 65536)
-        and nfft // LANE <= 128
+        # n1 <= 256 keeps the DFT factors + column block + pipeline
+        # buffers inside the ~16 MB VMEM (n1 = 512 measured 312 KB over
+        # the scoped limit at nfft = 65536)
+        and nfft // LANE <= 256
         and block <= MAX_BLOCK_BYTES
     )
 
