@@ -183,3 +183,22 @@ def test_display_precision_mode():
         jnp.asarray(pm), jnp.asarray(starts))
     d = np.abs(np.asarray(ex["sxx_dbfs"]) - np.asarray(fast["sxx_dbfs"]))
     assert d.max() < 0.5  # CPU interpret: both exact; TPU: ~0.12 dB
+
+
+def test_pallas_contiguous_tb_batched():
+    """ntime divisible by 8 at small nfft triggers the column-batched
+    kernel (tb=8); results must match the unbatched gathered path."""
+    nfft, nint, ntime, nsub = 512, 2, 16, 2
+    rng = np.random.default_rng(11)
+    nsamp = nfft * nint * ntime
+    packed = rng.standard_normal((nsamp, nsub, 2)).astype(np.float32)
+    starts = (np.arange(ntime) * nfft * nint).astype(np.int32)
+    pm = to_plane_major(packed)
+    batched = make_pallas_sti_psd(nfft=nfft, nint=nint, interpret=True,
+                                  contiguous=True)
+    plain = make_pallas_sti_psd(nfft=nfft, nint=nint, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(batched(jnp.asarray(pm), jnp.asarray(starts))),
+        np.asarray(plain(jnp.asarray(pm), jnp.asarray(starts))),
+        rtol=1e-6,
+    )
