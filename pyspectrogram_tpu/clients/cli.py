@@ -314,9 +314,11 @@ def _add_common(p):
     p.add_argument("--nint", type=int, default=1)
     p.add_argument("--ntime", type=int, default=100)
     p.add_argument("--mode", choices=["welch", "parity"], default="welch")
-    p.add_argument("--precision", choices=["exact", "display"],
+    p.add_argument("--precision",
+                   choices=["exact", "balanced", "display"],
                    default="exact",
-                   help="'display' trades ~0.12 dB for ~2x throughput")
+                   help="DFT numerics: exact (~1e-5 dB), balanced "
+                        "(~7e-4 dB, faster), display (~0.12 dB, fastest)")
     p.add_argument("--window", default="kaiser",
                    choices=["kaiser", "hann", "hamming", "blackman", "boxcar"])
     p.add_argument("--kaiser-beta", type=float, default=1.7)

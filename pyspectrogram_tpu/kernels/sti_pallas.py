@@ -137,23 +137,65 @@ def make_pallas_sti_psd(
     inv_scale = np.float32(
         1.0 / (float(win64.sum()) ** 2 * float(ref) ** 2 * nseg)
     )
-    consts = [win2, plan["d1r"], plan["d1i"], plan["d2r"], plan["d2i"],
-              plan["twr"], plan["twi"]]
+    if precision == "balanced":
+        # host-side error-feedback split of the constant DFT matrices:
+        # D = hi + lo with hi = bf16(D); the kernel then computes
+        # D@x ~ hi@x_hi + hi@x_lo + lo@x_hi in three single-pass bf16
+        # matmuls (residual lo@x_lo ~ 2^-16 relative) — half the MXU
+        # passes of Precision.HIGHEST at ~1e-4 dB accuracy.
+        def _split(m):
+            hi = m.astype(np.float32).astype("bfloat16").astype(np.float32)
+            return np.stack([hi, m - hi]).astype(np.float32)
+
+        d_consts = [_split(plan[k]) for k in ("d1r", "d1i", "d2r", "d2i")]
+    else:
+        d_consts = [plan[k] for k in ("d1r", "d1i", "d2r", "d2i")]
+    consts = [win2] + d_consts + [plan["twr"], plan["twi"]]
 
     def kernel(frames_ref, win_ref, d1r_ref, d1i_ref, d2r_ref, d2i_ref,
                twr_ref, twi_ref, out_ref, accum, *, nsub: int, tb: int = 1):
-        # MXU f32 matmuls default to single-pass bf16 (~3e-2 rel err on the
-        # DFT); HIGHEST forces the bf16x3 decomposition -> ~1e-6, matching
-        # the interpret-mode/XLA numerics. The matmuls are far from the
-        # kernel's bottleneck, so the extra passes are nearly free.
+        # MXU f32 matmuls default to single-pass bf16 (~3e-2 rel err on
+        # the DFT). Tiers: "exact" = Precision.HIGHEST (bf16x3+, ~1e-6);
+        # "balanced" = manual 3-term hi/lo split (~1e-4 dB, ~2x faster);
+        # "display" = raw single pass (~0.12 dB, fastest).
         dot = functools.partial(
             jnp.dot,
             preferred_element_type=jnp.float32,
             precision=(jax.lax.Precision.HIGHEST if precision == "exact"
                        else jax.lax.Precision.DEFAULT),
         )
-        d1r, d1i = d1r_ref[...], d1i_ref[...]
-        d2r, d2i = d2r_ref[...], d2i_ref[...]
+        if precision == "balanced":
+            def load_d(ref):
+                return (ref[0], ref[1])
+
+            def xsplit(v):
+                hi = v.astype(jnp.bfloat16).astype(jnp.float32)
+                return (hi, v - hi)
+
+            def mdot(m, x):
+                mh, ml = m
+                xh, xl = x
+                return dot(mh, xh) + dot(mh, xl) + dot(ml, xh)
+
+            def mdot2(x, m):  # x @ D with split operands
+                xh, xl = x
+                mh, ml = m
+                return dot(xh, mh) + dot(xl, mh) + dot(xh, ml)
+        else:
+            def load_d(ref):
+                return ref[...]
+
+            def xsplit(v):
+                return v
+
+            def mdot(m, x):
+                return dot(m, x)
+
+            def mdot2(x, m):
+                return dot(x, m)
+
+        d1r, d1i = load_d(d1r_ref), load_d(d1i_ref)
+        d2r, d2i = load_d(d2r_ref), load_d(d2i_ref)
         twr, twi = twr_ref[...], twi_ref[...]
         win = win_ref[...]
 
@@ -170,16 +212,17 @@ def make_pallas_sti_psd(
                     xi = frames_ref[0, 2 * sub + 1, pl.ds(off, nfft)]
                 # raw integer planes widen here, per VMEM block — the
                 # HBM-side buffer stays at half the bytes
-                xr = xr.astype(jnp.float32).reshape(n1, n2) * win
-                xi = xi.astype(jnp.float32).reshape(n1, n2) * win
+                xr = xsplit(xr.astype(jnp.float32).reshape(n1, n2) * win)
+                xi = xsplit(xi.astype(jnp.float32).reshape(n1, n2) * win)
                 # stage 1: DFT along p (sublane/contraction dim)
-                yr = dot(d1r, xr) - dot(d1i, xi)
-                yi = dot(d1r, xi) + dot(d1i, xr)
-                zr = yr * twr - yi * twi
-                zi = yr * twi + yi * twr
-                # stage 2: DFT along q (lane dim)
-                xmr = dot(zr, d2r) - dot(zi, d2i)
-                xmi = dot(zr, d2i) + dot(zi, d2r)
+                yr = mdot(d1r, xr) - mdot(d1i, xi)
+                yi = mdot(d1r, xi) + mdot(d1i, xr)
+                zr = xsplit(yr * twr - yi * twi)
+                zi = xsplit(yr * twi + yi * twr)
+                # stage 2: DFT along q (lane dim); note stage-2 contracts
+                # from the right, so the balanced split swaps operand roles
+                xmr = mdot2(zr, d2r) - mdot2(zi, d2i)
+                xmi = mdot2(zr, d2i) + mdot2(zi, d2r)
                 accum[...] += xmr * xmr + xmi * xmi
                 return 0
 

@@ -62,8 +62,9 @@ class SpectrogramConfig:
     #: nint-segment power averaging (the behavior the reference's GUI label
     #: "Number of integrations" implies, reference: drfview.py:482-483).
     mode: str = "welch"
-    #: "exact" DFT numerics (default) or "display" (single-pass bf16 MXU,
-    #: ~0.12 dB max error, ~2x throughput) — waterfall-grade only
+    #: DFT numerics tier: "exact" (default, ~1e-5 dB vs the f32 FFT),
+    #: "balanced" (~7e-4 dB, ~1.3x faster), "display" (single-pass bf16,
+    #: ~0.12 dB, ~2x faster — waterfall-grade)
     precision: str = "exact"
     eps: float = DEFAULT_EPS
     #: streaming mode uses a trailing window (reference: drfProc.py:239-241)
@@ -79,9 +80,10 @@ class SpectrogramConfig:
             raise ValueError(f"ntime {self.ntime} outside {NTIME_RANGE}")
         if self.mode not in ("parity", "welch"):
             raise ValueError(f"mode must be 'parity' or 'welch', got {self.mode!r}")
-        if self.precision not in ("exact", "display"):
+        if self.precision not in ("exact", "balanced", "display"):
             raise ValueError(
-                f"precision must be 'exact' or 'display', got {self.precision!r}")
+                "precision must be 'exact', 'balanced' or 'display', got "
+                f"{self.precision!r}")
         validate_range(self.color_range_db, "color_range_db")
         validate_range(self.freq_window_khz, "freq_window_khz")
 

@@ -202,3 +202,19 @@ def test_pallas_contiguous_tb_batched():
         np.asarray(plain(jnp.asarray(pm), jnp.asarray(starts))),
         rtol=1e-6,
     )
+
+
+def test_balanced_precision_mode():
+    """precision="balanced" stays within ~1e-3 dB of exact."""
+    rng = np.random.default_rng(12)
+    nfft, nint, ntime = 256, 2, 5
+    pm = rng.standard_normal((4, nfft * nint * ntime)).astype(np.float32)
+    starts = (np.arange(ntime) * nfft * nint).astype(np.int32)
+    ex = stft.make_sti_fn_pm(nfft=nfft, nint=nint, fft_impl="pallas",
+                             contiguous=True)(
+        jnp.asarray(pm), jnp.asarray(starts))
+    bal = stft.make_sti_fn_pm(nfft=nfft, nint=nint, fft_impl="pallas",
+                              contiguous=True, precision="balanced")(
+        jnp.asarray(pm), jnp.asarray(starts))
+    d = np.abs(np.asarray(ex["sxx_dbfs"]) - np.asarray(bal["sxx_dbfs"]))
+    assert d.max() < 5e-3
