@@ -154,6 +154,8 @@ def main():
     ap.add_argument("--nsub", type=int, default=2)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas"])
+    ap.add_argument("--precision", default="exact",
+                    choices=["exact", "balanced", "display"])
     args = ap.parse_args()
 
     import jax
@@ -180,15 +182,17 @@ def main():
                     except Exception as e:
                         print(f"# nfft={nfft} {impl} {mode} FAILED: {e}",
                               file=sys.stderr)
-        try:
-            dsps, dp50, _ = bench_sti(nfft=4096, nint=args.nint,
-                                      ntime=args.ntime, nsub=args.nsub,
-                                      iters=args.iters, precision="display")
-            print(f"# nfft=  4096 pallas display-precision "
-                  f"{dsps/1e9:8.3f} GS/s  p50={dp50*1e3:7.3f} ms "
-                  f"(~0.12 dB, waterfall-grade)", file=sys.stderr)
-        except Exception as e:
-            print(f"# display-precision FAILED: {e}", file=sys.stderr)
+        for prec, note in (("balanced", "~7e-4 dB"),
+                           ("display", "~0.12 dB, waterfall-grade")):
+            try:
+                dsps, dp50, _ = bench_sti(nfft=4096, nint=args.nint,
+                                          ntime=args.ntime, nsub=args.nsub,
+                                          iters=args.iters, precision=prec)
+                print(f"# nfft=  4096 pallas {prec}-precision "
+                      f"{dsps/1e9:8.3f} GS/s  p50={dp50*1e3:7.3f} ms "
+                      f"({note})", file=sys.stderr)
+            except Exception as e:
+                print(f"# {prec}-precision FAILED: {e}", file=sys.stderr)
         try:
             ssps, sp50 = bench_streaming(nfft=4096, iters=args.iters)
             print(f"# streaming 4096    {ssps/1e9:8.3f} GS/s  "
@@ -199,7 +203,7 @@ def main():
 
     sps, p50, _ = bench_sti(nfft=args.nfft, nint=args.nint, ntime=args.ntime,
                             nsub=args.nsub, iters=args.iters,
-                            fft_impl=args.impl)
+                            fft_impl=args.impl, precision=args.precision)
     print(json.dumps({
         "metric": f"sti_throughput_c64_nfft{args.nfft}",
         "value": round(sps, 1),
