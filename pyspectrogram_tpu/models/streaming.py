@@ -99,6 +99,9 @@ class StreamingSti:
         self._window = window
         self._ref = float(ref)
         self._push = self._build_push()
+        # cache the jitted dB view once — a fresh jit wrapper per snapshot
+        # would retrace/recompile every call (20-80 s on remote transports)
+        self._snapshot_db = jax.jit(functools.partial(to_dbfs, eps=self.eps))
 
     def init_state(self) -> StreamState:
         return StreamState(
@@ -121,7 +124,7 @@ class StreamingSti:
 
         use_pallas = (
             hop == frame_len
-            and sti_pallas.pallas_auto_profitable(nfft, nint, mode=mode)
+            and sti_pallas.pallas_auto_profitable(nfft, nint, nsub, mode)
             and jax.default_backend() == "tpu"
         )
         if use_pallas:
@@ -182,7 +185,7 @@ class StreamingSti:
     def snapshot(self, state: StreamState) -> Tuple[np.ndarray, int]:
         """Host copy of the ring in dBFS (oldest column first; unfilled
         slots read as the eps floor) + valid count."""
-        db = jax.jit(functools.partial(to_dbfs, eps=self.eps))(state.ring)
+        db = self._snapshot_db(state.ring)
         return np.asarray(db), self.valid_cols(state)
 
     def median_psd(self, state: StreamState) -> np.ndarray:

@@ -97,21 +97,32 @@ def spectrogram_proc(
     nfft: int,
     integration_dt: Optional[float] = None,
     window: WindowSpec = ("kaiser", 1.7),
+    noverlap: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """One-shot non-overlapping spectrogram with time integration and
-    min/median/max summary spectra — capability parity with the reference's
-    alternate (dead-code) path ``proc_data`` (reference: drfProc.py:406-453),
-    implemented live here.
+    """One-shot spectrogram with time integration and min/median/max summary
+    spectra — capability parity with the reference's alternate (dead-code)
+    path ``proc_data`` (reference: drfProc.py:406-453), implemented live.
+
+    ``noverlap`` defaults to ``nfft // 8`` — scipy.signal.spectrogram's
+    default, which the reference's proc_data inherits by not passing
+    noverlap (reference: drfProc.py:425-433). Pass 0 for non-overlapping
+    frames.
 
     x: (n,) 1-D signal. Returns (t, f, sxx_int, sxx_med, sxx_min, sxx_max).
     """
     win = get_window(window, nfft)
-    nseg = len(x) // nfft
-    frames = x[: nseg * nfft].reshape(nseg, nfft)
+    if noverlap is None:
+        noverlap = nfft // 8
+    if not 0 <= noverlap < nfft:
+        raise ValueError(f"noverlap must be in [0, nfft), got {noverlap}")
+    hop = nfft - noverlap
+    nseg = (len(x) - noverlap) // hop
+    idx = np.arange(nseg)[:, None] * hop + np.arange(nfft)[None, :]
+    frames = x[idx]  # (nseg, nfft), strided when noverlap > 0
     p = periodogram_psd(frames, win)  # (nseg, nfft)
-    t = (np.arange(nseg) * nfft + nfft / 2.0) / float(sample_rate)
+    t = (np.arange(nseg) * hop + nfft / 2.0) / float(sample_rate)
     if integration_dt is not None:
-        n_int = max(int(integration_dt / (nfft / float(sample_rate))), 1)
+        n_int = max(int(integration_dt / (hop / float(sample_rate))), 1)
         edges = np.arange(0, nseg, n_int)
         chunks = [p[edges[i]:edges[i + 1]].mean(axis=0)
                   for i in range(len(edges) - 1)]

@@ -275,48 +275,56 @@ def make_sti_fn_pm(
     """
     from pyspectrogram_tpu.kernels import sti_pallas
 
-    if fft_impl == "auto":
-        use_pallas = (
-            sti_pallas.pallas_auto_profitable(nfft, nint, mode=mode)
-            and jax.default_backend() == "tpu"
-        )
-    elif fft_impl == "pallas":
-        use_pallas = True
-    elif fft_impl == "xla":
-        use_pallas = False
-    else:
+    if fft_impl not in ("auto", "pallas", "xla"):
         raise ValueError(f"unknown fft_impl {fft_impl!r}")
 
-    if use_pallas:
-        psd_fn = sti_pallas.make_pallas_sti_psd(
-            nfft=nfft, nint=nint, mode=mode, window=window, ref=ref,
-            interpret=jax.default_backend() != "tpu",
-            contiguous=contiguous, precision=precision,
+    win64 = get_window(window, nfft)
+    inv_scale = 1.0 / (float(win64.sum()) ** 2 * float(ref) ** 2)
+    win = win64.astype(np.float32)
+    frame_len = nfft * nint if mode == "welch" else nfft
+
+    def xla_psd(samples_pm, starts):
+        def one_start(s):
+            return jax.vmap(
+                lambda row: jax.lax.dynamic_slice(row, (s,), (frame_len,))
+            )(samples_pm)
+
+        fr = jax.vmap(one_start)(starts)       # (ntime, nsub*2, L)
+        c = jax.lax.complex(fr[:, 0::2, :], fr[:, 1::2, :]).astype(
+            jnp.complex64)
+        if mode == "welch":
+            c = c.reshape(c.shape[0], c.shape[1], nint, nfft)
+            p = psd_frames(c, jnp.asarray(win), inv_scale).mean(axis=2)
+        else:
+            p = psd_frames(c, jnp.asarray(win), inv_scale)
+        return jnp.fft.fftshift(p, axes=-1)
+
+    def pick_impl(nsub: int) -> bool:
+        # auto re-evaluates with the ACTUAL nsub from the traced input
+        # shape — the per-column VMEM block scales with nsub, so a config
+        # that is profitable at nsub=1 can exceed the kernel's block budget
+        # at higher subchannel counts; auto falls back to XLA instead of
+        # raising (fft_impl="pallas" still raises: it is an explicit ask).
+        if fft_impl == "pallas":
+            return True
+        if fft_impl == "xla":
+            return False
+        return (
+            jax.default_backend() == "tpu"
+            and sti_pallas.pallas_auto_profitable(nfft, nint, nsub, mode)
         )
-    else:
-        win64 = get_window(window, nfft)
-        inv_scale = 1.0 / (float(win64.sum()) ** 2 * float(ref) ** 2)
-        win = win64.astype(np.float32)
-        frame_len = nfft * nint if mode == "welch" else nfft
-
-        def psd_fn(samples_pm, starts):
-            def one_start(s):
-                return jax.vmap(
-                    lambda row: jax.lax.dynamic_slice(row, (s,), (frame_len,))
-                )(samples_pm)
-
-            fr = jax.vmap(one_start)(starts)       # (ntime, nsub*2, L)
-            c = jax.lax.complex(fr[:, 0::2, :], fr[:, 1::2, :]).astype(
-                jnp.complex64)
-            if mode == "welch":
-                c = c.reshape(c.shape[0], c.shape[1], nint, nfft)
-                p = psd_frames(c, jnp.asarray(win), inv_scale).mean(axis=2)
-            else:
-                p = psd_frames(c, jnp.asarray(win), inv_scale)
-            return jnp.fft.fftshift(p, axes=-1)
 
     @jax.jit
     def sti_fn(samples_pm: jax.Array, starts: jax.Array) -> dict:
+        use_pallas = pick_impl(samples_pm.shape[0] // 2)
+        if use_pallas:
+            psd_fn = sti_pallas.make_pallas_sti_psd(
+                nfft=nfft, nint=nint, mode=mode, window=window, ref=ref,
+                interpret=jax.default_backend() != "tpu",
+                contiguous=contiguous, precision=precision,
+            )
+        else:
+            psd_fn = xla_psd
         if samples_pm.dtype != jnp.float32 and not (use_pallas and contiguous):
             # raw integer planes ship over PCIe at half the bytes; the
             # gathered/XLA paths widen once on device (normalization rides

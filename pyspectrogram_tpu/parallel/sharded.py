@@ -57,19 +57,8 @@ def make_sharded_sti_fn(
     """
     from pyspectrogram_tpu.kernels import sti_pallas
 
-    if fft_impl == "auto":
-        use_pallas = (
-            sti_pallas.pallas_auto_profitable(nfft, nint, mode=mode)
-            and jax.default_backend() == "tpu"
-        )
-    else:
-        use_pallas = fft_impl == "pallas"
-    if use_pallas:
-        # fused kernel per shard (each device runs it on its column block)
-        pallas_psd = sti_pallas.make_pallas_sti_psd(
-            nfft=nfft, nint=nint, mode=mode, window=window, ref=ref,
-            interpret=jax.default_backend() != "tpu", precision=precision,
-        )
+    if fft_impl not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown fft_impl {fft_impl!r}")
 
     win64 = get_window(window, nfft)
     inv_scale = 1.0 / (float(win64.sum()) ** 2 * float(ref) ** 2)
@@ -77,7 +66,25 @@ def make_sharded_sti_fn(
     frame_len = nfft * nint if mode == "welch" else nfft
 
     def local_sti(samples_pm, starts):
+        # auto decides per shard with the LOCAL nsub (the chan axis splits
+        # the plane rows), so oversized multi-subchannel configs fall back
+        # to XLA instead of tripping the kernel's VMEM-block check
+        nsub_l = samples_pm.shape[0] // 2
+        if fft_impl == "pallas":
+            use_pallas = True
+        elif fft_impl == "xla":
+            use_pallas = False
+        else:
+            use_pallas = (
+                jax.default_backend() == "tpu"
+                and sti_pallas.pallas_auto_profitable(nfft, nint, nsub_l, mode)
+            )
         if use_pallas:
+            # fused kernel per shard (each device runs it on its columns)
+            pallas_psd = sti_pallas.make_pallas_sti_psd(
+                nfft=nfft, nint=nint, mode=mode, window=window, ref=ref,
+                interpret=jax.default_backend() != "tpu", precision=precision,
+            )
             return pallas_psd(samples_pm, starts)
         def one_start(s):
             return jax.vmap(

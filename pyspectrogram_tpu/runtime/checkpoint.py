@@ -32,6 +32,21 @@ from pyspectrogram_tpu.utils.config import SpectrogramConfig
 FORMAT_VERSION = 1
 
 
+def _npz_path(path: Union[str, Path]) -> Path:
+    """The exact on-disk path np.savez will write: np.savez APPENDS .npz to
+    any other suffix (sess.ckpt -> sess.ckpt.npz), it does not replace it —
+    so the final path must be computed up front and returned verbatim."""
+    path = Path(path)
+    return path if path.suffix == ".npz" else Path(str(path) + ".npz")
+
+
+def _open_npz(path: Union[str, Path]):
+    path = Path(path)
+    if not path.exists() and _npz_path(path) != path:
+        path = _npz_path(path)  # saved under an appended .npz suffix
+    return np.load(path, allow_pickle=False)
+
+
 def save_session(
     path: Union[str, Path],
     dataset_dir: Union[str, Path],
@@ -39,7 +54,7 @@ def save_session(
     sample_bounds: Optional[Tuple[int, int]] = None,
     extra: Optional[dict] = None,
 ) -> Path:
-    path = Path(path)
+    path = _npz_path(path)
     header = {
         "format_version": FORMAT_VERSION,
         "dataset_dir": str(dataset_dir),
@@ -49,11 +64,11 @@ def save_session(
     }
     np.savez(path, header=np.frombuffer(
         json.dumps(header).encode(), dtype=np.uint8))
-    return path if path.suffix == ".npz" else path.with_suffix(".npz")
+    return path
 
 
 def load_session(path: Union[str, Path]) -> dict:
-    with np.load(Path(path), allow_pickle=False) as z:
+    with _open_npz(path) as z:
         header = json.loads(bytes(z["header"].tobytes()).decode())
     if header["format_version"] > FORMAT_VERSION:
         raise ValueError(
@@ -67,7 +82,7 @@ def load_session(path: Union[str, Path]) -> dict:
 
 def save_stream_state(path: Union[str, Path], state, meta: dict) -> Path:
     """Persist a models.streaming.StreamState + its StreamingSti params."""
-    path = Path(path)
+    path = _npz_path(path)
     header = {"format_version": FORMAT_VERSION, "meta": meta}
     np.savez(
         path,
@@ -76,7 +91,7 @@ def save_stream_state(path: Union[str, Path], state, meta: dict) -> Path:
         ring=np.asarray(state.ring),
         total_cols=np.asarray(state.total_cols),
     )
-    return path if path.suffix == ".npz" else path.with_suffix(".npz")
+    return path
 
 
 def load_stream_state(path: Union[str, Path]):
@@ -85,7 +100,7 @@ def load_stream_state(path: Union[str, Path]):
 
     from pyspectrogram_tpu.models.streaming import StreamState
 
-    with np.load(Path(path), allow_pickle=False) as z:
+    with _open_npz(path) as z:
         header = json.loads(bytes(z["header"].tobytes()).decode())
         state = StreamState(
             carry=jnp.asarray(z["carry"]),

@@ -113,11 +113,28 @@ def test_spectrogram_proc_matches_scipy_spectrogram():
         x, sr, window=win, noverlap=0, nperseg=nfft, detrend=False,
         return_onesided=False, scaling="spectrum",
     )
-    t, f, sxx, med, mn, mx = ref.spectrogram_proc(x, sr, nfft)
+    t, f, sxx, med, mn, mx = ref.spectrogram_proc(x, sr, nfft, noverlap=0)
     np.testing.assert_allclose(f, np.fft.fftshift(f_s), rtol=1e-12)
     np.testing.assert_allclose(t, t_s, rtol=1e-12)
     np.testing.assert_allclose(sxx, np.fft.fftshift(sxx_s, axes=0), rtol=1e-10)
     np.testing.assert_allclose(med, np.median(np.fft.fftshift(sxx_s, axes=0), axis=-1))
+
+
+def test_spectrogram_proc_default_overlap_matches_scipy_default():
+    """With no noverlap argument, both scipy.signal.spectrogram and
+    spectrogram_proc use nperseg//8 overlap — the semantics the reference's
+    proc_data inherits by omitting noverlap (drfProc.py:425-433)."""
+    rng = np.random.default_rng(7)
+    sr, nfft = 1e4, 128
+    x = rng.standard_normal(4096) + 1j * rng.standard_normal(4096)
+    win = sig.get_window(("kaiser", 1.7), nfft)
+    f_s, t_s, sxx_s = sig.spectrogram(
+        x, sr, window=win, nperseg=nfft, detrend=False,
+        return_onesided=False, scaling="spectrum",
+    )
+    t, f, sxx, med, mn, mx = ref.spectrogram_proc(x, sr, nfft)
+    np.testing.assert_allclose(t, t_s, rtol=1e-12)
+    np.testing.assert_allclose(sxx, np.fft.fftshift(sxx_s, axes=0), rtol=1e-10)
 
 
 def test_spectrogram_proc_time_integration():
@@ -126,12 +143,12 @@ def test_spectrogram_proc_time_integration():
     rng = np.random.default_rng(4)
     sr, nfft = 1e4, 64
     x = rng.standard_normal(nfft * 12) + 1j * rng.standard_normal(nfft * 12)
-    t_full, f, sxx_full, *_ = ref.spectrogram_proc(x, sr, nfft)
+    t_full, f, sxx_full, *_ = ref.spectrogram_proc(x, sr, nfft, noverlap=0)
     # 3.5 segments worth of time -> n_int truncates to 3 (int(dt/seg_dt),
     # the same truncation the reference's proc_data applies,
     # drfProc.py:439; an exact 3.0 would be float-fragile: 2.999.. -> 2)
     dt = 3.5 * nfft / sr
-    t, f2, sxx, med, mn, mx = ref.spectrogram_proc(x, sr, nfft,
+    t, f2, sxx, med, mn, mx = ref.spectrogram_proc(x, sr, nfft, noverlap=0,
                                                    integration_dt=dt)
     assert sxx.shape == (nfft, 3)  # 12 segs -> 3 full 3-seg chunks (+rest)
     np.testing.assert_allclose(sxx[:, 0], sxx_full[:, :3].mean(axis=1),

@@ -126,3 +126,37 @@ def test_welch_reduces_variance():
     p = np.asarray(par(jnp.asarray(x), jnp.asarray(starts))["sxx"])
     w = np.asarray(wel(jnp.asarray(x), jnp.asarray(starts))["sxx"])
     assert w.std() < p.std() / 2.5  # ~sqrt(16)=4x in expectation
+
+
+def test_auto_impl_falls_back_to_xla_when_nsub_exceeds_vmem(monkeypatch):
+    """fft_impl='auto' must re-evaluate pallas support with the ACTUAL nsub
+    at trace time and fall back to XLA instead of raising (ADVICE round 1:
+    nsub>=3 at nfft=32768/nint=4 crashed every auto-path consumer)."""
+    import jax as _jax
+
+    from pyspectrogram_tpu.kernels import sti_pallas
+    from pyspectrogram_tpu.ops import stft as stft_mod
+
+    nfft, nint, nsub, ntime = 4096, 4, 25, 4
+    assert sti_pallas.pallas_auto_profitable(nfft, nint, 1, "welch")
+    assert not sti_pallas.pallas_supported(nfft, nint, nsub, "welch")
+
+    # pretend we're on TPU so auto would otherwise reach for the kernel,
+    # and make any pallas build an immediate failure
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+
+    def boom(**kw):  # pragma: no cover - failure path
+        raise AssertionError("pallas kernel built for unsupported nsub")
+
+    monkeypatch.setattr(sti_pallas, "make_pallas_sti_psd", boom)
+
+    fn = stft_mod.make_sti_fn_pm(nfft=nfft, nint=nint, mode="welch",
+                                 fft_impl="auto", eps=2e-15)
+    rng = np.random.default_rng(0)
+    samples = jnp.asarray(
+        rng.standard_normal((nsub * 2, nfft * nint * ntime)).astype(np.float32))
+    starts = jnp.asarray(
+        np.arange(ntime, dtype=np.int32) * nfft * nint)
+    out = fn(samples, starts)
+    assert np.asarray(out["sxx_dbfs"]).shape == (ntime, nsub, nfft)
+    assert np.isfinite(np.asarray(out["sxx_med_dbfs"])).all()

@@ -133,3 +133,26 @@ def test_structured_logging(capsys, monkeypatch):
     rec = _json.loads(line)
     assert rec["msg"].startswith("unit event")
     assert rec["tab_id"] == 3 and rec["level"] == "INFO"
+
+
+def test_checkpoint_non_npz_suffix_roundtrips(tmp_path):
+    """np.savez APPENDS .npz to foreign suffixes; the returned path must be
+    the file that actually exists, and loading by the ORIGINAL name must
+    work too (ADVICE round 1: `pstpu resume sess.ckpt` used to fail)."""
+    cfg = SpectrogramConfig(nfft=512, nint=2, ntime=32)
+    p = checkpoint.save_session(tmp_path / "sess.ckpt", "/data/cap", cfg,
+                                sample_bounds=(10, 99))
+    assert p.exists() and p.name == "sess.ckpt.npz"
+    for name in (p, tmp_path / "sess.ckpt"):
+        h = checkpoint.load_session(name)
+        assert h["config"].nfft == 512
+        assert h["sample_bounds"] == (10, 99)
+
+    s = StreamingSti(nfft=256, nint=1, nsub=1, block_len=1024, ring_len=8)
+    st = s.init_state()
+    q = checkpoint.save_stream_state(tmp_path / "stream.state", st,
+                                     {"nfft": 256})
+    assert q.exists() and q.name == "stream.state.npz"
+    st2, meta = checkpoint.load_stream_state(tmp_path / "stream.state")
+    assert meta["nfft"] == 256
+    assert st2.ring.shape == st.ring.shape
