@@ -204,12 +204,21 @@ def main():
     sps, p50, _ = bench_sti(nfft=args.nfft, nint=args.nint, ntime=args.ntime,
                             nsub=args.nsub, iters=args.iters,
                             fft_impl=args.impl, precision=args.precision)
-    print(json.dumps({
+    result = {
         "metric": f"sti_throughput_c64_nfft{args.nfft}",
         "value": round(sps, 1),
         "unit": "samples/s",
         "vs_baseline": round(sps / 1e9, 4),
-    }))
+        # BASELINE.json's metric is dual: throughput AND p50 block ->
+        # STI-column latency (north star < 5 ms); report both.
+        "p50_ms": round(p50 * 1e3, 4),
+    }
+    try:
+        _, sp50 = bench_streaming(nfft=args.nfft, iters=args.iters)
+        result["stream_p50_ms"] = round(sp50 * 1e3, 4)
+    except Exception as e:  # latency extra must never sink the headline
+        print(f"# streaming p50 FAILED: {e}", file=sys.stderr)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -93,7 +93,7 @@ def cmd_sti(args) -> int:
     if args.npz:
         np.savez(
             args.npz, freqs=res.freqs,
-            times=np.asarray([t.isoformat() for t in res.times]),
+            times=np.datetime_as_string(res.times, unit="us"),
             sxx_dbfs=res.sxx_dbfs, sxx_med_dbfs=res.sxx_med_dbfs,
         )
     print(json.dumps({
@@ -245,7 +245,8 @@ def cmd_watch(args) -> int:
         peak = float(e.sxx_med_dbfs[:, args.subchannel].max())
         print(f"# iter {e.i}: {e.sxx_dbfs.shape[1]} cols, "
               f"peak {peak:6.1f} dBFS, "
-              f"span {e.times[0].time()} .. {e.times[-1].time()}",
+              f"span {np.datetime_as_string(e.times[0], unit='s')[11:]} .. "
+              f"{np.datetime_as_string(e.times[-1], unit='s')[11:]}",
               file=_sys.stderr)
         last["e"] = e
 

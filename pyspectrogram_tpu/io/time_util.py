@@ -56,6 +56,50 @@ def sample_to_datetime(sample: int, sample_rate: Rate) -> datetime.datetime:
     return _EPOCH + datetime.timedelta(seconds=whole, microseconds=micros)
 
 
+def samples_to_datetime64(samples, sample_rate: Rate):
+    """Vectorized exact sample-index -> datetime64[us] conversion.
+
+    Same rounding as :func:`sample_to_datetime` (round-half-even on the
+    microsecond), but pure int64 vector math — the per-column Python
+    Fraction loop costs ~1 s at the reference's ntime=100,000 ceiling
+    (reference: drfProc.py:303-306); this is ~1000x faster. Falls back to
+    the exact scalar path if the intermediate products could overflow
+    int64 (never for realistic rates/indices).
+    """
+    import numpy as np
+
+    sr = as_fraction(sample_rate)
+    num, den = sr.numerator, sr.denominator
+    s = np.asarray(samples, dtype=np.int64)
+    den_us = den * 1_000_000
+    if s.size:
+        # overflow guards, in unbounded Python ints:
+        #   base_us = (s // num) * den_us;  n = (s % num) * den_us
+        qmax = max(abs(int(s.max())), abs(int(s.min()))) // num + 1
+        if qmax * den_us >= 2**62 or num * den_us >= 2**62:
+            return np.array(
+                [np.datetime64(_us_halfeven(int(v), num, den_us), "us")
+                 for v in s]
+            )
+    q, r = np.divmod(s, num)            # exact: s = q*num + r, 0 <= r < num
+    base_us = q * den_us
+    fl, rem = np.divmod(r * den_us, num)
+    two = 2 * rem
+    round_up = (two > num) | ((two == num) & (fl % 2 == 1))
+    return (base_us + fl + round_up.astype(np.int64)).view("datetime64[us]")
+
+
+def _us_halfeven(sample: int, num: int, den_us: int) -> int:
+    """Exact microseconds since epoch of sample at rate num/(den_us/1e6),
+    rounded half-even — unbounded Python ints (the scalar fallback for
+    values whose intermediates would overflow int64)."""
+    fl, rem = divmod(sample * den_us, num)
+    two = 2 * rem
+    if two > num or (two == num and fl & 1):
+        fl += 1
+    return fl
+
+
 def datetime_to_timestamp(dt: datetime.datetime) -> Fraction:
     """Naive-UTC datetime -> exact seconds since epoch."""
     delta = dt - _EPOCH

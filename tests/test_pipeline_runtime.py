@@ -47,9 +47,10 @@ def test_pipeline_matches_oracle_end_to_end(tone_capture):
     np.testing.assert_allclose(res.sxx_med_dbfs, oracle.to_dbfs(med), atol=0.1)
     assert res.sxx_dbfs.shape == (cfg.nfft, cfg.ntime, 2)
     assert res.mask.all()
-    # times are per-column datetimes (reference: drfProc.py:303-306)
+    # times are per-column datetime64[us] (reference: drfProc.py:303-306)
     assert res.times.shape == (cfg.ntime,)
-    assert res.times[0].year == 2016
+    assert res.times.dtype == np.dtype("datetime64[us]")
+    assert np.datetime64("2016-01-01") <= res.times[0] < np.datetime64("2017")
 
 
 def test_pipeline_int16_capture(int16_capture):
