@@ -23,7 +23,9 @@ tracks the latest result instead of a never-updated maxtime=0
 
 All compute stays in the framework; the GUI only consumes
 ``ProcessorCallbacks`` payloads, re-marshalled onto the Qt main thread.
-Requires the optional [gui] extra (PyQt5 + matplotlib).
+The interactive entry point requires the optional [gui] extra
+(PyQt5 + matplotlib); without it the same classes run on the headless
+widget kit (clients._qt_headless), which is how the GUI is tested.
 """
 
 from __future__ import annotations
@@ -31,13 +33,16 @@ from __future__ import annotations
 import sys
 from pathlib import Path
 
-_QT_ERR = None
-try:  # pragma: no cover - exercised only where PyQt5 is installed
-    from PyQt5 import QtCore, QtWidgets
-    from PyQt5.QtCore import Qt, pyqtSignal
-except Exception as e:  # pragma: no cover
-    _QT_ERR = e
-    QtCore = QtWidgets = None
+from pyspectrogram_tpu.clients.qt_backend import (
+    FigureCanvas,
+    HEADLESS,
+    NavigationToolbar2QT,
+    QT_IMPORT_ERROR,
+    Qt,
+    QtCore,
+    QtWidgets,
+    pyqtSignal,
+)
 
 import numpy as np
 
@@ -63,432 +68,428 @@ MAX_TABS = 7           # concurrent processors cap (reference: drfview.py:178)
 
 
 def require_qt():
-    if QtWidgets is None:  # pragma: no cover
+    if HEADLESS:
         raise ImportError(
-            "The GUI requires PyQt5 and matplotlib: pip install "
-            f"'pyspectrogram-tpu[gui]' (import error: {_QT_ERR})"
+            "The interactive GUI requires PyQt5 and matplotlib: pip "
+            f"install 'pyspectrogram-tpu[gui]' (import error: "
+            f"{QT_IMPORT_ERROR})"
         )
 
 
-if QtWidgets is not None:  # pragma: no cover - GUI classes need a display
+from matplotlib.figure import Figure  # noqa: E402
 
-    from matplotlib.backends.backend_qt5agg import (
-        FigureCanvasQTAgg as FigureCanvas,
-        NavigationToolbar2QT,
-    )
-    from matplotlib.figure import Figure
 
-    class CustomToolbar(NavigationToolbar2QT):
-        """Nav toolbar restricted to the reference's tool subset
-        (reference: drfview.py:1744-1754)."""
+class CustomToolbar(NavigationToolbar2QT):
+    """Nav toolbar restricted to the reference's tool subset
+    (reference: drfview.py:1744-1754)."""
 
-        toolitems = [
-            t for t in NavigationToolbar2QT.toolitems
-            if t[0] in ("Home", "Back", "Forward", "Pan", "Zoom", "Save")
-        ]
+    toolitems = [
+        t for t in NavigationToolbar2QT.toolitems
+        if t[0] in ("Home", "Back", "Forward", "Pan", "Zoom", "Save")
+    ]
 
-    class _Bridge(QtCore.QObject):
-        """Marshals worker-thread callbacks onto the Qt main thread."""
+class _Bridge(QtCore.QObject):
+    """Marshals worker-thread callbacks onto the Qt main thread."""
 
-        iterated = pyqtSignal(object)
-        stats = pyqtSignal(object)
-        terminated = pyqtSignal(object)
+    iterated = pyqtSignal(object)
+    stats = pyqtSignal(object)
+    terminated = pyqtSignal(object)
 
-        def callbacks(self) -> ProcessorCallbacks:
-            return ProcessorCallbacks(
-                on_iterated=self.iterated.emit,
-                on_stats=self.stats.emit,
-                on_terminated=self.terminated.emit,
-            )
+    def callbacks(self) -> ProcessorCallbacks:
+        return ProcessorCallbacks(
+            on_iterated=self.iterated.emit,
+            on_stats=self.stats.emit,
+            on_terminated=self.terminated.emit,
+        )
 
-    class TabState:
-        def __init__(self):
-            self.processor: SpectrogramProcessor | None = None
-            self.bridge: _Bridge | None = None
-            self.config = SpectrogramConfig()
-            self.last: Iterated | None = None
-            self.time_bounds = None
-            self.subchan = 0
+class TabState:
+    def __init__(self):
+        self.processor: SpectrogramProcessor | None = None
+        self.bridge: _Bridge | None = None
+        self.config = SpectrogramConfig()
+        self.last: Iterated | None = None
+        self.time_bounds = None
+        self.subchan = 0
 
-    class MainWindow(QtWidgets.QMainWindow):
-        def __init__(self):
-            super().__init__()
-            self.setWindowTitle("pyspectrogram-tpu viewer")
-            self.tabs = QtWidgets.QTabWidget()
-            self.setCentralWidget(self.tabs)
-            self.states: dict[int, TabState] = {}
-            self._tab_seq = 0
-            # universal settings (reference wishlist README.md:18): apply
-            # to every tab; persisted per user
-            self.refresh_s = 0.1
-            self._build_menu()
-            self.new_tab()
-            self.showMaximized()
+class MainWindow(QtWidgets.QMainWindow):
+    def __init__(self):
+        super().__init__()
+        self.setWindowTitle("pyspectrogram-tpu viewer")
+        self.tabs = QtWidgets.QTabWidget()
+        self.setCentralWidget(self.tabs)
+        self.states: dict[int, TabState] = {}
+        self._tab_seq = 0
+        # universal settings (reference wishlist README.md:18): apply
+        # to every tab; persisted per user
+        self.refresh_s = 0.1
+        self._build_menu()
+        self.new_tab()
+        self.showMaximized()
 
-        # ---------------------------------------------------------- menu
-        def _build_menu(self):
-            m = self.menuBar().addMenu("&File")
-            for label, keys, fn in [
-                ("New Tab", "Ctrl+N", self.new_tab),
-                ("Rename Tab", "Ctrl+R", self.rename_tab),
-                ("Close Tab", "Ctrl+X", self.close_tab),
-            ]:
-                act = QtWidgets.QAction(label, self)
-                act.setShortcut(keys)
-                act.triggered.connect(fn)
-                m.addAction(act)
-            s = self.menuBar().addMenu("&Settings")
-            act = QtWidgets.QAction("Refresh rate…", self)
-            act.triggered.connect(self._set_refresh_rate)
-            s.addAction(act)
+    # ---------------------------------------------------------- menu
+    def _build_menu(self):
+        m = self.menuBar().addMenu("&File")
+        for label, keys, fn in [
+            ("New Tab", "Ctrl+N", self.new_tab),
+            ("Rename Tab", "Ctrl+R", self.rename_tab),
+            ("Close Tab", "Ctrl+X", self.close_tab),
+        ]:
+            act = QtWidgets.QAction(label, self)
+            act.setShortcut(keys)
+            act.triggered.connect(fn)
+            m.addAction(act)
+        s = self.menuBar().addMenu("&Settings")
+        act = QtWidgets.QAction("Refresh rate…", self)
+        act.triggered.connect(self._set_refresh_rate)
+        s.addAction(act)
 
-        def _set_refresh_rate(self):
-            val, ok = QtWidgets.QInputDialog.getDouble(
-                self, "Universal settings", "GUI refresh interval (s):",
-                self.refresh_s, 0.01, 10.0, 2)
-            if ok:
-                self.refresh_s = val
-                for st in self.states.values():
-                    if st.processor:
-                        st.processor.written_sleep = val
-                        st.processor.streaming_sleep = val
+    def _set_refresh_rate(self):
+        val, ok = QtWidgets.QInputDialog.getDouble(
+            self, "Universal settings", "GUI refresh interval (s):",
+            self.refresh_s, 0.01, 10.0, 2)
+        if ok:
+            self.refresh_s = val
+            for st in self.states.values():
+                if st.processor:
+                    st.processor.written_sleep = val
+                    st.processor.streaming_sleep = val
 
-        # ---------------------------------------------------------- tabs
-        def new_tab(self):
-            if self.tabs.count() >= MAX_TABS:
-                self._warn("Maximum number of tabs reached.")
-                return
-            self._tab_seq += 1
-            tab_id = self._tab_seq
-            st = TabState()
-            self.states[tab_id] = st
-            w = self._build_tab(tab_id, st)
-            self.tabs.addTab(w, f"Tab {tab_id}")
-            self.tabs.setCurrentWidget(w)
+    # ---------------------------------------------------------- tabs
+    def new_tab(self):
+        if self.tabs.count() >= MAX_TABS:
+            self._warn("Maximum number of tabs reached.")
+            return
+        self._tab_seq += 1
+        tab_id = self._tab_seq
+        st = TabState()
+        self.states[tab_id] = st
+        w = self._build_tab(tab_id, st)
+        self.tabs.addTab(w, f"Tab {tab_id}")
+        self.tabs.setCurrentWidget(w)
 
-        def rename_tab(self):
-            i = self.tabs.currentIndex()
-            name, ok = QtWidgets.QInputDialog.getText(
-                self, "Rename Tab", "New name:")
-            if ok and name:
-                self.tabs.setTabText(i, name)
+    def rename_tab(self):
+        i = self.tabs.currentIndex()
+        name, ok = QtWidgets.QInputDialog.getText(
+            self, "Rename Tab", "New name:")
+        if ok and name:
+            self.tabs.setTabText(i, name)
 
-        def close_tab(self):
-            i = self.tabs.currentIndex()
-            w = self.tabs.widget(i)
-            tab_id = w.property("tab_id")
-            st = self.states.pop(tab_id, None)
-            if st and st.processor and st.processor.is_running:
-                st.processor.abort()
-            self.tabs.removeTab(i)
+    def close_tab(self):
+        i = self.tabs.currentIndex()
+        w = self.tabs.widget(i)
+        tab_id = w.property("tab_id")
+        st = self.states.pop(tab_id, None)
+        if st and st.processor and st.processor.is_running:
+            st.processor.abort()
+        self.tabs.removeTab(i)
 
-        # ------------------------------------------------------- tab UI
-        def _build_tab(self, tab_id: int, st: TabState) -> QtWidgets.QWidget:
-            w = QtWidgets.QWidget()
-            w.setProperty("tab_id", tab_id)
-            layout = QtWidgets.QHBoxLayout(w)
+    # ------------------------------------------------------- tab UI
+    def _build_tab(self, tab_id: int, st: TabState) -> QtWidgets.QWidget:
+        w = QtWidgets.QWidget()
+        w.setProperty("tab_id", tab_id)
+        layout = QtWidgets.QHBoxLayout(w)
 
-            fig = Figure(figsize=(8, 8))
-            gs = fig.add_gridspec(4, 5)
-            st.psd_ax = fig.add_subplot(gs[0, :-1])
-            st.sti_ax = fig.add_subplot(gs[1:, :])
-            # dBFS-labeled colorbar beside the waterfall
-            # (reference: drfview.py:1367-1387)
-            from matplotlib import cm as _cm
-            from matplotlib.colors import Normalize
+        fig = Figure(figsize=(8, 8))
+        gs = fig.add_gridspec(4, 5)
+        st.psd_ax = fig.add_subplot(gs[0, :-1])
+        st.sti_ax = fig.add_subplot(gs[1:, :])
+        # dBFS-labeled colorbar beside the waterfall
+        # (reference: drfview.py:1367-1387)
+        from matplotlib import cm as _cm
+        from matplotlib.colors import Normalize
 
-            st.mappable = _cm.ScalarMappable(
-                norm=Normalize(*st.config.color_range_db), cmap="viridis")
-            st.colorbar = fig.colorbar(st.mappable, ax=st.sti_ax,
-                                       label="dBFS")
-            st.canvas = FigureCanvas(fig)
-            left = QtWidgets.QVBoxLayout()
-            left.addWidget(CustomToolbar(st.canvas, w))
-            left.addWidget(st.canvas)
-            layout.addLayout(left, stretch=3)
+        st.mappable = _cm.ScalarMappable(
+            norm=Normalize(*st.config.color_range_db), cmap="viridis")
+        st.colorbar = fig.colorbar(st.mappable, ax=st.sti_ax,
+                                   label="dBFS")
+        st.canvas = FigureCanvas(fig)
+        left = QtWidgets.QVBoxLayout()
+        left.addWidget(CustomToolbar(st.canvas, w))
+        left.addWidget(st.canvas)
+        layout.addLayout(left, stretch=3)
 
-            panel = QtWidgets.QFormLayout()
-            st.start_btn = QtWidgets.QPushButton("Start")
-            st.stop_btn = QtWidgets.QPushButton("Stop")
-            st.stop_btn.setEnabled(False)
-            row = QtWidgets.QHBoxLayout()
-            row.addWidget(st.start_btn)
-            row.addWidget(st.stop_btn)
-            panel.addRow(row)
+        panel = QtWidgets.QFormLayout()
+        st.start_btn = QtWidgets.QPushButton("Start")
+        st.stop_btn = QtWidgets.QPushButton("Stop")
+        st.stop_btn.setEnabled(False)
+        row = QtWidgets.QHBoxLayout()
+        row.addWidget(st.start_btn)
+        row.addWidget(st.stop_btn)
+        panel.addRow(row)
 
-            st.chan_combo = QtWidgets.QComboBox()
-            st.sub_combo = QtWidgets.QComboBox()
-            panel.addRow("Channel", st.chan_combo)
-            panel.addRow("Subchannel", st.sub_combo)
+        st.chan_combo = QtWidgets.QComboBox()
+        st.sub_combo = QtWidgets.QComboBox()
+        panel.addRow("Channel", st.chan_combo)
+        panel.addRow("Subchannel", st.sub_combo)
 
-            st.tmin = QtWidgets.QSlider(Qt.Horizontal)
-            st.tmax = QtWidgets.QSlider(Qt.Horizontal)
-            for s, v in ((st.tmin, 0), (st.tmax, SLIDER_STEPS)):
-                s.setRange(0, SLIDER_STEPS)
-                s.setValue(v)
-            panel.addRow("Time min", st.tmin)
-            panel.addRow("Time max", st.tmax)
+        st.tmin = QtWidgets.QSlider(Qt.Horizontal)
+        st.tmax = QtWidgets.QSlider(Qt.Horizontal)
+        for s, v in ((st.tmin, 0), (st.tmax, SLIDER_STEPS)):
+            s.setRange(0, SLIDER_STEPS)
+            s.setValue(v)
+        panel.addRow("Time min", st.tmin)
+        panel.addRow("Time max", st.tmax)
 
-            st.cmin = QtWidgets.QSpinBox()
-            st.cmin.setRange(-200, 0)
-            st.cmin.setValue(int(st.config.color_range_db[0]))
-            st.cmax = QtWidgets.QSpinBox()
-            st.cmax.setRange(-150, 0)
-            st.cmax.setValue(int(st.config.color_range_db[1]))
-            panel.addRow("Color min (dBFS)", st.cmin)
-            panel.addRow("Color max (dBFS)", st.cmax)
+        st.cmin = QtWidgets.QSpinBox()
+        st.cmin.setRange(-200, 0)
+        st.cmin.setValue(int(st.config.color_range_db[0]))
+        st.cmax = QtWidgets.QSpinBox()
+        st.cmax.setRange(-150, 0)
+        st.cmax.setValue(int(st.config.color_range_db[1]))
+        panel.addRow("Color min (dBFS)", st.cmin)
+        panel.addRow("Color max (dBFS)", st.cmax)
 
-            st.nfft = QtWidgets.QSpinBox()
-            st.nfft.setRange(*NFFT_RANGE)
-            st.nfft.setValue(st.config.nfft)
-            st.nint = QtWidgets.QSpinBox()
-            st.nint.setRange(*NINT_RANGE)
-            st.nint.setValue(st.config.nint)
-            st.ntime = QtWidgets.QSpinBox()
-            st.ntime.setRange(max(NTIME_RANGE[0], 100), NTIME_RANGE[1])
-            st.ntime.setValue(max(st.config.ntime, 100))
-            panel.addRow("FFT length", st.nfft)
-            panel.addRow("Integrations", st.nint)
-            panel.addRow("STI time points", st.ntime)
+        st.nfft = QtWidgets.QSpinBox()
+        st.nfft.setRange(*NFFT_RANGE)
+        st.nfft.setValue(st.config.nfft)
+        st.nint = QtWidgets.QSpinBox()
+        st.nint.setRange(*NINT_RANGE)
+        st.nint.setValue(st.config.nint)
+        st.ntime = QtWidgets.QSpinBox()
+        st.ntime.setRange(max(NTIME_RANGE[0], 100), NTIME_RANGE[1])
+        st.ntime.setValue(max(st.config.ntime, 100))
+        panel.addRow("FFT length", st.nfft)
+        panel.addRow("Integrations", st.nint)
+        panel.addRow("STI time points", st.ntime)
 
-            st.fmin = QtWidgets.QSpinBox()
-            st.fmin.setRange(-1000, 1000)
-            st.fmin.setValue(int(st.config.freq_window_khz[0]))
-            st.fmax = QtWidgets.QSpinBox()
-            st.fmax.setRange(-1000, 1000)
-            st.fmax.setValue(int(st.config.freq_window_khz[1]))
-            panel.addRow("Freq min (kHz)", st.fmin)
-            panel.addRow("Freq max (kHz)", st.fmax)
+        st.fmin = QtWidgets.QSpinBox()
+        st.fmin.setRange(-1000, 1000)
+        st.fmin.setValue(int(st.config.freq_window_khz[0]))
+        st.fmax = QtWidgets.QSpinBox()
+        st.fmax.setRange(-1000, 1000)
+        st.fmax.setValue(int(st.config.freq_window_khz[1]))
+        panel.addRow("Freq min (kHz)", st.fmin)
+        panel.addRow("Freq max (kHz)", st.fmax)
 
-            st.update_btn = QtWidgets.QPushButton("Update Settings")
-            panel.addRow(st.update_btn)
-            st.specs = QtWidgets.QLabel("")
-            panel.addRow(st.specs)
+        st.update_btn = QtWidgets.QPushButton("Update Settings")
+        panel.addRow(st.update_btn)
+        st.specs = QtWidgets.QLabel("")
+        panel.addRow(st.specs)
 
-            st.save_btn = QtWidgets.QPushButton("Save Spectrogram PNG…")
-            st.save_btn.setEnabled(False)
-            panel.addRow(st.save_btn)
+        st.save_btn = QtWidgets.QPushButton("Save Spectrogram PNG…")
+        st.save_btn.setEnabled(False)
+        panel.addRow(st.save_btn)
 
-            right = QtWidgets.QWidget()
-            right.setLayout(panel)
-            layout.addWidget(right, stretch=1)
+        right = QtWidgets.QWidget()
+        right.setLayout(panel)
+        layout.addWidget(right, stretch=1)
 
-            st.start_btn.clicked.connect(lambda: self.start_processor(tab_id))
-            st.stop_btn.clicked.connect(lambda: self.stop_processor(tab_id))
-            st.update_btn.clicked.connect(lambda: self.pull_settings(tab_id))
-            st.save_btn.clicked.connect(lambda: self.save_png(tab_id))
-            st.sub_combo.currentIndexChanged.connect(
-                lambda i: self._set_subchan(tab_id, i))
-            st.chan_combo.currentTextChanged.connect(
-                lambda name: self._set_channel(tab_id, name))
-            return w
+        st.start_btn.clicked.connect(lambda: self.start_processor(tab_id))
+        st.stop_btn.clicked.connect(lambda: self.stop_processor(tab_id))
+        st.update_btn.clicked.connect(lambda: self.pull_settings(tab_id))
+        st.save_btn.clicked.connect(lambda: self.save_png(tab_id))
+        st.sub_combo.currentIndexChanged.connect(
+            lambda i: self._set_subchan(tab_id, i))
+        st.chan_combo.currentTextChanged.connect(
+            lambda name: self._set_channel(tab_id, name))
+        return w
 
-        # --------------------------------------------------- processor
-        def _last_dir_file(self) -> Path:
-            return Path.home() / ".pstpu_last_dir"
+    # --------------------------------------------------- processor
+    def _last_dir_file(self) -> Path:
+        return Path.home() / ".pstpu_last_dir"
 
-        def start_processor(self, tab_id: int):
-            st = self.states[tab_id]
-            running = sum(
-                1 for s in self.states.values()
-                if s.processor and s.processor.is_running
-            )
-            if running >= MAX_TABS:
-                self._warn("All processing threads are busy.")
-                return
-            last = ""
-            f = self._last_dir_file()
-            if f.exists():
-                last = f.read_text().strip()
-            drfdir = QtWidgets.QFileDialog.getExistingDirectory(
-                self, "Select Digital RF directory", last)
-            if not drfdir:
-                return
-            f.write_text(drfdir)
+    def start_processor(self, tab_id: int):
+        st = self.states[tab_id]
+        running = sum(
+            1 for s in self.states.values()
+            if s.processor and s.processor.is_running
+        )
+        if running >= MAX_TABS:
+            self._warn("All processing threads are busy.")
+            return
+        last = ""
+        f = self._last_dir_file()
+        if f.exists():
+            last = f.read_text().strip()
+        drfdir = QtWidgets.QFileDialog.getExistingDirectory(
+            self, "Select Digital RF directory", last)
+        if not drfdir:
+            return
+        f.write_text(drfdir)
 
-            st.bridge = _Bridge()
-            st.bridge.iterated.connect(
-                lambda p: self.on_iterated(tab_id, p))
-            st.bridge.stats.connect(lambda p: self.on_stats(tab_id, p))
-            st.bridge.terminated.connect(
-                lambda p: self.on_terminated(tab_id, p))
-            st.processor = SpectrogramProcessor(
-                "written", drfdir, tab_id, self._config_from_widgets(st),
-                callbacks=st.bridge.callbacks(),
-            )
-            if not st.processor.is_running:
-                return  # terminated already emitted with the reason
-            st.chan_combo.clear()
-            st.chan_combo.addItems(st.processor.chan_listing)
-            st.sub_combo.clear()
-            chan = st.processor.chan_listing[0]
-            nsub = len(st.processor.ds.chan_2sub[chan])
-            st.sub_combo.addItems([str(i) for i in range(nsub)])
-            st.processor.start()
-            st.start_btn.setEnabled(False)
-            st.stop_btn.setEnabled(True)
-            st.save_btn.setEnabled(False)
+        st.bridge = _Bridge()
+        st.bridge.iterated.connect(
+            lambda p: self.on_iterated(tab_id, p))
+        st.bridge.stats.connect(lambda p: self.on_stats(tab_id, p))
+        st.bridge.terminated.connect(
+            lambda p: self.on_terminated(tab_id, p))
+        st.processor = SpectrogramProcessor(
+            "written", drfdir, tab_id, self._config_from_widgets(st),
+            callbacks=st.bridge.callbacks(),
+        )
+        if not st.processor.is_running:
+            return  # terminated already emitted with the reason
+        st.chan_combo.clear()
+        st.chan_combo.addItems(st.processor.chan_listing)
+        st.sub_combo.clear()
+        chan = st.processor.chan_listing[0]
+        nsub = len(st.processor.ds.chan_2sub[chan])
+        st.sub_combo.addItems([str(i) for i in range(nsub)])
+        st.processor.start()
+        st.start_btn.setEnabled(False)
+        st.stop_btn.setEnabled(True)
+        st.save_btn.setEnabled(False)
 
-        def stop_processor(self, tab_id: int):
-            st = self.states[tab_id]
-            if st.processor:
-                st.processor.abort()
+    def stop_processor(self, tab_id: int):
+        st = self.states[tab_id]
+        if st.processor:
+            st.processor.abort()
 
-        def _set_subchan(self, tab_id: int, i: int):
-            st = self.states[tab_id]
-            st.subchan = max(0, i)
-            if st.last is not None:
-                self._redraw(st)
-
-        def _set_channel(self, tab_id: int, name: str):
-            """Channel switch: repopulate subchannels and retarget the
-            processor (the reference repopulates combos on start only,
-            drfview.py:1186-1194; live switching is an improvement)."""
-            st = self.states[tab_id]
-            if not name or st.processor is None:
-                return
-            nsub = len(st.processor.ds.chan_2sub.get(name, []))
-            if nsub == 0:
-                return
-            st.sub_combo.blockSignals(True)
-            st.sub_combo.clear()
-            st.sub_combo.addItems([str(i) for i in range(nsub)])
-            st.sub_combo.blockSignals(False)
-            st.subchan = 0
-            st.processor.select_channel(name)
-
-        # ----------------------------------------------------- settings
-        def _config_from_widgets(self, st: TabState) -> SpectrogramConfig:
-            return st.config.replace(
-                nfft=st.nfft.value(), nint=st.nint.value(),
-                ntime=st.ntime.value(),
-                color_range_db=(st.cmin.value(), st.cmax.value()),
-                freq_window_khz=(st.fmin.value(), st.fmax.value()),
-            )
-
-        def pull_settings(self, tab_id: int):
-            """GUI -> processor settings push with validation + revert
-            (reference: drfview.py:849-958; frange revert bug fixed)."""
-            st = self.states[tab_id]
-            old = st.config
-            if st.cmax.value() <= st.cmin.value():
-                st.cmin.setValue(int(old.color_range_db[0]))
-                st.cmax.setValue(int(old.color_range_db[1]))
-                self._warn("Maximum color value must exceed the minimum.")
-                return
-            if st.fmax.value() <= st.fmin.value():
-                st.fmin.setValue(int(old.freq_window_khz[0]))
-                st.fmax.setValue(int(old.freq_window_khz[1]))
-                self._warn("Maximum frequency must exceed the minimum.")
-                return
-            st.config = self._config_from_widgets(st)
-            if st.processor and st.processor.is_running:
-                tb = st.processor.ds.time_bnds
-                span = tb[1] - tb[0]
-                st.processor.update_settings(
-                    nfft=st.config.nfft, nint=st.config.nint,
-                    ntime=st.config.ntime,
-                    bnd_beg=tb[0] + span * st.tmin.value() / SLIDER_STEPS,
-                    bnd_end=tb[0] + span * st.tmax.value() / SLIDER_STEPS,
-                )
-
-        # -------------------------------------------------------- slots
-        def on_stats(self, tab_id: int, p: StatsUpdated):
-            st = self.states.get(tab_id)
-            if st is None:
-                return
-            st.time_bounds = p.time_bounds
-            sr = float(p.sample_rate)
-            nyq_khz = sr / 2e3
-            for wdg in (st.fmin, st.fmax):
-                wdg.setRange(int(-nyq_khz), int(nyq_khz))
-            df = sr / p.nfft
-            st.specs.setText(
-                f"fs={sr:,.0f} Hz  Nyquist={sr/2:,.0f} Hz\n"
-                f"NFFT={p.nfft}  Δf={df:,.2f} Hz"
-            )
-
-        def on_iterated(self, tab_id: int, p: Iterated):
-            st = self.states.get(tab_id)
-            if st is None:
-                return
-            st.last = p
+    def _set_subchan(self, tab_id: int, i: int):
+        st = self.states[tab_id]
+        st.subchan = max(0, i)
+        if st.last is not None:
             self._redraw(st)
 
-        def on_terminated(self, tab_id: int, p: Terminated):
-            st = self.states.get(tab_id)
-            if st is None:
-                return
-            st.start_btn.setEnabled(True)
-            st.stop_btn.setEnabled(False)
-            st.save_btn.setEnabled(st.last is not None)
-            if p.reason != TerminateReason.OK:
-                self._warn(p.reason.describe())
+    def _set_channel(self, tab_id: int, name: str):
+        """Channel switch: repopulate subchannels and retarget the
+        processor (the reference repopulates combos on start only,
+        drfview.py:1186-1194; live switching is an improvement)."""
+        st = self.states[tab_id]
+        if not name or st.processor is None:
+            return
+        nsub = len(st.processor.ds.chan_2sub.get(name, []))
+        if nsub == 0:
+            return
+        st.sub_combo.blockSignals(True)
+        st.sub_combo.clear()
+        st.sub_combo.addItems([str(i) for i in range(nsub)])
+        st.sub_combo.blockSignals(False)
+        st.subchan = 0
+        st.processor.select_channel(name)
 
-        # --------------------------------------------------------- draw
-        def _redraw(self, st: TabState):
-            p = st.last
-            sub = st.subchan
-            f_khz = p.freqs * 1e-3
-            st.psd_ax.cla()
-            nsub = p.sxx_med_dbfs.shape[1]
-            for i in range(nsub):
-                lw = 4 if i == sub else 1
-                st.psd_ax.plot(f_khz, p.sxx_med_dbfs[:, i], linewidth=lw,
-                               label=f"sub chan: {i}")
-            st.psd_ax.legend(loc="upper right", fontsize=7)
-            st.psd_ax.set_ylabel("dBFS")
+    # ----------------------------------------------------- settings
+    def _config_from_widgets(self, st: TabState) -> SpectrogramConfig:
+        return st.config.replace(
+            nfft=st.nfft.value(), nint=st.nint.value(),
+            ntime=st.ntime.value(),
+            color_range_db=(st.cmin.value(), st.cmax.value()),
+            freq_window_khz=(st.fmin.value(), st.fmax.value()),
+        )
 
-            st.sti_ax.cla()
-            crange = st.config.color_range_db
-            # decimate to the plot cap before pcolormesh
-            from pyspectrogram_tpu.display import freq_crop_decimate
-
-            idx, plotf = freq_crop_decimate(
-                p.freqs, st.config.freq_window_khz, MAX_PLOT_FREQS)
-            st.sti_ax.pcolormesh(
-                plotf * 1e-3, p.times, p.sxx_dbfs[idx, :, sub].T,
-                cmap="viridis", vmin=crange[0], vmax=crange[1],
-                shading="auto",
+    def pull_settings(self, tab_id: int):
+        """GUI -> processor settings push with validation + revert
+        (reference: drfview.py:849-958; frange revert bug fixed)."""
+        st = self.states[tab_id]
+        old = st.config
+        if st.cmax.value() <= st.cmin.value():
+            st.cmin.setValue(int(old.color_range_db[0]))
+            st.cmax.setValue(int(old.color_range_db[1]))
+            self._warn("Maximum color value must exceed the minimum.")
+            return
+        if st.fmax.value() <= st.fmin.value():
+            st.fmin.setValue(int(old.freq_window_khz[0]))
+            st.fmax.setValue(int(old.freq_window_khz[1]))
+            self._warn("Maximum frequency must exceed the minimum.")
+            return
+        st.config = self._config_from_widgets(st)
+        if st.processor and st.processor.is_running:
+            tb = st.processor.ds.time_bnds
+            span = tb[1] - tb[0]
+            st.processor.update_settings(
+                nfft=st.config.nfft, nint=st.config.nint,
+                ntime=st.config.ntime,
+                bnd_beg=tb[0] + span * st.tmin.value() / SLIDER_STEPS,
+                bnd_end=tb[0] + span * st.tmax.value() / SLIDER_STEPS,
             )
-            st.sti_ax.set_xlabel("Frequency (kHz)")
-            st.mappable.set_clim(*crange)
-            st.canvas.draw_idle()
 
-        def save_png(self, tab_id: int):
-            st = self.states[tab_id]
-            if st.last is None:
-                return
-            fname, _ = QtWidgets.QFileDialog.getSaveFileName(
-                self, "Save Spectrogram", "", "PNG (*.png)")
-            if not fname:
-                return
-            QtWidgets.QApplication.setOverrideCursor(Qt.WaitCursor)
-            try:
-                save_sti_png(
-                    fname, st.last.freqs, st.last.times,
-                    st.last.sxx_dbfs[..., st.subchan],
-                    colorrange=st.config.color_range_db,
-                    freqrange_khz=st.config.freq_window_khz,
-                )
-            finally:
-                QtWidgets.QApplication.restoreOverrideCursor()
+    # -------------------------------------------------------- slots
+    def on_stats(self, tab_id: int, p: StatsUpdated):
+        st = self.states.get(tab_id)
+        if st is None:
+            return
+        st.time_bounds = p.time_bounds
+        sr = float(p.sample_rate)
+        nyq_khz = sr / 2e3
+        for wdg in (st.fmin, st.fmax):
+            wdg.setRange(int(-nyq_khz), int(nyq_khz))
+        df = sr / p.nfft
+        st.specs.setText(
+            f"fs={sr:,.0f} Hz  Nyquist={sr/2:,.0f} Hz\n"
+            f"NFFT={p.nfft}  Δf={df:,.2f} Hz"
+        )
 
-        # ------------------------------------------------------- dialogs
-        def _warn(self, text: str):
-            QtWidgets.QMessageBox.warning(self, "Warning", text)
+    def on_iterated(self, tab_id: int, p: Iterated):
+        st = self.states.get(tab_id)
+        if st is None:
+            return
+        st.last = p
+        self._redraw(st)
 
-        def closeEvent(self, event):
-            reply = QtWidgets.QMessageBox.question(
-                self, "Exit", "Close all tabs and exit?",
-                QtWidgets.QMessageBox.Yes | QtWidgets.QMessageBox.No)
-            if reply != QtWidgets.QMessageBox.Yes:
-                event.ignore()
-                return
-            for st in self.states.values():
-                if st.processor and st.processor.is_running:
-                    st.processor.abort()
-            event.accept()
+    def on_terminated(self, tab_id: int, p: Terminated):
+        st = self.states.get(tab_id)
+        if st is None:
+            return
+        st.start_btn.setEnabled(True)
+        st.stop_btn.setEnabled(False)
+        st.save_btn.setEnabled(st.last is not None)
+        if p.reason != TerminateReason.OK:
+            self._warn(p.reason.describe())
+
+    # --------------------------------------------------------- draw
+    def _redraw(self, st: TabState):
+        p = st.last
+        sub = st.subchan
+        f_khz = p.freqs * 1e-3
+        st.psd_ax.cla()
+        nsub = p.sxx_med_dbfs.shape[1]
+        for i in range(nsub):
+            lw = 4 if i == sub else 1
+            st.psd_ax.plot(f_khz, p.sxx_med_dbfs[:, i], linewidth=lw,
+                           label=f"sub chan: {i}")
+        st.psd_ax.legend(loc="upper right", fontsize=7)
+        st.psd_ax.set_ylabel("dBFS")
+
+        st.sti_ax.cla()
+        crange = st.config.color_range_db
+        # decimate to the plot cap before pcolormesh
+        from pyspectrogram_tpu.display import freq_crop_decimate
+
+        idx, plotf = freq_crop_decimate(
+            p.freqs, st.config.freq_window_khz, MAX_PLOT_FREQS)
+        st.sti_ax.pcolormesh(
+            plotf * 1e-3, p.times, p.sxx_dbfs[idx, :, sub].T,
+            cmap="viridis", vmin=crange[0], vmax=crange[1],
+            shading="auto",
+        )
+        st.sti_ax.set_xlabel("Frequency (kHz)")
+        st.mappable.set_clim(*crange)
+        st.canvas.draw_idle()
+
+    def save_png(self, tab_id: int):
+        st = self.states[tab_id]
+        if st.last is None:
+            return
+        fname, _ = QtWidgets.QFileDialog.getSaveFileName(
+            self, "Save Spectrogram", "", "PNG (*.png)")
+        if not fname:
+            return
+        QtWidgets.QApplication.setOverrideCursor(Qt.WaitCursor)
+        try:
+            save_sti_png(
+                fname, st.last.freqs, st.last.times,
+                st.last.sxx_dbfs[..., st.subchan],
+                colorrange=st.config.color_range_db,
+                freqrange_khz=st.config.freq_window_khz,
+            )
+        finally:
+            QtWidgets.QApplication.restoreOverrideCursor()
+
+    # ------------------------------------------------------- dialogs
+    def _warn(self, text: str):
+        QtWidgets.QMessageBox.warning(self, "Warning", text)
+
+    def closeEvent(self, event):
+        reply = QtWidgets.QMessageBox.question(
+            self, "Exit", "Close all tabs and exit?",
+            QtWidgets.QMessageBox.Yes | QtWidgets.QMessageBox.No)
+        if reply != QtWidgets.QMessageBox.Yes:
+            event.ignore()
+            return
+        for st in self.states.values():
+            if st.processor and st.processor.is_running:
+                st.processor.abort()
+        event.accept()
 
 
 def main() -> int:  # pragma: no cover
