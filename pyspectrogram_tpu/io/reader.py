@@ -34,9 +34,14 @@ from pyspectrogram_tpu.utils.errors import (
 
 
 class DigitalRFReader:
-    """Format-level reader over a Digital RF top-level directory."""
+    """Format-level reader over a Digital RF top-level directory.
 
-    def __init__(self, top_dir: Union[str, Path]):
+    ``io_workers`` sizes the pooled GIL-free bulk-read path
+    (io.fastread); 0 disables it and every read goes through h5py.
+    """
+
+    def __init__(self, top_dir: Union[str, Path],
+                 io_workers: Optional[int] = None):
         self.top_dir = Path(top_dir).expanduser()
         if not self.top_dir.is_dir():
             raise FormatError(f"not a directory: {self.top_dir}")
@@ -47,6 +52,12 @@ class DigitalRFReader:
                 self._props[chan_dir.name] = fmt.read_properties(pfile)
         if not self._props:
             raise FormatError(f"no Digital RF channels under {self.top_dir}")
+        if io_workers == 0:
+            self._fast = None
+        else:
+            from pyspectrogram_tpu.io.fastread import FastSpanReader
+
+            self._fast = FastSpanReader(workers=io_workers)
 
     # ---- discovery -----------------------------------------------------
     def get_channels(self) -> List[str]:
@@ -136,11 +147,22 @@ class DigitalRFReader:
         """Dense (n, nsub) read in native memory dtype; gaps zero-filled.
 
         With ``return_mask`` also returns a bool (n,) validity mask.
+        Large spans over unchunked files go through the pooled GIL-free
+        byte-range path (io.fastread); anything else through h5py —
+        results are identical.
         """
         props = self._channel_props(channel)
         n = int(n_samples)
-        out = np.zeros((n, props.num_subchannels), dtype=fmt.memory_dtype_of(props))
+        # uninitialized on purpose: the fast path writes data rows via
+        # preadv and zeroes only the gap rows itself
+        out = np.empty((n, props.num_subchannels), dtype=fmt.memory_dtype_of(props))
         mask = np.zeros(n, dtype=bool)
+        if self._fast is not None and self._fast.read_into(
+            props, self.top_dir / channel, int(start_sample), n, out, mask
+        ):
+            return (out, mask) if return_mask else out
+        out[:] = 0
+        mask[:] = False
         for g, arr in self.read(start_sample, n, channel).items():
             o = g - int(start_sample)
             out[o : o + len(arr)] = arr
@@ -180,8 +202,9 @@ class RFDataset:
     ``chan_2sub``, ``chan_entries``, ``sr_dict``, ``ref_dict``, ``bnds``,
     ``time_bnds``."""
 
-    def __init__(self, top_dir: Union[str, Path]):
-        self.reader = DigitalRFReader(top_dir)
+    def __init__(self, top_dir: Union[str, Path],
+                 io_workers: Optional[int] = None):
+        self.reader = DigitalRFReader(top_dir, io_workers=io_workers)
         self.chan_2sub: Dict[str, np.ndarray] = {}
         self.chan_entries: Dict[str, Tuple[str, int]] = {}
         self.sr_dict: Dict[str, Fraction] = {}

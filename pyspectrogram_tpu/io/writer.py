@@ -120,12 +120,18 @@ class DigitalRFWriter:
             kw = dict(compression="gzip", compression_opts=self.compression_level)
         with h5py.File(path, "a") as f:
             if "rf_data" not in f:
+                # full-row-width chunks: each chunk is then a contiguous
+                # byte range of whole sample rows, which the pooled
+                # GIL-free read path (io.fastread) maps directly; h5py's
+                # auto-chunking would split the subchannel axis instead
+                span = self.props.file_sample_span(file_ms)
+                chunk_rows = max(1, min(int(span[1] - span[0]), 1 << 16))
                 f.create_dataset(
                     "rf_data",
                     shape=(0, self.props.num_subchannels),
                     maxshape=(None, self.props.num_subchannels),
                     dtype=self.disk_dtype,
-                    chunks=True,
+                    chunks=(chunk_rows, self.props.num_subchannels),
                     **kw,
                 )
                 f.create_dataset(

@@ -1,0 +1,118 @@
+"""io.fastread: pooled GIL-free byte-range reads must be byte-identical to
+the h5py path, fall back on chunked/compressed files, and actually engage
+on large spans."""
+
+import h5py
+import numpy as np
+
+from pyspectrogram_tpu.io import drf_format as fmt
+from pyspectrogram_tpu.io.fastread import FastSpanReader
+from pyspectrogram_tpu.io.reader import DigitalRFReader
+from pyspectrogram_tpu.io.synthetic import write_capture
+
+
+def _h5py_only(top):
+    return DigitalRFReader(top, io_workers=0)
+
+
+def test_fast_path_engages_on_writer_output(tmp_path):
+    """Our writer's files (full-row-width chunks) must be fast-mappable —
+    read_into returns True, not a silent h5py fallback."""
+    write_capture(tmp_path, channel="e0", kind="tone", n_samples=300_000,
+                  sample_rate_numerator=250_000, num_subchannels=2)
+    props = fmt.read_properties(tmp_path / "e0" / fmt.PROPERTIES_FILENAME)
+    slow = _h5py_only(tmp_path)
+    lo, hi = slow.get_bounds("e0")
+    n = hi - lo + 1
+    out = np.zeros((n, 2), np.complex64)
+    mask = np.zeros(n, bool)
+    fsr = FastSpanReader()
+    assert fsr.read_into(props, tmp_path / "e0", lo, n, out, mask)
+    assert mask.all()
+    b = slow.read_vector_raw(lo, n, "e0")
+    np.testing.assert_array_equal(out, b)
+
+
+def test_fast_equals_h5py_with_gaps(tmp_path):
+    meta = write_capture(
+        tmp_path, channel="f0", kind="tone", n_samples=600_000,
+        sample_rate_numerator=250_000, num_subchannels=2,
+        gap=(200_000, 37_123), noise_rms=1e-3,
+    )
+    fast = DigitalRFReader(tmp_path)
+    slow = _h5py_only(tmp_path)
+    assert fast._fast is not None
+    lo, hi = fast.get_bounds("f0")
+    for start, n in [
+        (lo, hi - lo + 1),               # whole capture incl. the gap
+        (lo + 150_000, 120_000),          # straddles the gap start
+        (lo - 1000, 5000),                # before-bounds zero fill
+        (hi - 100, 5000),                 # past-end zero fill
+    ]:
+        a, ma = fast.read_vector_raw(start, n, "f0", return_mask=True)
+        b, mb = slow.read_vector_raw(start, n, "f0", return_mask=True)
+        np.testing.assert_array_equal(ma, mb)
+        np.testing.assert_array_equal(a, b)
+
+
+def test_fast_equals_h5py_int16(tmp_path):
+    dt = np.dtype([("r", np.int16), ("i", np.int16)])
+    write_capture(tmp_path, channel="i0", kind="tone", n_samples=200_000,
+                  sample_rate_numerator=100_000, dtype=dt)
+    fast = DigitalRFReader(tmp_path)
+    slow = _h5py_only(tmp_path)
+    lo, hi = fast.get_bounds("i0")
+    a = fast.read_vector_raw(lo, hi - lo + 1, "i0")
+    b = slow.read_vector_raw(lo, hi - lo + 1, "i0")
+    assert a.dtype == dt
+    np.testing.assert_array_equal(a, b)
+
+
+def test_chunked_file_falls_back_to_h5py(tmp_path):
+    write_capture(tmp_path, channel="c0", kind="tone", n_samples=300_000,
+                  sample_rate_numerator=250_000)
+    # rewrite ONE data file chunked+compressed (upstream writers may do
+    # this; the fast path must refuse it and the read must still be exact)
+    files = fmt.list_data_files(tmp_path / "c0")
+    _, victim = files[len(files) // 2]
+    with h5py.File(victim, "r") as f:
+        data, idx = f["rf_data"][...], f["rf_data_index"][...]
+    with h5py.File(victim, "w") as f:
+        f.create_dataset("rf_data", data=data, chunks=(1024, 1),
+                         compression="gzip")
+        f.create_dataset("rf_data_index", data=idx)
+    fast = DigitalRFReader(tmp_path)
+    slow = _h5py_only(tmp_path)
+    lo, hi = fast.get_bounds("c0")
+    a, ma = fast.read_vector_raw(lo, hi - lo + 1, "c0", return_mask=True)
+    b, mb = slow.read_vector_raw(lo, hi - lo + 1, "c0", return_mask=True)
+    assert ma.all()
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(ma, mb)
+    # direct probe of the chunked file must refuse
+    props = fmt.read_properties(tmp_path / "c0" / fmt.PROPERTIES_FILENAME)
+    fsr = FastSpanReader()
+    assert fsr._probe(victim) is None
+
+
+def test_probe_cache_invalidates_on_rewrite(tmp_path):
+    write_capture(tmp_path, channel="r0", kind="tone", n_samples=100_000,
+                  sample_rate_numerator=100_000)
+    props = fmt.read_properties(tmp_path / "r0" / fmt.PROPERTIES_FILENAME)
+    files = fmt.list_data_files(tmp_path / "r0")
+    _, p = files[0]
+    fsr = FastSpanReader()
+    fm1 = fsr._probe(p)
+    assert fm1 is not None
+    import os
+    import time
+
+    time.sleep(0.01)
+    with h5py.File(p, "r") as f:
+        data, idx = f["rf_data"][...], f["rf_data_index"][...]
+    with h5py.File(p, "w") as f:
+        f.create_dataset("rf_data", data=data)
+        f.create_dataset("rf_data_index", data=idx)
+    os.utime(p)  # ensure mtime_ns moves even on coarse filesystems
+    fm2 = fsr._probe(p)
+    assert fm2 is not None and fm2.mtime_ns != fm1.mtime_ns
