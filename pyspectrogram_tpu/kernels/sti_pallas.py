@@ -55,36 +55,80 @@ def lane_factors(nfft: int) -> Tuple[int, int]:
     return nfft // LANE, LANE
 
 
+#: transforms above this size use the per-segment-grid "big" kernel with
+#: a balanced n1 x n2 factor split (n2 in {256, 512}) instead of the
+#: lane-fixed n2 = 128 column kernel
+BIG_NFFT_MIN = 1 << 16
+
+#: scoped VMEM budget for the big kernel's working set (16 MB/core minus
+#: headroom for Mosaic's own buffers)
+BIG_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def big_factors(nfft: int) -> Tuple[int, int]:
+    """Balanced (n1, n2) split for the big kernel: n2 grows past the lane
+    width (any multiple of 128 tiles fine) so DFT-matrix bytes and
+    per-sample matmul work scale with sqrt(nfft), not nfft/128.
+    65536 -> 256x256, 131072 -> 512x256, 262144 -> 512x512."""
+    if nfft & (nfft - 1) or nfft < BIG_NFFT_MIN:
+        raise ValueError(f"big kernel needs power-of-two nfft >= {BIG_NFFT_MIN}")
+    n2 = min(512, 1 << (nfft.bit_length() - 1) // 2)  # ~floor(sqrt)
+    n1 = nfft // n2
+    if n1 > 512:  # cap stage-1 matrix at 512^2 (1 MB per float plane)
+        n1, n2 = 512, nfft // 512
+    return n1, n2
+
+
+def _big_vmem_bytes(nfft: int, nsub: int, precision: str) -> int:
+    """Scoped-VMEM estimate for the big kernel, calibrated against the
+    Mosaic compiler's actual scoped allocations on v5e (2026-08-16):
+    65536/nsub2 and 131072/nsub1 compile (<=16M), 131072/nsub2 = 20.25M
+    and 262144/nsub1 = 18.24M do not. The compiler's working set beyond
+    the named buffers is ~10 live (n1, n2) tiles of matmul intermediates."""
+    n1, n2 = big_factors(nfft)
+    dsplit = 2 if precision == "balanced" else 1
+    frames = nsub * 2 * nfft * 4 * 2          # segment block, double-buffered
+    dmats = (n1 * n1 + n2 * n2) * 4 * 2 * dsplit
+    tw = n1 * n2 * 4 * 2
+    win = nfft * 4
+    accum = nsub * n1 * n2 * 4
+    out = nsub * nfft * 4 * 2                 # out block, double-buffered
+    interm = 10 * n1 * n2 * 4 * dsplit
+    return frames + dmats + tw + win + accum + out + interm
+
+
 def pallas_supported(nfft: int, nint: int = 1, nsub: int = 1,
-                     mode: str = "welch") -> bool:
+                     mode: str = "welch", precision: str = "exact") -> bool:
+    if nfft < 256 or nfft % LANE or (nfft & (nfft - 1)):
+        return False
+    if nfft >= BIG_NFFT_MIN:
+        # the big kernel streams one SEGMENT per grid step and accumulates
+        # in persistent scratch, so nint does not enter the block budget
+        return _big_vmem_bytes(nfft, nsub, precision) <= BIG_VMEM_BUDGET
     nseg = nint if mode == "welch" else 1
     block = nsub * 2 * nfft * nseg * 4 * 2  # double-buffered
-    return (
-        nfft >= 256
-        and nfft % LANE == 0
-        and (nfft & (nfft - 1)) == 0
-        # n1 <= 256 keeps the DFT factors + column block + pipeline
-        # buffers inside the ~16 MB VMEM (n1 = 512 measured 312 KB over
-        # the scoped limit at nfft = 65536)
-        and nfft // LANE <= 256
-        and block <= MAX_BLOCK_BYTES
-    )
+    # n1 <= 256 keeps the DFT factors + column block + pipeline buffers
+    # inside the ~16 MB VMEM for the small-column kernel
+    return nfft // LANE <= 256 and block <= MAX_BLOCK_BYTES
 
 
 def pallas_auto_profitable(nfft: int, nint: int = 1, nsub: int = 1,
-                           mode: str = "welch") -> bool:
+                           mode: str = "welch", precision: str = "exact") -> bool:
     """Where the fused kernel beats XLA (measured on v5e): at 1024 the
     column-batched variant wins (2.70 vs 2.15 GS/s welch); below that the
-    (n1, n1) stage-1 matmuls are too small to feed the MXU and XLA wins."""
-    return nfft >= 1024 and pallas_supported(nfft, nint, nsub, mode)
+    (n1, n1) stage-1 matmuls are too small to feed the MXU and XLA wins.
+    Above 32768 the big per-segment kernel takes over (65536-pt measured
+    4.6 GS/s vs 1.64 XLA)."""
+    return nfft >= 1024 and pallas_supported(nfft, nint, nsub, mode,
+                                             precision)
 
 
 @functools.lru_cache(maxsize=32)
-def make_plan_lane(nfft: int) -> dict:
-    """DFT factor matrices for the split n = n2*p + q with n2 = 128:
+def make_plan(nfft: int, n2: int) -> dict:
+    """DFT factor matrices for the split n = n2*p + q (n1 = nfft/n2):
     D1[k1,p] = W_n1^(k1 p), D2[q,k2] = W_n2^(q k2), T[k1,q] = W_nfft^(q k1);
     X[n1*k2 + k1] = (D1 @ x2 * T @ D2)[k1, k2] for x2 = x.reshape(n1, n2)."""
-    n1, n2 = lane_factors(nfft)
+    n1 = nfft // n2
     p = np.arange(n1)
     q = np.arange(n2)
     d1 = np.exp(-2j * np.pi * np.outer(p, p) / n1)
@@ -94,6 +138,59 @@ def make_plan_lane(nfft: int) -> dict:
     return dict(d1r=f32(d1.real), d1i=f32(d1.imag),
                 d2r=f32(d2.real), d2i=f32(d2.imag),
                 twr=f32(tw.real), twi=f32(tw.imag))
+
+
+def make_plan_lane(nfft: int) -> dict:
+    return make_plan(nfft, LANE)
+
+
+def _split_bf16(m: np.ndarray) -> np.ndarray:
+    """Host-side error-feedback split D = hi + lo with hi = bf16(D), for
+    the 'balanced' precision tier (3 single-pass bf16 matmuls ~= 1e-4 dB
+    at half the MXU passes of Precision.HIGHEST)."""
+    hi = m.astype(np.float32).astype("bfloat16").astype(np.float32)
+    return np.stack([hi, m - hi]).astype(np.float32)
+
+
+def _mm_ops(precision: str):
+    """(load_d, xsplit, mdot, mdot2) for a precision tier, where mdot
+    contracts from the left (D @ x) and mdot2 from the right (x @ D)."""
+    dot = functools.partial(
+        jnp.dot,
+        preferred_element_type=jnp.float32,
+        precision=(jax.lax.Precision.HIGHEST if precision == "exact"
+                   else jax.lax.Precision.DEFAULT),
+    )
+    if precision == "balanced":
+        def load_d(ref):
+            return (ref[0], ref[1])
+
+        def xsplit(v):
+            hi = v.astype(jnp.bfloat16).astype(jnp.float32)
+            return (hi, v - hi)
+
+        def mdot(m, x):
+            mh, ml = m
+            xh, xl = x
+            return dot(mh, xh) + dot(mh, xl) + dot(ml, xh)
+
+        def mdot2(x, m):
+            xh, xl = x
+            mh, ml = m
+            return dot(xh, mh) + dot(xl, mh) + dot(xh, ml)
+    else:
+        def load_d(ref):
+            return ref[...]
+
+        def xsplit(v):
+            return v
+
+        def mdot(m, x):
+            return dot(m, x)
+
+        def mdot2(x, m):
+            return dot(x, m)
+    return load_d, xsplit, mdot, mdot2
 
 
 @functools.lru_cache(maxsize=64)
@@ -126,7 +223,15 @@ def make_pallas_sti_psd(
     the XLA gather disappears entirely — the kernel's input BlockSpec
     slices the samples buffer directly, saving one full materialization of
     the frames array per step. ``starts`` is then only validated, not used.
+
+    Transforms of 65536+ dispatch to the big per-segment-grid kernel
+    (:func:`_make_big_sti_psd`).
     """
+    if nfft >= BIG_NFFT_MIN:
+        return _make_big_sti_psd(
+            nfft=nfft, nint=nint, mode=mode, window=window, ref=ref,
+            interpret=interpret, contiguous=contiguous, precision=precision,
+        )
     n1, n2 = lane_factors(nfft)
     nseg = nint if mode == "welch" else 1
     gather_len = nfft * nseg  # parity gathers only what it consumes
@@ -143,11 +248,7 @@ def make_pallas_sti_psd(
         # D@x ~ hi@x_hi + hi@x_lo + lo@x_hi in three single-pass bf16
         # matmuls (residual lo@x_lo ~ 2^-16 relative) — half the MXU
         # passes of Precision.HIGHEST at ~1e-4 dB accuracy.
-        def _split(m):
-            hi = m.astype(np.float32).astype("bfloat16").astype(np.float32)
-            return np.stack([hi, m - hi]).astype(np.float32)
-
-        d_consts = [_split(plan[k]) for k in ("d1r", "d1i", "d2r", "d2i")]
+        d_consts = [_split_bf16(plan[k]) for k in ("d1r", "d1i", "d2r", "d2i")]
     else:
         d_consts = [plan[k] for k in ("d1r", "d1i", "d2r", "d2i")]
     consts = [win2] + d_consts + [plan["twr"], plan["twi"]]
@@ -305,6 +406,153 @@ def make_pallas_sti_psd(
         def one_start(s):
             return jax.vmap(
                 lambda row: jax.lax.dynamic_slice(row, (s,), (gather_len,))
+            )(samples_pm)
+
+        frames = jax.vmap(one_start)(starts)     # (ntime, nsub*2, gather_len)
+        out = build(ntime, nsub)(frames, *[jnp.asarray(c) for c in consts])
+        return out.reshape(ntime, nsub, nfft)
+
+    return psd
+
+
+@functools.lru_cache(maxsize=32)
+def _make_big_sti_psd(
+    *,
+    nfft: int,
+    nint: int = 1,
+    mode: str = "welch",
+    window: WindowSpec = ("kaiser", 1.7),
+    ref: float = 1.0,
+    interpret: bool = False,
+    contiguous: bool = False,
+    precision: str = "exact",
+):
+    """Big-transform variant of :func:`make_pallas_sti_psd` (nfft 65536+).
+
+    Two structural changes versus the column kernel:
+
+    * the grid is (ntime, nseg) — each step receives ONE windowed segment
+      as its VMEM block and accumulates |X|^2 into persistent scratch, so
+      VMEM holds one nfft-sample segment regardless of nint (the column
+      kernel's whole-frame block would blow the budget at these sizes);
+    * the factor split n1 x n2 is balanced (~sqrt(nfft) each, n2 a
+      multiple of the 128 lane width) instead of lane-fixed n2 = 128,
+      so DFT-matrix bytes and per-sample matmul FLOPs grow as sqrt(nfft):
+      65536 = 256x256 costs 512 MACs/sample where a 512x128 split would
+      cost 640 and need a 2 MB stage-1 matrix.
+
+    Same output contract: linear fftshifted power (ntime, nsub, nfft).
+    The fftshift remains the static half-row swap on the transposed
+    (n2, n1) power tile — valid for any even n2 since shifting by
+    nfft/2 = n1*(n2/2) adds n2/2 to k2.
+    """
+    n1, n2 = big_factors(nfft)
+    nseg = nint if mode == "welch" else 1
+    gather_len = nfft * nseg
+
+    plan = make_plan(nfft, n2)
+    win64 = get_window(window, nfft)
+    win2 = win64.reshape(n1, n2).astype(np.float32)
+    inv_scale = np.float32(
+        1.0 / (float(win64.sum()) ** 2 * float(ref) ** 2 * nseg)
+    )
+    if precision == "balanced":
+        d_consts = [_split_bf16(plan[k]) for k in ("d1r", "d1i", "d2r", "d2i")]
+    else:
+        d_consts = [plan[k] for k in ("d1r", "d1i", "d2r", "d2i")]
+    consts = [win2] + d_consts + [plan["twr"], plan["twi"]]
+
+    def kernel(frames_ref, win_ref, d1r_ref, d1i_ref, d2r_ref, d2i_ref,
+               twr_ref, twi_ref, out_ref, accum, *, nsub: int):
+        s = pl.program_id(1)
+        load_d, xsplit, mdot, mdot2 = _mm_ops(precision)
+        d1r, d1i = load_d(d1r_ref), load_d(d1i_ref)
+        d2r, d2i = load_d(d2r_ref), load_d(d2i_ref)
+        twr, twi = twr_ref[...], twi_ref[...]
+        win = win_ref[...]
+
+        for sub in range(nsub):
+            if contiguous:
+                xr0 = frames_ref[2 * sub, :]
+                xi0 = frames_ref[2 * sub + 1, :]
+            else:
+                xr0 = frames_ref[0, 2 * sub, :]
+                xi0 = frames_ref[0, 2 * sub + 1, :]
+            xr = xsplit(xr0.astype(jnp.float32).reshape(n1, n2) * win)
+            xi = xsplit(xi0.astype(jnp.float32).reshape(n1, n2) * win)
+            yr = mdot(d1r, xr) - mdot(d1i, xi)
+            yi = mdot(d1r, xi) + mdot(d1i, xr)
+            zr = xsplit(yr * twr - yi * twi)
+            zi = xsplit(yr * twi + yi * twr)
+            xmr = mdot2(zr, d2r) - mdot2(zi, d2i)
+            xmi = mdot2(zr, d2i) + mdot2(zi, d2r)
+            p = xmr * xmr + xmi * xmi
+            # accumulate across the segment grid axis; scratch persists
+            # between grid steps, (ntime, seg) iterates seg innermost
+            accum[sub, :, :] = jnp.where(s == 0, p, accum[sub, :, :] + p)
+
+        @pl.when(s == nseg - 1)
+        def _write():
+            h = n2 // 2
+            for sub in range(nsub):
+                o = (accum[sub, :, :] * inv_scale).T      # (n2, n1)
+                out_ref[0, sub, :h, :] = o[h:, :]
+                out_ref[0, sub, h:, :] = o[:h, :]
+
+    def build(ntime: int, nsub: int):
+        if contiguous:
+            # column t's samples start at t*nfft*nint: segment s of column
+            # t is block t*nint + s in nfft units (parity: nseg=1, the
+            # stride stays nint so only the first segment is consumed)
+            frames_spec = pl.BlockSpec(
+                (nsub * 2, nfft),
+                lambda t, s: (0, t * nint + s),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            frames_spec = pl.BlockSpec(
+                (1, nsub * 2, nfft), lambda t, s: (t, 0, s),
+                memory_space=pltpu.VMEM,
+            )
+        flops_seg = 8 * 2 * (n1 * n1 * n2 + n1 * n2 * n2)
+        return pl.pallas_call(
+            functools.partial(kernel, nsub=nsub),
+            grid=(ntime, nseg),
+            in_specs=[frames_spec]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+            out_specs=pl.BlockSpec((1, nsub, n2, n1),
+                                   lambda t, s: (t, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((ntime, nsub, n2, n1), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((nsub, n1, n2), jnp.float32)],
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=ntime * nsub * nseg * flops_seg,
+                bytes_accessed=ntime * nsub * nseg * nfft * 8
+                + ntime * nsub * nfft * 4,
+                transcendentals=0,
+            ),
+        )
+
+    @jax.jit
+    def psd(samples_pm: jax.Array, starts: jax.Array) -> jax.Array:
+        nsub = samples_pm.shape[0] // 2
+        ntime = starts.shape[0]
+        if not pallas_supported(nfft, nint, nsub, mode, precision):
+            raise ValueError(
+                f"big pallas STI unsupported for nfft={nfft} nint={nint} "
+                f"nsub={nsub} mode={mode} precision={precision}"
+            )
+        if contiguous:
+            if samples_pm.shape[1] < ntime * nfft * nint:
+                raise ValueError("buffer shorter than ntime contiguous frames")
+            out = build(ntime, nsub)(
+                samples_pm, *[jnp.asarray(c) for c in consts])
+            return out.reshape(ntime, nsub, nfft)
+
+        def one_start(st):
+            return jax.vmap(
+                lambda row: jax.lax.dynamic_slice(row, (st,), (gather_len,))
             )(samples_pm)
 
         frames = jax.vmap(one_start)(starts)     # (ntime, nsub*2, gather_len)

@@ -110,8 +110,11 @@ def test_pallas_supported_predicate():
     assert pallas_supported(4096, 4, 2)
     assert not pallas_supported(4000)          # not power of two
     assert not pallas_supported(128)           # too small
-    assert not pallas_supported(1 << 20)       # D1 too large
-    assert not pallas_supported(65536, 64, 4)  # block exceeds VMEM budget
+    assert not pallas_supported(1 << 20)       # DFT factors exceed VMEM
+    assert not pallas_supported(32768, 8, 2)   # small-kernel block too big
+    # 65536+ uses the big per-segment kernel: nint no longer enters the
+    # block budget, so deep integrations are supported
+    assert pallas_supported(65536, 64, 4)
 
 
 @pytest.mark.parametrize("mode,nint", [("welch", 3), ("parity", 2)])
@@ -218,3 +221,71 @@ def test_balanced_precision_mode():
         jnp.asarray(pm), jnp.asarray(starts))
     d = np.abs(np.asarray(ex["sxx_dbfs"]) - np.asarray(bal["sxx_dbfs"]))
     assert d.max() < 5e-3
+
+
+# ------------------------- big per-segment-grid kernel (nfft 65536+) ----
+
+def test_big_factors_and_support():
+    from pyspectrogram_tpu.kernels import sti_pallas as sp
+
+    assert sp.big_factors(1 << 16) == (256, 256)
+    assert sp.big_factors(1 << 17) == (512, 256)
+    assert sp.big_factors(1 << 18) == (512, 512)
+    assert sp.pallas_supported(1 << 16, 4, 1)
+    assert sp.pallas_supported(1 << 16, 100, 2)   # nint is grid, not VMEM
+    assert sp.pallas_supported(1 << 17, 2, 1)     # 4.77 GS/s measured
+    # measured over the 16M scoped-VMEM limit on v5e (20.25M / 18.24M):
+    assert not sp.pallas_supported(1 << 17, 2, 2)
+    assert not sp.pallas_supported(1 << 18, 2, 1)
+    assert not sp.pallas_supported(1 << 19, 1, 1)
+    assert sp.pallas_auto_profitable(1 << 16, 4, 1)
+
+
+@pytest.mark.parametrize("mode,nint,contiguous,precision", [
+    ("welch", 2, True, "exact"), ("welch", 3, False, "exact"),
+    ("parity", 2, True, "exact"), ("welch", 2, True, "balanced"),
+])
+def test_big_kernel_matches_oracle_65536(mode, nint, contiguous, precision):
+    """65536-pt fused kernel (256x256 split, per-segment grid) against the
+    NumPy oracle, interpret mode."""
+    from pyspectrogram_tpu.ops import reference as oracle
+
+    nfft, ntime, nsub = 1 << 16, 2, 1
+    rng = np.random.default_rng(5)
+    if contiguous:
+        nsamp = nfft * nint * ntime
+        starts = (np.arange(ntime) * nfft * nint).astype(np.int32)
+    else:
+        nsamp = nfft * nint * ntime + 256
+        starts = np.linspace(0, nsamp - nfft * nint, ntime).astype(np.int32)
+    packed = rng.standard_normal((nsamp, nsub, 2)).astype(np.float32)
+    psd = make_pallas_sti_psd(nfft=nfft, nint=nint, mode=mode,
+                              interpret=True, contiguous=contiguous,
+                              precision=precision)
+    got = np.asarray(psd(jnp.asarray(to_plane_major(packed)),
+                         jnp.asarray(starts)))
+    x = packed[..., 0] + 1j * packed[..., 1]
+    block = np.stack([x[s : s + nfft * nint] for s in starts], axis=1)
+    want = oracle.sti_psd(block, nfft, nint=nint, mode=mode)  # (nfft, t, sub)
+    want_tm = np.moveaxis(want, 0, -1)
+    np.testing.assert_allclose(got, want_tm, rtol=2e-3, atol=1e-7)
+
+
+def test_big_kernel_dispatch_through_make_sti_fn_pm():
+    """make_sti_fn_pm at 65536 builds the big kernel via fft_impl='pallas'
+    and agrees with the XLA path."""
+    nfft, nint, ntime, nsub = 1 << 16, 2, 2, 1
+    nsamp = nfft * nint * ntime
+    rng = np.random.default_rng(6)
+    pm = rng.standard_normal((nsub * 2, nsamp)).astype(np.float32)
+    starts = (np.arange(ntime) * nfft * nint).astype(np.int32)
+    f_pal = stft.make_sti_fn_pm(nfft=nfft, nint=nint, fft_impl="pallas",
+                                contiguous=True)
+    f_xla = stft.make_sti_fn_pm(nfft=nfft, nint=nint, fft_impl="xla",
+                                contiguous=True)
+    a = f_pal(jnp.asarray(pm), jnp.asarray(starts))
+    b = f_xla(jnp.asarray(pm), jnp.asarray(starts))
+    np.testing.assert_allclose(np.asarray(a["sxx_dbfs"]),
+                               np.asarray(b["sxx_dbfs"]), atol=0.02)
+    np.testing.assert_allclose(np.asarray(a["sxx_med_dbfs"]),
+                               np.asarray(b["sxx_med_dbfs"]), atol=0.02)
