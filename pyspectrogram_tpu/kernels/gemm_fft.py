@@ -93,9 +93,13 @@ def make_gemm_fft(nfft: int):
     import jax.numpy as jnp
 
     plan = make_plan(nfft)
-    d1 = jnp.asarray(plan.d1r + 1j * plan.d1i, jnp.complex64)
-    d2 = jnp.asarray(plan.d2r + 1j * plan.d2i, jnp.complex64)
-    tw = jnp.asarray(plan.twr + 1j * plan.twi, jnp.complex64)
+    # keep the constants as HOST numpy: jit bakes them into the HLO at
+    # trace time. Pre-building device arrays here would make lowering
+    # read them BACK from the device (mlir.ir_constant -> ._value), and
+    # complex-dtype transfers are unimplemented on some TPU transports.
+    d1 = (plan.d1r + 1j * plan.d1i).astype(np.complex64)
+    d2 = (plan.d2r + 1j * plan.d2i).astype(np.complex64)
+    tw = (plan.twr + 1j * plan.twi).astype(np.complex64)
     n1, n2 = plan.n1, plan.n2
 
     def fft(x):

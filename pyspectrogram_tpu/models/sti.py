@@ -105,8 +105,11 @@ def _assemblable(raw: np.ndarray) -> np.ndarray:
 
 
 #: with a mesh, transforms at or beyond this size run as the distributed
-#: 4-step FFT (one all-to-all per segment) instead of column sharding
-BIGFFT_THRESHOLD = 1 << 17
+#: 4-step FFT (one all-to-all per segment) instead of column sharding.
+#: 2^18: below it the fused big Pallas kernel covers per-column transforms
+#: single-chip (131072-pt measured 4.77 GS/s vs 2.25 GS/s for the 4-step
+#: tier on one chip), so column sharding is the faster mesh strategy.
+BIGFFT_THRESHOLD = 1 << 18
 
 
 class StiPipeline:
@@ -218,9 +221,11 @@ class StiPipeline:
         nseg = fn.nseg
         nsub = samples_pm.shape[0] // 2
         frame_len = cfg.nfft * cfg.nint
-        # (nsub*2, ntime*frame_len) -> (ntime, nsub, 2, nseg*nfft) frames
-        fp = samples_pm.astype(np.float32).reshape(
-            nsub, 2, cfg.ntime, frame_len)
+        # (nsub*2, ntime*frame_len) -> (ntime, nsub, 2, nseg*nfft) frames;
+        # storage dtype is preserved (raw int16 planes stay int16 through
+        # the transfer and widen per shard on device), so the one layout
+        # copy here moves half the bytes for integer captures
+        fp = samples_pm.reshape(nsub, 2, cfg.ntime, frame_len)
         frames_pm = np.ascontiguousarray(
             np.moveaxis(fp, 2, 0)[..., : nseg * cfg.nfft])
         x2 = jax.device_put(

@@ -68,8 +68,10 @@ def make_bigfft_sti_fn(
     """Jitted STI whose per-column FFT is distributed over ``mesh[axis]``.
 
     Returned ``f(x2)``:
-      x2: (ntime, nsub, 2, nseg, n1, n2) float32 (see frames_to_x2), the
-          last (q) axis sharded with ``f.input_sharding``;
+      x2: (ntime, nsub, 2, nseg, n1, n2) float32 — or any real dtype
+          (raw int16 planes transfer at half the bytes and widen on
+          device) — see frames_to_x2; the last (q) axis sharded with
+          ``f.input_sharding``;
     returns {"sxx_dbfs": (ntime, nsub, n1, n2) k-matrix dB, sharded over
     the n1 (k1) axis; "sxx_med_dbfs": (nsub, n1, n2) likewise} — convert
     assembled arrays with :func:`to_freq_order`.
@@ -92,7 +94,11 @@ def make_bigfft_sti_fn(
         ntime, nsub = x2.shape[0], x2.shape[1]
 
         def one_seg(seg):
-            c = jax.lax.complex(x2[:, :, 0, seg], x2[:, :, 1, seg]) * winr
+            # raw integer planes ship at half the bytes and widen here,
+            # per shard (dBFS normalization rides inv_scale)
+            xr = x2[:, :, 0, seg].astype(jnp.float32)
+            xi = x2[:, :, 1, seg].astype(jnp.float32)
+            c = jax.lax.complex(xr, xi) * winr
             # stage 1: DFT along p (full on this shard)
             y = jnp.fft.fft(c, axis=-2)
             y = y * jax.lax.complex(twr_s, twi_s)
