@@ -152,6 +152,54 @@ def _split_bf16(m: np.ndarray) -> np.ndarray:
     return np.stack([hi, m - hi]).astype(np.float32)
 
 
+def _complex_gemm_ops(precision: str):
+    """(load_d, xsplit, cdot_l, cdot_r) complex-matmul helpers.
+
+    Complex products use Gauss's 3-multiplication identity — 3 real GEMMs
+    instead of 4 per stage (25% fewer MXU passes at every precision tier):
+        (Dr + iDi)(xr + ixi):  k1 = (Dr+Di) @ xr,  k2 = Dr @ (xi-xr),
+                               k3 = Di @ (xr+xi)
+        real = k1 - k3,  imag = k1 + k2
+    The constant sums (Dr+Di) are precomputed on the host (see
+    _plan_triple); the data sums are single VPU adds per tile. cdot_l
+    contracts from the left (D @ x), cdot_r from the right (z @ D); both
+    take d as the (dr, di, dsum) triple and x/z as an (xr, xi) pair of
+    raw float32 tiles, returning raw float32 (real, imag).
+    """
+    load_d, xsplit, mdot, mdot2 = _mm_ops(precision)
+
+    def load_d3(ref3):
+        return tuple(load_d(r) for r in ref3)
+
+    def cdot_l(d3, x):
+        dr, di, dsum = d3
+        xr, xi = x
+        k1 = mdot(dsum, xsplit(xr))
+        k2 = mdot(dr, xsplit(xi - xr))
+        k3 = mdot(di, xsplit(xr + xi))
+        return k1 - k3, k1 + k2
+
+    def cdot_r(z, d3):
+        dr, di, dsum = d3
+        zr, zi = z
+        k1 = mdot2(xsplit(zr), dsum)
+        k2 = mdot2(xsplit(zi - zr), dr)
+        k3 = mdot2(xsplit(zr + zi), di)
+        return k1 - k3, k1 + k2
+
+    return load_d3, cdot_l, cdot_r
+
+
+def _plan_triple(plan: dict, key: str, precision: str):
+    """Constant triple (dr, di, dr+di) for one DFT stage, split for the
+    balanced tier."""
+    dr, di = plan[key + "r"], plan[key + "i"]
+    mats = (dr, di, dr + di)
+    if precision == "balanced":
+        return tuple(_split_bf16(m) for m in mats)
+    return mats
+
+
 def _mm_ops(precision: str):
     """(load_d, xsplit, mdot, mdot2) for a precision tier, where mdot
     contracts from the left (D @ x) and mdot2 from the right (x @ D)."""
@@ -242,61 +290,24 @@ def make_pallas_sti_psd(
     inv_scale = np.float32(
         1.0 / (float(win64.sum()) ** 2 * float(ref) ** 2 * nseg)
     )
-    if precision == "balanced":
-        # host-side error-feedback split of the constant DFT matrices:
-        # D = hi + lo with hi = bf16(D); the kernel then computes
-        # D@x ~ hi@x_hi + hi@x_lo + lo@x_hi in three single-pass bf16
-        # matmuls (residual lo@x_lo ~ 2^-16 relative) — half the MXU
-        # passes of Precision.HIGHEST at ~1e-4 dB accuracy.
-        d_consts = [_split_bf16(plan[k]) for k in ("d1r", "d1i", "d2r", "d2i")]
-    else:
-        d_consts = [plan[k] for k in ("d1r", "d1i", "d2r", "d2i")]
+    # per-stage constant triples (dr, di, dr+di) — Gauss's 3-mult complex
+    # product needs the sum matrix; balanced additionally splits each into
+    # bf16 hi/lo limbs on the host (3 single-pass matmuls per product).
+    d_consts = list(_plan_triple(plan, "d1", precision)) + list(
+        _plan_triple(plan, "d2", precision))
     consts = [win2] + d_consts + [plan["twr"], plan["twi"]]
 
-    def kernel(frames_ref, win_ref, d1r_ref, d1i_ref, d2r_ref, d2i_ref,
-               twr_ref, twi_ref, out_ref, accum, *, nsub: int, tb: int = 1):
+    def kernel(frames_ref, win_ref, d1r_ref, d1i_ref, d1s_ref,
+               d2r_ref, d2i_ref, d2s_ref, twr_ref, twi_ref, out_ref,
+               accum, *, nsub: int, tb: int = 1):
         # MXU f32 matmuls default to single-pass bf16 (~3e-2 rel err on
-        # the DFT). Tiers: "exact" = Precision.HIGHEST (bf16x3+, ~1e-6);
+        # the DFT). Tiers: "exact" = Precision.HIGHEST (bf16x6, ~1e-6);
         # "balanced" = manual 3-term hi/lo split (~1e-4 dB, ~2x faster);
-        # "display" = raw single pass (~0.12 dB, fastest).
-        dot = functools.partial(
-            jnp.dot,
-            preferred_element_type=jnp.float32,
-            precision=(jax.lax.Precision.HIGHEST if precision == "exact"
-                       else jax.lax.Precision.DEFAULT),
-        )
-        if precision == "balanced":
-            def load_d(ref):
-                return (ref[0], ref[1])
-
-            def xsplit(v):
-                hi = v.astype(jnp.bfloat16).astype(jnp.float32)
-                return (hi, v - hi)
-
-            def mdot(m, x):
-                mh, ml = m
-                xh, xl = x
-                return dot(mh, xh) + dot(mh, xl) + dot(ml, xh)
-
-            def mdot2(x, m):  # x @ D with split operands
-                xh, xl = x
-                mh, ml = m
-                return dot(xh, mh) + dot(xl, mh) + dot(xh, ml)
-        else:
-            def load_d(ref):
-                return ref[...]
-
-            def xsplit(v):
-                return v
-
-            def mdot(m, x):
-                return dot(m, x)
-
-            def mdot2(x, m):
-                return dot(x, m)
-
-        d1r, d1i = load_d(d1r_ref), load_d(d1i_ref)
-        d2r, d2i = load_d(d2r_ref), load_d(d2i_ref)
+        # "display" = raw single pass (~0.12 dB, fastest). All tiers use
+        # the 3-GEMM complex product (see _complex_gemm_ops).
+        load_d3, cdot_l, cdot_r = _complex_gemm_ops(precision)
+        d1 = load_d3((d1r_ref, d1i_ref, d1s_ref))
+        d2 = load_d3((d2r_ref, d2i_ref, d2s_ref))
         twr, twi = twr_ref[...], twi_ref[...]
         win = win_ref[...]
 
@@ -313,17 +324,14 @@ def make_pallas_sti_psd(
                     xi = frames_ref[0, 2 * sub + 1, pl.ds(off, nfft)]
                 # raw integer planes widen here, per VMEM block — the
                 # HBM-side buffer stays at half the bytes
-                xr = xsplit(xr.astype(jnp.float32).reshape(n1, n2) * win)
-                xi = xsplit(xi.astype(jnp.float32).reshape(n1, n2) * win)
+                xr = xr.astype(jnp.float32).reshape(n1, n2) * win
+                xi = xi.astype(jnp.float32).reshape(n1, n2) * win
                 # stage 1: DFT along p (sublane/contraction dim)
-                yr = mdot(d1r, xr) - mdot(d1i, xi)
-                yi = mdot(d1r, xi) + mdot(d1i, xr)
-                zr = xsplit(yr * twr - yi * twi)
-                zi = xsplit(yr * twi + yi * twr)
-                # stage 2: DFT along q (lane dim); note stage-2 contracts
-                # from the right, so the balanced split swaps operand roles
-                xmr = mdot2(zr, d2r) - mdot2(zi, d2i)
-                xmi = mdot2(zr, d2i) + mdot2(zi, d2r)
+                yr, yi = cdot_l(d1, (xr, xi))
+                zr = yr * twr - yi * twi
+                zi = yr * twi + yi * twr
+                # stage 2: DFT along q (lane dim, contracts from the right)
+                xmr, xmi = cdot_r((zr, zi), d2)
                 accum[...] += xmr * xmr + xmi * xmi
                 return 0
 
@@ -372,7 +380,7 @@ def make_pallas_sti_psd(
             functools.partial(kernel, nsub=nsub, tb=tb),
             grid=(ntime // tb,),
             in_specs=[frames_spec]
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
             out_specs=pl.BlockSpec((tb, nsub, n2, n1),
                                    lambda t: (t, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
@@ -456,6 +464,11 @@ def _make_big_sti_psd(
     inv_scale = np.float32(
         1.0 / (float(win64.sum()) ** 2 * float(ref) ** 2 * nseg)
     )
+    # NOTE: the big kernel keeps the plain 4-GEMM complex product — the
+    # Gauss 3-mult variant (used by the small kernel) REGRESSED here
+    # (131072-pt: 4.77 -> ~3.4 GS/s measured): at (512, 256) tiles the
+    # extra VPU adds land on the critical path and the 1.5x D-matrix
+    # footprint eats pipeline headroom.
     if precision == "balanced":
         d_consts = [_split_bf16(plan[k]) for k in ("d1r", "d1i", "d2r", "d2i")]
     else:
