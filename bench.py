@@ -149,7 +149,7 @@ def bench_streaming(nfft=4096, nint=1, nsub=2, cols_per_block=8,
 
 
 def bench_e2e(gb=0.5, nfft=4096, nint=2, ntime=256, nsub=2,
-              cache_root="/tmp/pstpu_e2e", depth=2):
+              cache_root="/tmp/pstpu_e2e", depth=2, dtype="c64"):
     """Sustained DISK -> assemble -> device -> STI throughput.
 
     This measures the path the reference was actually slow at — its
@@ -177,8 +177,17 @@ def bench_e2e(gb=0.5, nfft=4096, nint=2, ntime=256, nsub=2,
     from pyspectrogram_tpu.models.sti import assemble_device_block
     from pyspectrogram_tpu.ops.stft import make_sti_fn_pm
 
-    n_samples = max(int(gb * 2**30) // (8 * nsub), nfft * nint * ntime)
-    key = f"c64_n{n_samples}_sub{nsub}"
+    if dtype == "i16":
+        # raw integer captures ship at half the bytes (4 B/sample) —
+        # they double e2e on transfer-bound links; dBFS ref folds into
+        # the kernel's power scale
+        sample_dtype = np.dtype([("r", np.int16), ("i", np.int16)])
+        bytes_per, ref = 4, 2.0 ** 15.5
+    else:
+        sample_dtype, bytes_per, ref = np.complex64, 8, 1.0
+    n_samples = max(int(gb * 2**30) // (bytes_per * nsub),
+                    nfft * nint * ntime)
+    key = f"{dtype}_n{n_samples}_sub{nsub}"
     top = Path(cache_root) / key
     marker = top / "complete.json"
     if not marker.exists():
@@ -188,7 +197,7 @@ def bench_e2e(gb=0.5, nfft=4096, nint=2, ntime=256, nsub=2,
         top.mkdir(parents=True, exist_ok=True)
         write_capture(top, channel="e2e", kind="noise",
                       n_samples=n_samples, sample_rate_numerator=4_000_000,
-                      num_subchannels=nsub)
+                      num_subchannels=nsub, dtype=sample_dtype)
         marker.write_text(_json.dumps({"n_samples": n_samples}))
 
     ds = RFDataset(top)
@@ -197,7 +206,8 @@ def bench_e2e(gb=0.5, nfft=4096, nint=2, ntime=256, nsub=2,
     win_samples = frame_len * ntime
     n_windows = (hi - lo + 1) // win_samples
     starts = [lo + k * win_samples for k in range(n_windows)]
-    fn = make_sti_fn_pm(nfft=nfft, nint=nint, mode="welch", contiguous=True)
+    fn = make_sti_fn_pm(nfft=nfft, nint=nint, mode="welch", contiguous=True,
+                        ref=ref)
     starts_rel = jnp.asarray(
         (np.arange(ntime) * frame_len).astype(np.int32))
 
@@ -225,7 +235,7 @@ def bench_e2e(gb=0.5, nfft=4096, nint=2, ntime=256, nsub=2,
     host_dt = time.perf_counter() - t0
 
     total = n_windows * win_samples * nsub
-    meta = {"windows": n_windows, "gb": total * 8 / 2**30,
+    meta = {"windows": n_windows, "gb": total * bytes_per / 2**30,
             "acc": acc}
     return total / e2e_dt, total / host_dt, meta
 
@@ -245,6 +255,8 @@ def main():
                     help="measure sustained disk->device->STI instead")
     ap.add_argument("--e2e-gb", type=float, default=0.5,
                     help="synthetic capture size for --e2e (GiB)")
+    ap.add_argument("--e2e-dtype", default="c64", choices=["c64", "i16"],
+                    help="capture dtype for --e2e (i16 halves the bytes)")
     args = ap.parse_args()
 
     import jax
@@ -254,9 +266,10 @@ def main():
 
     if args.e2e:
         e2e_sps, host_sps, meta = bench_e2e(
-            gb=args.e2e_gb, nfft=args.nfft, nint=args.nint, nsub=args.nsub)
+            gb=args.e2e_gb, nfft=args.nfft, nint=args.nint, nsub=args.nsub,
+            dtype=args.e2e_dtype)
         print(json.dumps({
-            "metric": f"sti_e2e_disk_to_device_nfft{args.nfft}",
+            "metric": f"sti_e2e_disk_to_device_nfft{args.nfft}_{args.e2e_dtype}",
             "value": round(e2e_sps, 1),
             "unit": "samples/s",
             "vs_baseline": round(e2e_sps / 1e9, 4),

@@ -1,6 +1,7 @@
 """CLI end-to-end: synth -> info -> sti -> psd -> filter round trips."""
 
 import json
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -137,3 +138,18 @@ def test_watch_command(tmp_path, capsys):
     assert rc == 0 and png.exists()
     assert res["iterations"] == 3
     assert res["latency"]["n"] == 3
+
+
+def test_bench_e2e_smoke(tmp_path):
+    """bench.py's e2e loop (disk -> assemble -> device -> STI with the
+    prefetch feeder) runs end-to-end on a tiny capture."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench
+
+    e2e_sps, host_sps, meta = bench.bench_e2e(
+        gb=0.001, nfft=512, nint=1, ntime=32, nsub=1,
+        cache_root=str(tmp_path), dtype="i16")
+    assert e2e_sps > 0 and host_sps > 0
+    assert meta["windows"] >= 1
