@@ -1,0 +1,174 @@
+"""Batched STI: many same-shape requests in ONE device program.
+
+The reference runs up to 7 concurrent tabs, each as its own Python thread
+driving its own compute (reference: drfview.py:177-178, 1101-1104) — on a
+TPU that strategy leaves the chip idle between many small dispatches.
+Here B requests with identical shape knobs (nfft, nint, ntime, nsub,
+mode, window) fold into a single kernel launch:
+
+* plane-major request buffers stack to (B, nsub*2, L) and transpose to
+  (nsub*2, B*L) — with L = ntime*frame_len, column t' = b*ntime + t of
+  the merged buffer starts at t'*frame_len, so the CONTIGUOUS fused
+  kernel consumes all B requests as one (B*ntime)-column STI with no
+  gather and no kernel changes;
+* per-request dBFS references ride a (B, 1, 1, 1) scale vector applied to
+  the linear powers (the kernel runs at ref=1), so requests from
+  different datasets batch together;
+* medians are per-request: the bisection median vectorizes over the
+  leading axis for free.
+
+Amortizes per-dispatch overhead: the win is largest for many small
+requests (the multi-tab GUI pattern).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyspectrogram_tpu.ops import stft
+from pyspectrogram_tpu.ops.windows import WindowSpec
+
+
+@functools.lru_cache(maxsize=64)
+def make_batched_sti_fn_pm(
+    *,
+    nfft: int,
+    nint: int = 1,
+    ntime: int,
+    mode: str = "welch",
+    window: WindowSpec = ("kaiser", 1.7),
+    eps: float = 1e-15,
+    fft_impl: str = "auto",
+    precision: str = "exact",
+):
+    """Build ``f(samples_merged, inv_ref_sq) -> dict`` for B STIs at once.
+
+    samples_merged: (nsub*2, B*ntime*nfft*nint) float32/int16 plane-major —
+                request b's frames occupy columns [b*L, (b+1)*L) with
+                L = ntime*frame_len, each packed contiguously at
+                t*frame_len (i.e. the per-request buffers
+                models.sti.assemble_device_block produces, laid
+                side-by-side on the host — merging there is free, while a
+                device-side transpose of a stacked (B, ...) array costs a
+                full extra HBM pass);
+    inv_ref_sq: (B,) float32 per-request 1/ref^2 dBFS normalization.
+
+    Returns {"sxx_dbfs": (B, ntime, nsub, nfft),
+             "sxx_med_dbfs": (B, nsub, nfft)}.
+    """
+    frame_len = nfft * nint
+    inner = stft.make_sti_fn_pm(
+        nfft=nfft, nint=nint, mode=mode, window=window, ref=1.0, eps=eps,
+        fft_impl=fft_impl, contiguous=True, precision=precision,
+        return_linear=True,
+    )
+
+    @jax.jit
+    def batched(samples_merged: jax.Array, inv_ref_sq: jax.Array) -> dict:
+        nplanes, Ltot = samples_merged.shape
+        nsub = nplanes // 2
+        B = inv_ref_sq.shape[0]
+        if Ltot != B * ntime * frame_len:
+            raise ValueError(
+                f"expected merged length {B * ntime * frame_len}, got {Ltot}")
+        starts = jnp.arange(B * ntime, dtype=jnp.int32) * frame_len
+        out = inner(samples_merged, starts)
+        p = out["sxx"].reshape(B, ntime, nsub, nfft)
+        p = p * inv_ref_sq.astype(p.dtype)[:, None, None, None]
+        p_med = jax.vmap(stft.median_over_time)(p)
+        return {
+            "sxx_dbfs": stft.to_dbfs(p, eps),
+            "sxx_med_dbfs": stft.to_dbfs(p_med, eps),
+        }
+
+    return batched
+
+
+class BatchedStiPipeline:
+    """Compute one STI per (dataset, channel) pair in a single launch.
+
+    All requests share one SpectrogramConfig's shape knobs; time spans and
+    dBFS references may differ per request. The host side reuses
+    models.sti's coalesced assembly per request; the device side runs one
+    fused program over the concatenated columns.
+    """
+
+    def __init__(self, requests: Sequence, config, mesh=None):
+        """requests: sequence of (RFDataset, channel_entry_or_None)."""
+        if mesh is not None:
+            raise NotImplementedError(
+                "batched requests currently target one device; use "
+                "StiPipeline(mesh=...) for multi-chip single requests")
+        self.requests = list(requests)
+        self.config = config
+
+    def compute(self, time_spans: Optional[Sequence] = None):
+        """Returns a list of StiResult, one per request (same order)."""
+        from pyspectrogram_tpu.io.time_util import (
+            samples_to_datetime64,
+            time_to_sample,
+        )
+        from pyspectrogram_tpu.models.sti import StiResult, assemble_device_block
+
+        cfg = self.config
+        frame_len = cfg.nfft * cfg.nint
+        blocks, refs, metas = [], [], []
+        for i, (ds, entry) in enumerate(self.requests):
+            chan, isub = ds._split_entry(entry or ds.channels[0])
+            sr = ds.sr_dict[chan]
+            ds.bnds_update()
+            if time_spans is not None and time_spans[i] is not None:
+                st_time, end_time = time_spans[i]
+            elif cfg.time_span is not None:
+                st_time, end_time = cfg.time_span
+            else:
+                st_time, end_time = ds.time_bnds
+            s_samp = time_to_sample(st_time, sr)
+            e_samp = time_to_sample(end_time, sr)
+            n_st = ds.sti_frame_starts(s_samp, e_samp, cfg.nfft, cfg.nint,
+                                       cfg.ntime)
+            pm, _, col_mask = assemble_device_block(ds, chan, isub, n_st,
+                                                    frame_len)
+            blocks.append(pm)
+            refs.append(1.0 / float(ds.ref_dict[chan]) ** 2)
+            metas.append((sr, n_st, col_mask))
+
+        nsubs = {b.shape[0] for b in blocks}
+        if len(nsubs) != 1:
+            raise ValueError(
+                f"batched requests need equal subchannel counts, got {nsubs}")
+        # side-by-side merged layout (see make_batched_sti_fn_pm) — built
+        # on the host where the copy is unavoidable anyway
+        B, L = len(blocks), blocks[0].shape[1]
+        dtypes = {b.dtype for b in blocks}
+        mdtype = blocks[0].dtype if len(dtypes) == 1 else np.float32
+        merged = np.empty((blocks[0].shape[0], B * L), mdtype)
+        for b, blk in enumerate(blocks):
+            merged[:, b * L : (b + 1) * L] = blk
+        fn = make_batched_sti_fn_pm(
+            nfft=cfg.nfft, nint=cfg.nint, ntime=cfg.ntime, mode=cfg.mode,
+            window=cfg.window, eps=cfg.eps, precision=cfg.precision,
+        )
+        out = fn(jnp.asarray(merged),
+                 jnp.asarray(np.asarray(refs, np.float32)))
+        sxx_b = np.asarray(out["sxx_dbfs"])
+        med_b = np.asarray(out["sxx_med_dbfs"])
+
+        results = []
+        for i, (sr, n_st, col_mask) in enumerate(metas):
+            results.append(StiResult(
+                iteration=0,
+                times=samples_to_datetime64(n_st, sr),
+                freqs=stft.shifted_freqs(cfg.nfft, sr),
+                sxx_dbfs=stft.to_reference_layout(sxx_b[i]),
+                sxx_med_dbfs=np.moveaxis(med_b[i], -1, 0),
+                sample_rate=sr,
+                frame_starts=np.asarray(n_st),
+                mask=col_mask,
+            ))
+        return results

@@ -1,0 +1,78 @@
+"""Batched multi-request STI (models.batch): one device launch must equal
+per-request computes exactly, across mixed dBFS references and dtypes."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pyspectrogram_tpu.io.reader import RFDataset
+from pyspectrogram_tpu.io.synthetic import write_capture
+from pyspectrogram_tpu.models import BatchedStiPipeline, StiPipeline
+from pyspectrogram_tpu.models.batch import make_batched_sti_fn_pm
+from pyspectrogram_tpu.ops import stft
+from pyspectrogram_tpu.utils.config import SpectrogramConfig
+
+
+def test_batched_fn_equals_per_request():
+    nfft, nint, ntime, nsub, B = 512, 2, 8, 2, 3
+    L = nfft * nint * ntime
+    rng = np.random.default_rng(0)
+    samples_b = rng.standard_normal((B, nsub * 2, L)).astype(np.float32)
+    merged = np.concatenate(list(samples_b), axis=1)  # side-by-side layout
+    refs = np.asarray([1.0, 2.0 ** 15.5, 0.5], np.float32)
+
+    fn = make_batched_sti_fn_pm(nfft=nfft, nint=nint, ntime=ntime)
+    out = fn(jnp.asarray(merged), jnp.asarray(1.0 / refs ** 2))
+    assert np.asarray(out["sxx_dbfs"]).shape == (B, ntime, nsub, nfft)
+
+    starts = (np.arange(ntime) * nfft * nint).astype(np.int32)
+    for b in range(B):
+        single = stft.make_sti_fn_pm(
+            nfft=nfft, nint=nint, ref=float(refs[b]), contiguous=True,
+        )(jnp.asarray(samples_b[b]), jnp.asarray(starts))
+        np.testing.assert_allclose(
+            np.asarray(out["sxx_dbfs"])[b], np.asarray(single["sxx_dbfs"]),
+            rtol=0, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(out["sxx_med_dbfs"])[b],
+            np.asarray(single["sxx_med_dbfs"]), rtol=0, atol=1e-4)
+
+
+def test_batched_pipeline_matches_sti_pipeline(tmp_path):
+    """Three datasets (incl. an int16 one -> mixed dtype batch), one
+    launch; results must match per-dataset StiPipeline.compute()."""
+    tops = []
+    for i, (dtype, srn) in enumerate([
+        (np.complex64, 1_000_000),
+        (np.complex64, 250_000),
+        (np.dtype([("r", np.int16), ("i", np.int16)]), 500_000),
+    ]):
+        top = tmp_path / f"cap{i}"
+        write_capture(top, channel=f"c{i}", kind="tone", n_samples=1 << 15,
+                      sample_rate_numerator=srn, dtype=dtype)
+        tops.append(top)
+
+    cfg = SpectrogramConfig(nfft=256, nint=2, ntime=16, window="boxcar")
+    requests = [(RFDataset(t), None) for t in tops]
+    batch = BatchedStiPipeline(requests, cfg).compute()
+    assert len(batch) == 3
+    for (ds, _), got in zip(requests, batch):
+        want = StiPipeline(ds, cfg).compute()
+        np.testing.assert_allclose(got.sxx_dbfs, want.sxx_dbfs, atol=1e-3)
+        np.testing.assert_allclose(got.sxx_med_dbfs, want.sxx_med_dbfs,
+                                   atol=1e-3)
+        np.testing.assert_array_equal(got.times, want.times)
+        np.testing.assert_allclose(got.freqs, want.freqs)
+        assert got.mask.all()
+
+
+def test_batched_pipeline_rejects_mixed_nsub(tmp_path):
+    write_capture(tmp_path / "a", channel="a", n_samples=1 << 14,
+                  sample_rate_numerator=100_000, num_subchannels=1)
+    write_capture(tmp_path / "b", channel="b", n_samples=1 << 14,
+                  sample_rate_numerator=100_000, num_subchannels=2)
+    cfg = SpectrogramConfig(nfft=256, nint=1, ntime=8)
+    reqs = [(RFDataset(tmp_path / "a"), None), (RFDataset(tmp_path / "b"), None)]
+    with pytest.raises(ValueError, match="subchannel"):
+        BatchedStiPipeline(reqs, cfg).compute()
