@@ -60,9 +60,10 @@ def lane_factors(nfft: int) -> Tuple[int, int]:
 #: lane-fixed n2 = 128 column kernel
 BIG_NFFT_MIN = 1 << 16
 
-#: scoped VMEM budget for the big kernel's working set (16 MB/core minus
-#: headroom for Mosaic's own buffers)
-BIG_VMEM_BUDGET = 14 * 1024 * 1024
+#: scoped VMEM cap requested for the big kernel (the XLA default is
+#: 16 MB; v5e has 128 MB physical VMEM — the kernel raises the limit via
+#: CompilerParams so 131072 multi-subchannel and 262144 configs fit)
+BIG_VMEM_BUDGET = 64 * 1024 * 1024
 
 
 def big_factors(nfft: int) -> Tuple[int, int]:
@@ -81,10 +82,11 @@ def big_factors(nfft: int) -> Tuple[int, int]:
 
 def _big_vmem_bytes(nfft: int, nsub: int, precision: str) -> int:
     """Scoped-VMEM estimate for the big kernel, calibrated against the
-    Mosaic compiler's actual scoped allocations on v5e (2026-08-16):
-    65536/nsub2 and 131072/nsub1 compile (<=16M), 131072/nsub2 = 20.25M
-    and 262144/nsub1 = 18.24M do not. The compiler's working set beyond
-    the named buffers is ~10 live (n1, n2) tiles of matmul intermediates."""
+    Mosaic compiler's actual scoped allocations on v5e (2026-08-16;
+    e.g. 131072/nsub2 = 20.25M, 262144/nsub1 = 18.24M — both compile once
+    the kernel raises the 16M default cap via CompilerParams). The
+    compiler's working set beyond the named buffers is ~10 live (n1, n2)
+    tiles of matmul intermediates."""
     n1, n2 = big_factors(nfft)
     dsplit = 2 if precision == "balanced" else 1
     frames = nsub * 2 * nfft * 4 * 2          # segment block, double-buffered
@@ -117,10 +119,13 @@ def pallas_auto_profitable(nfft: int, nint: int = 1, nsub: int = 1,
     """Where the fused kernel beats XLA (measured on v5e): at 1024 the
     column-batched variant wins (2.70 vs 2.15 GS/s welch); below that the
     (n1, n1) stage-1 matmuls are too small to feed the MXU and XLA wins.
-    Above 32768 the big per-segment kernel takes over (65536-pt measured
-    4.6 GS/s vs 1.64 XLA)."""
-    return nfft >= 1024 and pallas_supported(nfft, nint, nsub, mode,
-                                             precision)
+    Above 32768 the big per-segment kernel takes over (65536-pt ~5-6.4 vs
+    1.64 XLA; 262144-pt 2.19 vs 1.87). At 524288+ the n1 x n2 split's
+    per-sample MAC count and D-matrix size overtake XLA's FFT (1.36 vs
+    1.56 measured) — auto hands back to XLA there (explicit
+    fft_impl='pallas' still runs to 524288)."""
+    return (1024 <= nfft <= (1 << 18)
+            and pallas_supported(nfft, nint, nsub, mode, precision))
 
 
 @functools.lru_cache(maxsize=32)
@@ -539,6 +544,14 @@ def _make_big_sti_psd(
             out_shape=jax.ShapeDtypeStruct((ntime, nsub, n2, n1), jnp.float32),
             scratch_shapes=[pltpu.VMEM((nsub, n1, n2), jnp.float32)],
             interpret=interpret,
+            # the XLA default scoped-VMEM limit is 16 MB; v5e has 128 MB
+            # of physical VMEM, and the largest configs (262144-pt,
+            # 131072-pt multi-subchannel) need ~18-24 MB of working set —
+            # raise the cap for this kernel (measured: no regression at
+            # the small sizes, unlocks the big ones)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=BIG_VMEM_BUDGET,
+            ),
             cost_estimate=pl.CostEstimate(
                 flops=ntime * nsub * nseg * flops_seg,
                 bytes_accessed=ntime * nsub * nseg * nfft * 8

@@ -233,12 +233,16 @@ def test_big_factors_and_support():
     assert sp.big_factors(1 << 18) == (512, 512)
     assert sp.pallas_supported(1 << 16, 4, 1)
     assert sp.pallas_supported(1 << 16, 100, 2)   # nint is grid, not VMEM
-    assert sp.pallas_supported(1 << 17, 2, 1)     # 4.77 GS/s measured
-    # measured over the 16M scoped-VMEM limit on v5e (20.25M / 18.24M):
-    assert not sp.pallas_supported(1 << 17, 2, 2)
-    assert not sp.pallas_supported(1 << 18, 2, 1)
-    assert not sp.pallas_supported(1 << 19, 1, 1)
+    assert sp.pallas_supported(1 << 17, 2, 1)
+    # unlocked by raising the 16M scoped-VMEM default (CompilerParams):
+    assert sp.pallas_supported(1 << 17, 2, 2)     # 3.51 GS/s measured
+    assert sp.pallas_supported(1 << 18, 2, 1)     # 2.19 GS/s measured
+    assert sp.pallas_supported(1 << 19, 1, 1)     # runs, but XLA wins
+    assert not sp.pallas_supported(1 << 20, 1, 1)  # beyond the 64M budget
     assert sp.pallas_auto_profitable(1 << 16, 4, 1)
+    assert sp.pallas_auto_profitable(1 << 18, 2, 1)
+    # 524288+: supported but auto prefers XLA (1.56 vs 1.36 measured)
+    assert not sp.pallas_auto_profitable(1 << 19, 1, 1)
 
 
 @pytest.mark.parametrize("mode,nint,contiguous,precision", [
