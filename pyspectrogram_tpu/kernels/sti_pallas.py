@@ -45,8 +45,11 @@ from pyspectrogram_tpu.ops.windows import WindowSpec, get_window
 LANE = 128
 
 # VMEM budget: one column block (nsub*2 x frame_len f32) is double-buffered
-# by the pipeline; keep well under the ~16 MB/core VMEM
-MAX_BLOCK_BYTES = 6 * 1024 * 1024
+# by the pipeline. The column kernel raises the 16 MB scoped-VMEM software
+# default like the big kernel does (v5e: 128 MB physical), so wide
+# multi-subchannel / deep-integration configs stay on the fused path
+# instead of falling back to XLA.
+MAX_BLOCK_BYTES = 24 * 1024 * 1024
 
 
 def lane_factors(nfft: int) -> Tuple[int, int]:
@@ -392,6 +395,12 @@ def make_pallas_sti_psd(
             out_shape=jax.ShapeDtypeStruct((ntime, nsub, n2, n1), jnp.float32),
             scratch_shapes=[pltpu.VMEM((n1, n2), jnp.float32)],
             interpret=interpret,
+            # the 16 MB scoped-VMEM cap is a software default (v5e: 128 MB
+            # physical); raise it so wide-nsub / deep-nint column blocks
+            # stay on the fused path
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=2 * MAX_BLOCK_BYTES + 16 * 1024 * 1024,
+            ),
             cost_estimate=pl.CostEstimate(
                 flops=ntime * nsub * nseg * flops_seg,
                 bytes_accessed=ntime * nsub * nseg * nfft * 8

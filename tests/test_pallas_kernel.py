@@ -111,7 +111,8 @@ def test_pallas_supported_predicate():
     assert not pallas_supported(4000)          # not power of two
     assert not pallas_supported(128)           # too small
     assert not pallas_supported(1 << 20)       # DFT factors exceed VMEM
-    assert not pallas_supported(32768, 8, 2)   # small-kernel block too big
+    assert pallas_supported(32768, 8, 2)       # 16.8M block, raised cap
+    assert not pallas_supported(32768, 16, 2)  # block beyond the 24M cap
     # 65536+ uses the big per-segment kernel: nint no longer enters the
     # block budget, so deep integrations are supported
     assert pallas_supported(65536, 64, 4)
