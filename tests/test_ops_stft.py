@@ -137,7 +137,7 @@ def test_auto_impl_falls_back_to_xla_when_nsub_exceeds_vmem(monkeypatch):
     from pyspectrogram_tpu.kernels import sti_pallas
     from pyspectrogram_tpu.ops import stft as stft_mod
 
-    nfft, nint, nsub, ntime = 4096, 4, 25, 4
+    nfft, nint, nsub, ntime = 4096, 4, 100, 4
     assert sti_pallas.pallas_auto_profitable(nfft, nint, 1, "welch")
     assert not sti_pallas.pallas_supported(nfft, nint, nsub, "welch")
 

@@ -111,8 +111,9 @@ def test_pallas_supported_predicate():
     assert not pallas_supported(4000)          # not power of two
     assert not pallas_supported(128)           # too small
     assert not pallas_supported(1 << 20)       # DFT factors exceed VMEM
-    assert pallas_supported(32768, 8, 2)       # 16.8M block, raised cap
-    assert not pallas_supported(32768, 16, 2)  # block beyond the 24M cap
+    assert pallas_supported(32768, 8, 2)       # 8.4M block, raised cap
+    assert pallas_supported(32768, 16, 2)      # 16M block: 12.75 GS/s
+    assert not pallas_supported(32768, 32, 2)  # 32M block beyond the cap
     # 65536+ uses the big per-segment kernel: nint no longer enters the
     # block budget, so deep integrations are supported
     assert pallas_supported(65536, 64, 4)
