@@ -69,6 +69,36 @@ def _config_from(args):
     return SpectrogramConfig(**kw)
 
 
+def cmd_sti_batch(args) -> int:
+    """Render one STI PNG per dataset from a SINGLE device launch
+    (models.batch: the multi-tab pattern at 1/N the dispatch cost)."""
+    from pyspectrogram_tpu.display import save_sti_png
+    from pyspectrogram_tpu.io import RFDataset
+    from pyspectrogram_tpu.models import BatchedStiPipeline
+
+    cfg = _config_from(args)
+    requests = [(RFDataset(d), args.channel) for d in args.datasets]
+    results = BatchedStiPipeline(requests, cfg).compute()
+    outs = []
+    for dset, res in zip(args.datasets, results):
+        from pathlib import Path as _P
+
+        name = _P(args.out_dir) / (_P(dset).name + ".png")
+        out = save_sti_png(
+            str(name), res.freqs, res.times,
+            res.sxx_dbfs[..., args.subchannel],
+            colorrange=cfg.color_range_db,
+            freqrange_khz=cfg.freq_window_khz,
+            renderer=args.renderer,
+        )
+        outs.append({
+            "dataset": dset, "png": out,
+            "peak_dbfs": float(res.sxx_med_dbfs[:, args.subchannel].max()),
+        })
+    print(json.dumps({"batched": len(outs), "results": outs}))
+    return 0
+
+
 def cmd_sti(args) -> int:
     from pyspectrogram_tpu.display import save_sti_png
     from pyspectrogram_tpu.io import RFDataset
@@ -348,6 +378,16 @@ def main(argv=None) -> int:
                    help="persist the request tuple for exact resume")
     _add_common(p)
     p.set_defaults(fn=cmd_sti)
+
+    p = sub.add_parser(
+        "sti-batch",
+        help="render STIs for several datasets in ONE device launch")
+    p.add_argument("datasets", nargs="+")
+    p.add_argument("--out-dir", default=".")
+    p.add_argument("--renderer", default="auto",
+                   choices=["auto", "matplotlib", "pixels"])
+    _add_common(p)
+    p.set_defaults(fn=cmd_sti_batch)
 
     p = sub.add_parser("resume", help="re-run a saved session exactly")
     p.add_argument("session")

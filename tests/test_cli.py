@@ -153,3 +153,25 @@ def test_bench_e2e_smoke(tmp_path):
         cache_root=str(tmp_path), dtype="i16")
     assert e2e_sps > 0 and host_sps > 0
     assert meta["windows"] >= 1
+
+
+def test_cli_sti_batch(tmp_path, capsys):
+    """pstpu sti-batch renders one PNG per dataset from a single launch."""
+    from pyspectrogram_tpu.io.synthetic import write_capture
+
+    for i in range(3):
+        write_capture(tmp_path / f"d{i}", channel=f"c{i}", kind="tone",
+                      n_samples=1 << 14, sample_rate_numerator=1_000_000,
+                      freqs_hz=[125_000.0])
+    out_dir = tmp_path / "pngs"
+    out_dir.mkdir()
+    rc = main([
+        "sti-batch", *[str(tmp_path / f"d{i}") for i in range(3)],
+        "--out-dir", str(out_dir), "--nfft", "512", "--ntime", "8",
+    ])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["batched"] == 3
+    for i, r in enumerate(info["results"]):
+        assert (out_dir / f"d{i}.png").exists()
+        assert abs(r["peak_dbfs"]) < 0.01  # full-scale tone
