@@ -298,25 +298,54 @@ def make_pallas_sti_psd(
     inv_scale = np.float32(
         1.0 / (float(win64.sum()) ** 2 * float(ref) ** 2 * nseg)
     )
-    # per-stage constant triples (dr, di, dr+di) — Gauss's 3-mult complex
-    # product needs the sum matrix; balanced additionally splits each into
-    # bf16 hi/lo limbs on the host (3 single-pass matmuls per product).
-    d_consts = list(_plan_triple(plan, "d1", precision)) + list(
-        _plan_triple(plan, "d2", precision))
+    # Gauss's 3-mult complex product (25% fewer MXU passes) wins only
+    # where MXU passes dominate the step: exact precision with real Welch
+    # averaging. Memory/VPU-bound variants (parity / nint=1, and the
+    # 1-to-3-pass tiers) measured SLOWER with the extra VPU adds
+    # (4096 parity 17.3 -> 14.0, display 15.8 -> 9.7 GS/s), so they keep
+    # the plain 4-GEMM form.
+    use_gauss = precision == "exact" and nseg >= 2
+    if use_gauss:
+        d_consts = list(_plan_triple(plan, "d1", precision)) + list(
+            _plan_triple(plan, "d2", precision))
+    elif precision == "balanced":
+        d_consts = [_split_bf16(plan[k]) for k in ("d1r", "d1i", "d2r", "d2i")]
+    else:
+        d_consts = [plan[k] for k in ("d1r", "d1i", "d2r", "d2i")]
     consts = [win2] + d_consts + [plan["twr"], plan["twi"]]
 
-    def kernel(frames_ref, win_ref, d1r_ref, d1i_ref, d1s_ref,
-               d2r_ref, d2i_ref, d2s_ref, twr_ref, twi_ref, out_ref,
-               accum, *, nsub: int, tb: int = 1):
+    def kernel(frames_ref, win_ref, *rest, nsub: int, tb: int = 1):
         # MXU f32 matmuls default to single-pass bf16 (~3e-2 rel err on
         # the DFT). Tiers: "exact" = Precision.HIGHEST (bf16x6, ~1e-6);
         # "balanced" = manual 3-term hi/lo split (~1e-4 dB, ~2x faster);
-        # "display" = raw single pass (~0.12 dB, fastest). All tiers use
-        # the 3-GEMM complex product (see _complex_gemm_ops).
-        load_d3, cdot_l, cdot_r = _complex_gemm_ops(precision)
-        d1 = load_d3((d1r_ref, d1i_ref, d1s_ref))
-        d2 = load_d3((d2r_ref, d2i_ref, d2s_ref))
-        twr, twi = twr_ref[...], twi_ref[...]
+        # "display" = raw single pass (~0.12 dB, fastest).
+        out_ref, accum = rest[-2], rest[-1]
+        twr, twi = rest[-4][...], rest[-3][...]
+        dref = rest[:-4]
+        if use_gauss:
+            load_d3, cdot_l, cdot_r = _complex_gemm_ops(precision)
+            d1 = load_d3(dref[0:3])
+            d2 = load_d3(dref[3:6])
+
+            def cprod_l(x):
+                return cdot_l(d1, x)
+
+            def cprod_r(z):
+                return cdot_r(z, d2)
+        else:
+            load_d, xsplit, mdot, mdot2 = _mm_ops(precision)
+            d1r, d1i = load_d(dref[0]), load_d(dref[1])
+            d2r, d2i = load_d(dref[2]), load_d(dref[3])
+
+            def cprod_l(x):
+                xr, xi = xsplit(x[0]), xsplit(x[1])
+                return (mdot(d1r, xr) - mdot(d1i, xi),
+                        mdot(d1r, xi) + mdot(d1i, xr))
+
+            def cprod_r(z):
+                zr, zi = xsplit(z[0]), xsplit(z[1])
+                return (mdot2(zr, d2r) - mdot2(zi, d2i),
+                        mdot2(zr, d2i) + mdot2(zi, d2r))
         win = win_ref[...]
 
         for c, sub in [(c, s) for c in range(tb) for s in range(nsub)]:
@@ -335,11 +364,11 @@ def make_pallas_sti_psd(
                 xr = xr.astype(jnp.float32).reshape(n1, n2) * win
                 xi = xi.astype(jnp.float32).reshape(n1, n2) * win
                 # stage 1: DFT along p (sublane/contraction dim)
-                yr, yi = cdot_l(d1, (xr, xi))
+                yr, yi = cprod_l((xr, xi))
                 zr = yr * twr - yi * twi
                 zi = yr * twi + yi * twr
                 # stage 2: DFT along q (lane dim, contracts from the right)
-                xmr, xmi = cdot_r((zr, zi), d2)
+                xmr, xmi = cprod_r((zr, zi))
                 accum[...] += xmr * xmr + xmi * xmi
                 return 0
 
@@ -388,7 +417,7 @@ def make_pallas_sti_psd(
             functools.partial(kernel, nsub=nsub, tb=tb),
             grid=(ntime // tb,),
             in_specs=[frames_spec]
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(consts),
             out_specs=pl.BlockSpec((tb, nsub, n2, n1),
                                    lambda t: (t, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
