@@ -58,48 +58,15 @@ def lane_factors(nfft: int) -> Tuple[int, int]:
     return nfft // LANE, LANE
 
 
-#: transforms above this size use the per-segment-grid "big" kernel with
-#: a balanced n1 x n2 factor split (n2 in {256, 512}) instead of the
-#: lane-fixed n2 = 128 column kernel
+#: transforms at or above this size use the 3-stage per-segment-grid
+#: kernel (nfft = A*B*C GEMM factorization, see _make_big3_sti_psd)
 BIG_NFFT_MIN = 1 << 16
 
 #: scoped VMEM cap requested for the big kernel (the XLA default is
 #: 16 MB; v5e has 128 MB physical VMEM — the kernel raises the limit via
-#: CompilerParams so 131072 multi-subchannel and 262144 configs fit)
-BIG_VMEM_BUDGET = 64 * 1024 * 1024
-
-
-def big_factors(nfft: int) -> Tuple[int, int]:
-    """Balanced (n1, n2) split for the big kernel: n2 grows past the lane
-    width (any multiple of 128 tiles fine) so DFT-matrix bytes and
-    per-sample matmul work scale with sqrt(nfft), not nfft/128.
-    65536 -> 256x256, 131072 -> 512x256, 262144 -> 512x512."""
-    if nfft & (nfft - 1) or nfft < BIG_NFFT_MIN:
-        raise ValueError(f"big kernel needs power-of-two nfft >= {BIG_NFFT_MIN}")
-    n2 = min(512, 1 << (nfft.bit_length() - 1) // 2)  # ~floor(sqrt)
-    n1 = nfft // n2
-    if n1 > 512:  # cap stage-1 matrix at 512^2 (1 MB per float plane)
-        n1, n2 = 512, nfft // 512
-    return n1, n2
-
-
-def _big_vmem_bytes(nfft: int, nsub: int, precision: str) -> int:
-    """Scoped-VMEM estimate for the big kernel, calibrated against the
-    Mosaic compiler's actual scoped allocations on v5e (2026-08-16;
-    e.g. 131072/nsub2 = 20.25M, 262144/nsub1 = 18.24M — both compile once
-    the kernel raises the 16M default cap via CompilerParams). The
-    compiler's working set beyond the named buffers is ~10 live (n1, n2)
-    tiles of matmul intermediates."""
-    n1, n2 = big_factors(nfft)
-    dsplit = 2 if precision == "balanced" else 1
-    frames = nsub * 2 * nfft * 4 * 2          # segment block, double-buffered
-    dmats = (n1 * n1 + n2 * n2) * 4 * 2 * dsplit
-    tw = n1 * n2 * 4 * 2
-    win = nfft * 4
-    accum = nsub * n1 * n2 * 4
-    out = nsub * nfft * 4 * 2                 # out block, double-buffered
-    interm = 10 * n1 * n2 * 4 * dsplit
-    return frames + dmats + tw + win + accum + out + interm
+#: CompilerParams, which is what admits multi-MB working sets up to the
+#: reference's nfft = 2^20 maximum)
+BIG_VMEM_BUDGET = 90 * 1024 * 1024
 
 
 def pallas_supported(nfft: int, nint: int = 1, nsub: int = 1,
@@ -109,26 +76,24 @@ def pallas_supported(nfft: int, nint: int = 1, nsub: int = 1,
     if nfft >= BIG_NFFT_MIN:
         # the big kernel streams one SEGMENT per grid step and accumulates
         # in persistent scratch, so nint does not enter the block budget
-        return _big_vmem_bytes(nfft, nsub, precision) <= BIG_VMEM_BUDGET
+        return _big3_vmem_bytes(nfft, nsub, precision) <= BIG_VMEM_BUDGET
     nseg = nint if mode == "welch" else 1
     block = nsub * 2 * nfft * nseg * 4 * 2  # double-buffered
     # n1 <= 256 keeps the DFT factors + column block + pipeline buffers
-    # inside the ~16 MB VMEM for the small-column kernel
+    # inside VMEM for the small-column kernel
     return nfft // LANE <= 256 and block <= MAX_BLOCK_BYTES
 
 
 def pallas_auto_profitable(nfft: int, nint: int = 1, nsub: int = 1,
                            mode: str = "welch", precision: str = "exact") -> bool:
-    """Where the fused kernel beats XLA (measured on v5e): at 1024 the
-    column-batched variant wins (2.70 vs 2.15 GS/s welch); below that the
-    (n1, n1) stage-1 matmuls are too small to feed the MXU and XLA wins.
-    Above 32768 the big per-segment kernel takes over (65536-pt ~5-6.4 vs
-    1.64 XLA; 262144-pt 2.19 vs 1.87). At 524288+ the n1 x n2 split's
-    per-sample MAC count and D-matrix size overtake XLA's FFT (1.36 vs
-    1.56 measured) — auto hands back to XLA there (explicit
-    fft_impl='pallas' still runs to 524288)."""
-    return (1024 <= nfft <= (1 << 18)
-            and pallas_supported(nfft, nint, nsub, mode, precision))
+    """Where the fused kernel beats XLA (measured on v5e, amortized-loop
+    timing): at 1024 the column-batched variant wins (2.70 vs 2.15 GS/s
+    welch); below that the (n1, n1) stage-1 matmuls are too small to feed
+    the MXU and XLA wins. From 65536 the 3-stage per-segment kernel
+    sustains 6.2-7.6 GS/s across the reference's ENTIRE remaining range
+    (to 2^20) versus XLA's 1.3-1.8 — 4-5x."""
+    return nfft >= 1024 and pallas_supported(nfft, nint, nsub, mode,
+                                             precision)
 
 
 @functools.lru_cache(maxsize=32)
@@ -280,11 +245,11 @@ def make_pallas_sti_psd(
     slices the samples buffer directly, saving one full materialization of
     the frames array per step. ``starts`` is then only validated, not used.
 
-    Transforms of 65536+ dispatch to the big per-segment-grid kernel
-    (:func:`_make_big_sti_psd`).
+    Transforms of 65536+ dispatch to the 3-stage per-segment-grid
+    kernel (:func:`_make_big3_sti_psd`).
     """
     if nfft >= BIG_NFFT_MIN:
-        return _make_big_sti_psd(
+        return _make_big3_sti_psd(
             nfft=nfft, nint=nint, mode=mode, window=window, ref=ref,
             interpret=interpret, contiguous=contiguous, precision=precision,
         )
@@ -466,8 +431,71 @@ def make_pallas_sti_psd(
     return psd
 
 
-@functools.lru_cache(maxsize=32)
-def _make_big_sti_psd(
+def factors3(nfft: int) -> Tuple[int, int, int]:
+    """(A, B, C) split for the 3-stage kernel: C = 128 lanes, A >= B ~
+    sqrt(nfft/128). 65536 -> (32, 16, 128), 131072 -> (32, 32, 128),
+    262144 -> (64, 32, 128), 524288 -> (64, 64, 128),
+    1048576 -> (128, 64, 128)."""
+    if nfft & (nfft - 1) or nfft < BIG_NFFT_MIN:
+        raise ValueError(
+            f"3-stage kernel needs power-of-two nfft >= {BIG_NFFT_MIN}")
+    ab = nfft // LANE
+    b = 1 << ((ab.bit_length() - 1) // 2)
+    return ab // b, b, LANE
+
+
+@functools.lru_cache(maxsize=8)
+def make_plan3(nfft: int) -> dict:
+    """Constants for the 3-stage split N = A*B*C with
+    n = a*BC + b*C + c and k = k_a + A*k_b + A*B*k_c:
+
+        X[k] = sum_c W_C^{c k_c} W_BC^{c k_b} W_N^{(bC+c) k_a}
+               sum_b W_B^{b k_b} sum_a W_A^{a k_a} x3[a, b, c]
+
+    i.e. stage A (GEMM over a) -> twiddle T1[k_a, bC+c] = W_N^{(bC+c)k_a}
+    -> transpose (A,B,C)->(B,A,C) -> stage B (GEMM over b) -> twiddle
+    T2[k_b, c] = W_BC^{c k_b} broadcast over k_a -> stage C (GEMM over c
+    from the right). The result R[k_b, k_a, k_c] transposed to
+    (k_c, k_b, k_a) flattens row-major to the NATURAL frequency order
+    (k = k_a + A k_b + AB k_c), and fftshift (k += N/2 = AB*(C/2)) is a
+    carry-free half-swap along k_c."""
+    A, B, C = factors3(nfft)
+    f32 = lambda a: np.ascontiguousarray(a, np.float32)  # noqa: E731
+
+    def dft(n):
+        i = np.arange(n)
+        return np.exp(-2j * np.pi * np.outer(i, i) / n)
+
+    dA, dB, dC = dft(A), dft(B), dft(C)
+    r = np.arange(B * C)
+    t1 = np.exp(-2j * np.pi * np.outer(np.arange(A), r) / nfft)
+    t2 = np.exp(-2j * np.pi
+                * np.outer(np.arange(B), np.arange(C)) / (B * C))
+    return dict(
+        A=A, B=B, C=C,
+        dAr=f32(dA.real), dAi=f32(dA.imag),
+        dBr=f32(dB.real), dBi=f32(dB.imag),
+        dCr=f32(dC.real), dCi=f32(dC.imag),
+        t1r=f32(t1.real), t1i=f32(t1.imag),
+        t2r=f32(t2.real), t2i=f32(t2.imag),
+    )
+
+
+def _big3_vmem_bytes(nfft: int, nsub: int, precision: str) -> int:
+    """Working-set estimate for the 3-stage kernel: the D matrices are
+    tiny (<=128^2); the mass is the T1 twiddle, the segment block, and
+    ~12 live full-segment intermediate tiles."""
+    dsplit = 2 if precision == "balanced" else 1
+    frames = nsub * 2 * nfft * 4 * 2
+    consts = 2 * nfft * 4 + nfft * 4      # T1 r+i + window (D mats are KBs)
+    accum = nsub * nfft * 4
+    out = nsub * nfft * 4 * 2
+    interm = 12 * nfft * 4 * dsplit
+    return frames + consts + accum + out + interm
+
+
+@functools.lru_cache(maxsize=16)
+def _make_big3_sti_psd(
     *,
     nfft: int,
     nint: int = 1,
@@ -478,54 +506,46 @@ def _make_big_sti_psd(
     contiguous: bool = False,
     precision: str = "exact",
 ):
-    """Big-transform variant of :func:`make_pallas_sti_psd` (nfft 65536+).
+    """3-stage GEMM-FFT STI for giant transforms (see make_plan3).
 
-    Two structural changes versus the column kernel:
-
-    * the grid is (ntime, nseg) — each step receives ONE windowed segment
-      as its VMEM block and accumulates |X|^2 into persistent scratch, so
-      VMEM holds one nfft-sample segment regardless of nint (the column
-      kernel's whole-frame block would blow the budget at these sizes);
-    * the factor split n1 x n2 is balanced (~sqrt(nfft) each, n2 a
-      multiple of the 128 lane width) instead of lane-fixed n2 = 128,
-      so DFT-matrix bytes and per-sample matmul FLOPs grow as sqrt(nfft):
-      65536 = 256x256 costs 512 MACs/sample where a 512x128 split would
-      cost 640 and need a 2 MB stage-1 matrix.
-
-    Same output contract: linear fftshifted power (ntime, nsub, nfft).
-    The fftshift remains the static half-row swap on the transposed
-    (n2, n1) power tile — valid for any even n2 since shifting by
-    nfft/2 = n1*(n2/2) adds n2/2 to k2.
+    Per-sample MAC count is A+B+C (~224 at 262144) versus n1+n2 (1024)
+    for the 2-stage split — the D matrices shrink to KBs and two extra
+    VMEM transposes pay for an ~4x FLOP reduction. Same per-segment grid
+    and output contract as the column kernel.
     """
-    n1, n2 = big_factors(nfft)
+    plan = make_plan3(nfft)
+    A, B, C = plan["A"], plan["B"], plan["C"]
     nseg = nint if mode == "welch" else 1
     gather_len = nfft * nseg
 
-    plan = make_plan(nfft, n2)
     win64 = get_window(window, nfft)
-    win2 = win64.reshape(n1, n2).astype(np.float32)
+    win2 = win64.reshape(A, B * C).astype(np.float32)
     inv_scale = np.float32(
         1.0 / (float(win64.sum()) ** 2 * float(ref) ** 2 * nseg)
     )
-    # NOTE: the big kernel keeps the plain 4-GEMM complex product — the
-    # Gauss 3-mult variant (used by the small kernel) REGRESSED here
-    # (131072-pt: 4.77 -> ~3.4 GS/s measured): at (512, 256) tiles the
-    # extra VPU adds land on the critical path and the 1.5x D-matrix
-    # footprint eats pipeline headroom.
+    keys = ("dAr", "dAi", "dBr", "dBi", "dCr", "dCi",
+            "t1r", "t1i", "t2r", "t2i")
     if precision == "balanced":
-        d_consts = [_split_bf16(plan[k]) for k in ("d1r", "d1i", "d2r", "d2i")]
+        d_split = {"dAr", "dAi", "dBr", "dBi", "dCr", "dCi"}
+        consts = [win2] + [
+            _split_bf16(plan[k]) if k in d_split else plan[k] for k in keys]
     else:
-        d_consts = [plan[k] for k in ("d1r", "d1i", "d2r", "d2i")]
-    consts = [win2] + d_consts + [plan["twr"], plan["twi"]]
+        consts = [win2] + [plan[k] for k in keys]
 
-    def kernel(frames_ref, win_ref, d1r_ref, d1i_ref, d2r_ref, d2i_ref,
-               twr_ref, twi_ref, out_ref, accum, *, nsub: int):
+    def kernel(frames_ref, win_ref, dAr_ref, dAi_ref, dBr_ref, dBi_ref,
+               dCr_ref, dCi_ref, t1r_ref, t1i_ref, t2r_ref, t2i_ref,
+               out_ref, accum, *, nsub: int):
         s = pl.program_id(1)
         load_d, xsplit, mdot, mdot2 = _mm_ops(precision)
-        d1r, d1i = load_d(d1r_ref), load_d(d1i_ref)
-        d2r, d2i = load_d(d2r_ref), load_d(d2i_ref)
-        twr, twi = twr_ref[...], twi_ref[...]
+        dAr, dAi = load_d(dAr_ref), load_d(dAi_ref)
+        dBr, dBi = load_d(dBr_ref), load_d(dBi_ref)
+        dCr, dCi = load_d(dCr_ref), load_d(dCi_ref)
+        t1r, t1i = t1r_ref[...], t1i_ref[...]
+        t2r, t2i = t2r_ref[...], t2i_ref[...]
         win = win_ref[...]
+
+        def swap_AB(m):  # (A, B*C) -> (B, A*C)
+            return m.reshape(A, B, C).swapaxes(0, 1).reshape(B, A * C)
 
         for sub in range(nsub):
             if contiguous:
@@ -534,32 +554,46 @@ def _make_big_sti_psd(
             else:
                 xr0 = frames_ref[0, 2 * sub, :]
                 xi0 = frames_ref[0, 2 * sub + 1, :]
-            xr = xsplit(xr0.astype(jnp.float32).reshape(n1, n2) * win)
-            xi = xsplit(xi0.astype(jnp.float32).reshape(n1, n2) * win)
-            yr = mdot(d1r, xr) - mdot(d1i, xi)
-            yi = mdot(d1r, xi) + mdot(d1i, xr)
-            zr = xsplit(yr * twr - yi * twi)
-            zi = xsplit(yr * twi + yi * twr)
-            xmr = mdot2(zr, d2r) - mdot2(zi, d2i)
-            xmi = mdot2(zr, d2i) + mdot2(zi, d2r)
-            p = xmr * xmr + xmi * xmi
-            # accumulate across the segment grid axis; scratch persists
-            # between grid steps, (ntime, seg) iterates seg innermost
+            xr = xsplit(xr0.astype(jnp.float32).reshape(A, B * C) * win)
+            xi = xsplit(xi0.astype(jnp.float32).reshape(A, B * C) * win)
+            # stage A: DFT over a (GEMM (A,A) @ (A, B*C))
+            yr = mdot(dAr, xr) - mdot(dAi, xi)
+            yi = mdot(dAr, xi) + mdot(dAi, xr)
+            # T1 twiddle, then fold k_a under the lanes: (A,B,C)->(B,A*C)
+            zr = swap_AB(yr * t1r - yi * t1i)
+            zi = swap_AB(yr * t1i + yi * t1r)
+            zr, zi = xsplit(zr), xsplit(zi)
+            # stage B: DFT over b (GEMM (B,B) @ (B, A*C))
+            ur = mdot(dBr, zr) - mdot(dBi, zi)
+            ui = mdot(dBr, zi) + mdot(dBi, zr)
+            # T2 twiddle (k_b, c), broadcast over k_a
+            u3r = ur.reshape(B, A, C)
+            u3i = ui.reshape(B, A, C)
+            vr = (u3r * t2r[:, None, :] - u3i * t2i[:, None, :]).reshape(
+                B * A, C)
+            vi = (u3r * t2i[:, None, :] + u3i * t2r[:, None, :]).reshape(
+                B * A, C)
+            vr, vi = xsplit(vr), xsplit(vi)
+            # stage C: DFT over c (GEMM (B*A, C) @ (C, C), from the right)
+            wr = mdot2(vr, dCr) - mdot2(vi, dCi)
+            wi = mdot2(vr, dCi) + mdot2(vi, dCr)
+            p = wr * wr + wi * wi              # (B*A, C) = (k_b, k_a, k_c)
             accum[sub, :, :] = jnp.where(s == 0, p, accum[sub, :, :] + p)
 
         @pl.when(s == nseg - 1)
         def _write():
-            h = n2 // 2
+            h = C // 2
             for sub in range(nsub):
-                o = (accum[sub, :, :] * inv_scale).T      # (n2, n1)
-                out_ref[0, sub, :h, :] = o[h:, :]
-                out_ref[0, sub, h:, :] = o[:h, :]
+                # (B, A, C) -> (C, B, A): row-major flatten IS the natural
+                # frequency order; fftshift = half-swap along k_c
+                o = jnp.transpose(
+                    (accum[sub, :, :] * inv_scale).reshape(B, A, C),
+                    (2, 0, 1))
+                out_ref[0, sub, :h, :, :] = o[h:, :, :]
+                out_ref[0, sub, h:, :, :] = o[:h, :, :]
 
     def build(ntime: int, nsub: int):
         if contiguous:
-            # column t's samples start at t*nfft*nint: segment s of column
-            # t is block t*nint + s in nfft units (parity: nseg=1, the
-            # stride stays nint so only the first segment is consumed)
             frames_spec = pl.BlockSpec(
                 (nsub * 2, nfft),
                 lambda t, s: (0, t * nint + s),
@@ -570,25 +604,21 @@ def _make_big_sti_psd(
                 (1, nsub * 2, nfft), lambda t, s: (t, 0, s),
                 memory_space=pltpu.VMEM,
             )
-        flops_seg = 8 * 2 * (n1 * n1 * n2 + n1 * n2 * n2)
+        flops_seg = 8 * nfft * (A + B + C)
         return pl.pallas_call(
             functools.partial(kernel, nsub=nsub),
             grid=(ntime, nseg),
             in_specs=[frames_spec]
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
-            out_specs=pl.BlockSpec((1, nsub, n2, n1),
-                                   lambda t, s: (t, 0, 0, 0),
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(consts),
+            out_specs=pl.BlockSpec((1, nsub, C, B, A),
+                                   lambda t, s: (t, 0, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((ntime, nsub, n2, n1), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((nsub, n1, n2), jnp.float32)],
+            out_shape=jax.ShapeDtypeStruct((ntime, nsub, C, B, A),
+                                           jnp.float32),
+            scratch_shapes=[pltpu.VMEM((nsub, B * A, C), jnp.float32)],
             interpret=interpret,
-            # the XLA default scoped-VMEM limit is 16 MB; v5e has 128 MB
-            # of physical VMEM, and the largest configs (262144-pt,
-            # 131072-pt multi-subchannel) need ~18-24 MB of working set —
-            # raise the cap for this kernel (measured: no regression at
-            # the small sizes, unlocks the big ones)
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=BIG_VMEM_BUDGET,
+                vmem_limit_bytes=96 * 1024 * 1024,
             ),
             cost_estimate=pl.CostEstimate(
                 flops=ntime * nsub * nseg * flops_seg,
@@ -602,11 +632,6 @@ def _make_big_sti_psd(
     def psd(samples_pm: jax.Array, starts: jax.Array) -> jax.Array:
         nsub = samples_pm.shape[0] // 2
         ntime = starts.shape[0]
-        if not pallas_supported(nfft, nint, nsub, mode, precision):
-            raise ValueError(
-                f"big pallas STI unsupported for nfft={nfft} nint={nint} "
-                f"nsub={nsub} mode={mode} precision={precision}"
-            )
         if contiguous:
             if samples_pm.shape[1] < ntime * nfft * nint:
                 raise ValueError("buffer shorter than ntime contiguous frames")
@@ -619,7 +644,7 @@ def _make_big_sti_psd(
                 lambda row: jax.lax.dynamic_slice(row, (st,), (gather_len,))
             )(samples_pm)
 
-        frames = jax.vmap(one_start)(starts)     # (ntime, nsub*2, gather_len)
+        frames = jax.vmap(one_start)(starts)
         out = build(ntime, nsub)(frames, *[jnp.asarray(c) for c in consts])
         return out.reshape(ntime, nsub, nfft)
 

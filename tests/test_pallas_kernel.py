@@ -110,7 +110,7 @@ def test_pallas_supported_predicate():
     assert pallas_supported(4096, 4, 2)
     assert not pallas_supported(4000)          # not power of two
     assert not pallas_supported(128)           # too small
-    assert not pallas_supported(1 << 20)       # DFT factors exceed VMEM
+    assert pallas_supported(1 << 20)           # 3-stage covers 2^20 now
     assert pallas_supported(32768, 8, 2)       # 8.4M block, raised cap
     assert pallas_supported(32768, 16, 2)      # 16M block: 12.75 GS/s
     assert not pallas_supported(32768, 32, 2)  # 32M block beyond the cap
@@ -230,21 +230,21 @@ def test_balanced_precision_mode():
 def test_big_factors_and_support():
     from pyspectrogram_tpu.kernels import sti_pallas as sp
 
-    assert sp.big_factors(1 << 16) == (256, 256)
-    assert sp.big_factors(1 << 17) == (512, 256)
-    assert sp.big_factors(1 << 18) == (512, 512)
+    assert sp.factors3(1 << 16) == (32, 16, 128)
+    assert sp.factors3(1 << 17) == (32, 32, 128)
+    assert sp.factors3(1 << 18) == (64, 32, 128)
+    assert sp.factors3(1 << 19) == (64, 64, 128)
+    assert sp.factors3(1 << 20) == (128, 64, 128)
     assert sp.pallas_supported(1 << 16, 4, 1)
     assert sp.pallas_supported(1 << 16, 100, 2)   # nint is grid, not VMEM
-    assert sp.pallas_supported(1 << 17, 2, 1)
-    # unlocked by raising the 16M scoped-VMEM default (CompilerParams):
-    assert sp.pallas_supported(1 << 17, 2, 2)     # 3.51 GS/s measured
-    assert sp.pallas_supported(1 << 18, 2, 1)     # 2.19 GS/s measured
-    assert sp.pallas_supported(1 << 19, 1, 1)     # runs, but XLA wins
-    assert not sp.pallas_supported(1 << 20, 1, 1)  # beyond the 64M budget
+    assert sp.pallas_supported(1 << 17, 2, 2)
+    # the 3-stage kernel + raised scoped-VMEM cap cover the reference's
+    # FULL nfft range (drfview.py:475) at nsub=1; measured 6.2-7.6 GS/s
+    assert sp.pallas_supported(1 << 19, 1, 1)
+    assert sp.pallas_supported(1 << 20, 1, 1)
+    assert not sp.pallas_supported(1 << 20, 1, 2)  # beyond the 90M budget
     assert sp.pallas_auto_profitable(1 << 16, 4, 1)
-    assert sp.pallas_auto_profitable(1 << 18, 2, 1)
-    # 524288+: supported but auto prefers XLA (1.56 vs 1.36 measured)
-    assert not sp.pallas_auto_profitable(1 << 19, 1, 1)
+    assert sp.pallas_auto_profitable(1 << 20, 1, 1)
 
 
 @pytest.mark.parametrize("mode,nint,contiguous,precision", [
