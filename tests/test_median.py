@@ -6,6 +6,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from pyspectrogram_tpu.ops import stft
 from pyspectrogram_tpu.ops.stft import median_over_time
 
 
@@ -40,3 +41,21 @@ def test_median_float64_path():
         p = rng.standard_normal((10, 2, 7))
         got = np.asarray(jax.jit(median_over_time)(jnp.asarray(p)))
         np.testing.assert_array_equal(got, np.median(p, axis=0))
+
+
+def test_network_median_exact_all_small_n():
+    """The Batcher-network fast path (n <= 32) must equal numpy's median
+    bit-for-bit for every row count, odd and even."""
+    from pyspectrogram_tpu.ops.stft import MEDIAN_NETWORK_MAX_N
+
+    rng = np.random.default_rng(12)
+    for n in range(1, MEDIAN_NETWORK_MAX_N + 1):
+        x = rng.standard_normal((n, 2, 130)).astype(np.float32)
+        got = np.asarray(stft.median_over_time(jnp.asarray(x)))
+        np.testing.assert_array_equal(
+            got, np.median(x, axis=0).astype(np.float32))
+    # ntime_valid prefix selection also routes through the network
+    x = rng.standard_normal((40, 2, 130)).astype(np.float32)
+    got = np.asarray(stft.median_over_time(jnp.asarray(x), ntime_valid=7))
+    np.testing.assert_array_equal(
+        got, np.median(x[:7], axis=0).astype(np.float32))
