@@ -284,10 +284,12 @@ def main():
             for impl in ("auto", "xla"):
                 for mode in ("welch", "parity"):
                     try:
+                        # floor of 25: short loops at big nfft are
+                        # dominated by the ~+/-3 ms dispatch jitter
                         sps, p50, p99 = bench_sti(
                             nfft=nfft, nint=args.nint, ntime=args.ntime,
                             nsub=args.nsub, mode=mode, fft_impl=impl,
-                            iters=max(5, args.iters * 4096 // nfft),
+                            iters=max(25, args.iters * 4096 // nfft),
                         )
                         print(
                             f"# nfft={nfft:6d} {impl:5s} {mode:6s} "
