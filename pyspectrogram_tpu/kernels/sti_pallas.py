@@ -349,10 +349,13 @@ def make_pallas_sti_psd(
 
     def _pick_tb(ntime: int, nsub: int) -> int:
         # batching several columns per grid step amortizes per-step
-        # overhead — a measured win only for small transforms (1024-pt:
-        # 2.15 -> 2.70 GS/s at tb=8; 4096-pt regressed), and only in the
-        # contiguous full-consumption case (parity would over-fetch)
-        if not contiguous or gather_len != nfft * nint or nfft > 1024:
+        # overhead: a clear win at 1024 (2.15 -> 2.70 GS/s, tb=8) and
+        # neutral-to-positive at 4096-32768 under the raised VMEM cap
+        # (full-step 4096 holds ~7.0; psd-only 32768 12.1 -> 13.3 —
+        # the round-1 "4096 regressed" finding was an artifact of the
+        # old 6 MB block budget). Contiguous full-consumption only
+        # (parity would over-fetch).
+        if not contiguous or gather_len != nfft * nint:
             return 1
         for tb in (8, 4, 2):
             if ntime % tb == 0 and nsub * 2 * tb * gather_len * 8 <= MAX_BLOCK_BYTES:
