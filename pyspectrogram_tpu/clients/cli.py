@@ -76,14 +76,22 @@ def cmd_sti_batch(args) -> int:
     from pyspectrogram_tpu.io import RFDataset
     from pyspectrogram_tpu.models import BatchedStiPipeline
 
+    from pathlib import Path as _P
+
     cfg = _config_from(args)
     requests = [(RFDataset(d), args.channel) for d in args.datasets]
     results = BatchedStiPipeline(requests, cfg).compute()
+    out_dir = _P(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    # unique output names even when dataset basenames collide
+    base_names = [_P(d).name for d in args.datasets]
+    names = [
+        b if base_names.count(b) == 1 else f"{i:02d}_{b}"
+        for i, b in enumerate(base_names)
+    ]
     outs = []
-    for dset, res in zip(args.datasets, results):
-        from pathlib import Path as _P
-
-        name = _P(args.out_dir) / (_P(dset).name + ".png")
+    for dset, res, stem in zip(args.datasets, results, names):
+        name = out_dir / (stem + ".png")
         out = save_sti_png(
             str(name), res.freqs, res.times,
             res.sxx_dbfs[..., args.subchannel],

@@ -76,7 +76,13 @@ def require_qt():
         )
 
 
-from matplotlib.figure import Figure  # noqa: E402
+try:  # matplotlib is an optional extra; keep this module importable
+    from matplotlib.figure import Figure
+except Exception as _mpl_err:  # pragma: no cover - matplotlib-less installs
+    Figure = None
+    _MPL_ERR = _mpl_err
+else:
+    _MPL_ERR = None
 
 
 class CustomToolbar(NavigationToolbar2QT):
@@ -189,6 +195,10 @@ class MainWindow(QtWidgets.QMainWindow):
         w.setProperty("tab_id", tab_id)
         layout = QtWidgets.QHBoxLayout(w)
 
+        if Figure is None:
+            raise ImportError(
+                "the viewer needs matplotlib: pip install "
+                f"'pyspectrogram-tpu[gui]' (import error: {_MPL_ERR})")
         fig = Figure(figsize=(8, 8))
         gs = fig.add_gridspec(4, 5)
         st.psd_ax = fig.add_subplot(gs[0, :-1])

@@ -217,23 +217,31 @@ class FastSpanReader:
                 os.close(fd)
 
         total = sum(j[3] for j in jobs) * row_bytes
-        if len(jobs) <= 1 or total < MIN_PARALLEL_BYTES:
-            for j in jobs:
-                run(j)
+        try:
+            if len(jobs) <= 1 or total < MIN_PARALLEL_BYTES:
+                for j in jobs:
+                    run(j)
+                return True
+            # split very large segments so they spread over the pool
+            split: List[Tuple[Path, int, int, int]] = []
+            rows_per_job = max(JOB_BYTES // row_bytes, 1)
+            for path, off, dest, nrows in jobs:
+                while nrows > 0:
+                    take = min(nrows, rows_per_job)
+                    split.append((path, off, dest, take))
+                    off += take * row_bytes
+                    dest += take
+                    nrows -= take
+            pool = self._get_pool()
+            list(pool.map(run, split))
             return True
-        # split very large segments so they spread over the pool
-        split: List[Tuple[Path, int, int, int]] = []
-        rows_per_job = max(JOB_BYTES // row_bytes, 1)
-        for path, off, dest, nrows in jobs:
-            while nrows > 0:
-                take = min(nrows, rows_per_job)
-                split.append((path, off, dest, take))
-                off += take * row_bytes
-                dest += take
-                nrows -= take
-        pool = self._get_pool()
-        list(pool.map(run, split))
-        return True
+        except OSError:
+            # runtime read failure (file truncated/rewritten by a live
+            # writer between probe and read): drop the stale maps and let
+            # the caller take the h5py path, which re-reads fresh state
+            with self._lock:
+                self._maps.clear()
+            return False
 
     def _get_pool(self) -> ThreadPoolExecutor:
         with self._lock:

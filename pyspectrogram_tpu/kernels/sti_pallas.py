@@ -635,6 +635,12 @@ def _make_big3_sti_psd(
     def psd(samples_pm: jax.Array, starts: jax.Array) -> jax.Array:
         nsub = samples_pm.shape[0] // 2
         ntime = starts.shape[0]
+        if not pallas_supported(nfft, nint, nsub, mode, precision):
+            raise ValueError(
+                f"big pallas STI unsupported for nfft={nfft} nint={nint} "
+                f"nsub={nsub} mode={mode} precision={precision} (working "
+                "set exceeds the VMEM budget)"
+            )
         if contiguous:
             if samples_pm.shape[1] < ntime * nfft * nint:
                 raise ValueError("buffer shorter than ntime contiguous frames")

@@ -126,7 +126,7 @@ class StreamingSti:
             hop == frame_len
             and sti_pallas.pallas_auto_profitable(nfft, nint, nsub, mode)
             and jax.default_backend() == "tpu"
-        )
+        )  # streaming's kernel runs at default ("exact") precision
         if use_pallas:
             pallas_psd = sti_pallas.make_pallas_sti_psd(
                 nfft=nfft, nint=nint, mode=mode, window=self._window,

@@ -357,7 +357,8 @@ def make_sti_fn_pm(
             return False
         return (
             jax.default_backend() == "tpu"
-            and sti_pallas.pallas_auto_profitable(nfft, nint, nsub, mode)
+            and sti_pallas.pallas_auto_profitable(nfft, nint, nsub, mode,
+                                                  precision)
         )
 
     @jax.jit

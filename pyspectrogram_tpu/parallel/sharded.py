@@ -77,7 +77,8 @@ def make_sharded_sti_fn(
         else:
             use_pallas = (
                 jax.default_backend() == "tpu"
-                and sti_pallas.pallas_auto_profitable(nfft, nint, nsub_l, mode)
+                and sti_pallas.pallas_auto_profitable(nfft, nint, nsub_l,
+                                                      mode, precision)
             )
         if use_pallas:
             # fused kernel per shard (each device runs it on its columns)

@@ -175,3 +175,25 @@ def test_cli_sti_batch(tmp_path, capsys):
     for i, r in enumerate(info["results"]):
         assert (out_dir / f"d{i}.png").exists()
         assert abs(r["peak_dbfs"]) < 0.01  # full-scale tone
+
+
+def test_cli_sti_batch_colliding_basenames(tmp_path, capsys):
+    """Same-basename datasets must not overwrite each other's PNGs, and a
+    missing --out-dir is created."""
+    from pyspectrogram_tpu.io.synthetic import write_capture
+
+    for sub in ("day1", "day2"):
+        write_capture(tmp_path / sub / "capture", channel="c0", kind="tone",
+                      n_samples=1 << 14, sample_rate_numerator=1_000_000)
+    out_dir = tmp_path / "new" / "dir"
+    rc = main([
+        "sti-batch", str(tmp_path / "day1" / "capture"),
+        str(tmp_path / "day2" / "capture"),
+        "--out-dir", str(out_dir), "--nfft", "512", "--ntime", "8",
+    ])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    pngs = {r["png"] for r in info["results"]}
+    assert len(pngs) == 2  # distinct files
+    for p in pngs:
+        assert Path(p).exists()
