@@ -279,7 +279,8 @@ def make_pallas_sti_psd(
         d_consts = [plan[k] for k in ("d1r", "d1i", "d2r", "d2i")]
     consts = [win2] + d_consts + [plan["twr"], plan["twi"]]
 
-    def kernel(frames_ref, win_ref, *rest, nsub: int, tb: int = 1):
+    def kernel(frames_ref, win_ref, *rest, nsub: int, tb: int = 1,
+               wide: bool = False):
         # MXU f32 matmuls default to single-pass bf16 (~3e-2 rel err on
         # the DFT). Tiers: "exact" = Precision.HIGHEST (bf16x6, ~1e-6);
         # "balanced" = manual 3-term hi/lo split (~1e-4 dB, ~2x faster);
@@ -312,6 +313,50 @@ def make_pallas_sti_psd(
                 return (mdot2(zr, d2r) - mdot2(zi, d2i),
                         mdot2(zr, d2i) + mdot2(zi, d2r))
         win = win_ref[...]
+        h = n2 // 2
+
+        if wide:
+            # WIDE path: all tb columns of a subchannel fold under the
+            # lanes — stage 1 runs as ONE (n1, n1) @ (n1, tb*n2) GEMM and
+            # stage 2 as ONE (tb*n1, n2) @ (n2, n2) GEMM per segment
+            # (the twiddle consts arrive pre-tiled to (n1, tb*n2)); the
+            # per-column tiny-GEMM launches this replaces were the
+            # small-transform bottleneck.
+            for sub in range(nsub):
+                accum[...] = jnp.zeros((tb, n1, n2), jnp.float32)
+
+                def seg_body(seg, _, sub=sub):
+                    cols_r, cols_i = [], []
+                    for c in range(tb):
+                        off = pl.multiple_of(c * gather_len + seg * nfft,
+                                             LANE)
+                        xr = frames_ref[2 * sub, pl.ds(off, nfft)]
+                        xi = frames_ref[2 * sub + 1, pl.ds(off, nfft)]
+                        cols_r.append(
+                            xr.astype(jnp.float32).reshape(n1, n2))
+                        cols_i.append(
+                            xi.astype(jnp.float32).reshape(n1, n2))
+                    xwr = jnp.concatenate(cols_r, axis=1) * win
+                    xwi = jnp.concatenate(cols_i, axis=1) * win
+                    yr, yi = cprod_l((xwr, xwi))      # (n1, tb*n2)
+                    zr = yr * twr - yi * twi
+                    zi = yr * twi + yi * twr
+                    # fold columns under the sublanes for stage 2
+                    zr = zr.reshape(n1, tb, n2).swapaxes(0, 1).reshape(
+                        tb * n1, n2)
+                    zi = zi.reshape(n1, tb, n2).swapaxes(0, 1).reshape(
+                        tb * n1, n2)
+                    xmr, xmi = cprod_r((zr, zi))      # (tb*n1, n2)
+                    accum[...] += (xmr * xmr + xmi * xmi).reshape(
+                        tb, n1, n2)
+                    return 0
+
+                jax.lax.fori_loop(0, nseg, seg_body, 0)
+                for c in range(tb):
+                    o = (accum[c, :, :] * inv_scale).T    # (n2, n1)
+                    out_ref[c, sub, :h, :] = o[h:, :]
+                    out_ref[c, sub, h:, :] = o[:h, :]
+            return
 
         for c, sub in [(c, s) for c in range(tb) for s in range(nsub)]:
             accum[...] = jnp.zeros((n1, n2), jnp.float32)
@@ -343,7 +388,6 @@ def make_pallas_sti_psd(
             # Xm[k1,k2] -> natural order is O[k2,k1] flattened; fftshift
             # adds nfft/2 = n1*(n2/2): swap the row halves of O.
             o = p.T                               # (n2, n1)
-            h = n2 // 2
             out_ref[c, sub, :h, :] = o[h:, :]
             out_ref[c, sub, h:, :] = o[:h, :]
 
@@ -365,6 +409,21 @@ def make_pallas_sti_psd(
     def build(ntime: int, nsub: int):
         flops_seg = 8 * 2 * (n1 * n1 * n2 + n1 * n2 * n2)
         tb = _pick_tb(ntime, nsub)
+        # the wide (lane-folded) variant wins for small transforms where
+        # per-column GEMMs underfeed the MXU (measured v5e: 4096 7.0 ->
+        # 10.7, 1024 2.6 -> 7.1, 16384 -> 12.1 GS/s); at 32768 the
+        # per-column GEMMs are already ~85% of peak and the fold's
+        # transpose costs more than it saves (12.1 -> 11.1).
+        wide = tb > 1 and nfft <= 16384
+        if wide:
+            # window and twiddle tile across the tb lane-folded columns
+            consts_b = ([np.tile(win2, (1, tb))] + d_consts
+                        + [np.tile(plan["twr"], (1, tb)),
+                           np.tile(plan["twi"], (1, tb))])
+            scratch = pltpu.VMEM((tb, n1, n2), jnp.float32)
+        else:
+            consts_b = consts
+            scratch = pltpu.VMEM((n1, n2), jnp.float32)
         if contiguous:
             # column t's samples live at [t*frame_len, ...): slice the
             # buffer directly (block units: width tb*gather_len, so
@@ -381,16 +440,16 @@ def make_pallas_sti_psd(
                 (1, nsub * 2, gather_len), lambda t: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             )
-        return pl.pallas_call(
-            functools.partial(kernel, nsub=nsub, tb=tb),
+        call = pl.pallas_call(
+            functools.partial(kernel, nsub=nsub, tb=tb, wide=wide),
             grid=(ntime // tb,),
             in_specs=[frames_spec]
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(consts),
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(consts_b),
             out_specs=pl.BlockSpec((tb, nsub, n2, n1),
                                    lambda t: (t, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((ntime, nsub, n2, n1), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((n1, n2), jnp.float32)],
+            scratch_shapes=[scratch],
             interpret=interpret,
             # the 16 MB scoped-VMEM cap is a software default (v5e: 128 MB
             # physical); raise it so wide-nsub / deep-nint column blocks
@@ -405,6 +464,7 @@ def make_pallas_sti_psd(
                 transcendentals=0,
             ),
         )
+        return call, consts_b
 
     @jax.jit
     def psd(samples_pm: jax.Array, starts: jax.Array) -> jax.Array:
@@ -415,11 +475,11 @@ def make_pallas_sti_psd(
                 f"pallas STI unsupported for nfft={nfft} nint={nint} "
                 f"nsub={nsub} mode={mode}"
             )
+        call, consts_b = build(ntime, nsub)
         if contiguous:
             if samples_pm.shape[1] < ntime * nfft * nint:
                 raise ValueError("buffer shorter than ntime contiguous frames")
-            out = build(ntime, nsub)(
-                samples_pm, *[jnp.asarray(c) for c in consts])
+            out = call(samples_pm, *[jnp.asarray(c) for c in consts_b])
             return out.reshape(ntime, nsub, nfft)
 
         def one_start(s):
@@ -428,7 +488,7 @@ def make_pallas_sti_psd(
             )(samples_pm)
 
         frames = jax.vmap(one_start)(starts)     # (ntime, nsub*2, gather_len)
-        out = build(ntime, nsub)(frames, *[jnp.asarray(c) for c in consts])
+        out = call(frames, *[jnp.asarray(c) for c in consts_b])
         return out.reshape(ntime, nsub, nfft)
 
     return psd

@@ -202,10 +202,12 @@ def test_pallas_contiguous_tb_batched():
     batched = make_pallas_sti_psd(nfft=nfft, nint=nint, interpret=True,
                                   contiguous=True)
     plain = make_pallas_sti_psd(nfft=nfft, nint=nint, interpret=True)
+    # the wide-tb path evaluates the same math as one lane-folded GEMM,
+    # so float summation order differs slightly from per-column GEMMs
     np.testing.assert_allclose(
         np.asarray(batched(jnp.asarray(pm), jnp.asarray(starts))),
         np.asarray(plain(jnp.asarray(pm), jnp.asarray(starts))),
-        rtol=1e-6,
+        rtol=1e-5,
     )
 
 
