@@ -85,15 +85,20 @@ def pallas_supported(nfft: int, nint: int = 1, nsub: int = 1,
 
 
 def pallas_auto_profitable(nfft: int, nint: int = 1, nsub: int = 1,
-                           mode: str = "welch", precision: str = "exact") -> bool:
+                           mode: str = "welch", precision: str = "exact",
+                           contiguous: bool = False) -> bool:
     """Where the fused kernel beats XLA (measured on v5e, amortized-loop
-    timing): at 1024 the column-batched variant wins (2.70 vs 2.15 GS/s
-    welch); below that the (n1, n1) stage-1 matmuls are too small to feed
-    the MXU and XLA wins. From 65536 the 3-stage per-segment kernel
-    sustains 6.2-7.6 GS/s across the reference's ENTIRE remaining range
-    (to 2^20) versus XLA's 1.3-1.8 — 4-5x."""
-    return nfft >= 1024 and pallas_supported(nfft, nint, nsub, mode,
-                                             precision)
+    timing). On the contiguous production layout the wide (lane-folded)
+    column batching wins all the way down to the kernel's 256-pt floor
+    (256: 2.38 vs 1.67, 512: 4.08 vs 2.31, 1024: 7.05 vs 2.21 GS/s);
+    gathered (arbitrary-start) paths can't lane-fold, so below 1024 the
+    per-column stage-1 matmuls underfeed the MXU and XLA wins there.
+    From 65536 the 3-stage per-segment kernel sustains 5.9-7.6 GS/s
+    across the reference's ENTIRE remaining range (to 2^20) versus XLA's
+    1.3-1.8 — 4-5x."""
+    floor = 256 if contiguous else 1024
+    return nfft >= floor and pallas_supported(nfft, nint, nsub, mode,
+                                              precision)
 
 
 @functools.lru_cache(maxsize=32)

@@ -124,7 +124,8 @@ class StreamingSti:
 
         use_pallas = (
             hop == frame_len
-            and sti_pallas.pallas_auto_profitable(nfft, nint, nsub, mode)
+            and sti_pallas.pallas_auto_profitable(nfft, nint, nsub, mode,
+                                                  contiguous=True)
             and jax.default_backend() == "tpu"
         )  # streaming's kernel runs at default ("exact") precision
         if use_pallas:

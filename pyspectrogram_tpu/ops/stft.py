@@ -358,7 +358,7 @@ def make_sti_fn_pm(
         return (
             jax.default_backend() == "tpu"
             and sti_pallas.pallas_auto_profitable(nfft, nint, nsub, mode,
-                                                  precision)
+                                                  precision, contiguous)
         )
 
     @jax.jit

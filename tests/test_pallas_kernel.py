@@ -297,3 +297,15 @@ def test_big_kernel_dispatch_through_make_sti_fn_pm():
                                np.asarray(b["sxx_dbfs"]), atol=0.02)
     np.testing.assert_allclose(np.asarray(a["sxx_med_dbfs"]),
                                np.asarray(b["sxx_med_dbfs"]), atol=0.02)
+
+
+def test_auto_profitable_contiguous_floor():
+    """Contiguous (wide lane-folded) batching makes the fused kernel win
+    down to its 256-pt floor; gathered paths keep the 1024 floor."""
+    from pyspectrogram_tpu.kernels import sti_pallas as sp
+
+    assert sp.pallas_auto_profitable(256, contiguous=True)
+    assert sp.pallas_auto_profitable(512, contiguous=True)
+    assert not sp.pallas_auto_profitable(256)
+    assert not sp.pallas_auto_profitable(512)
+    assert sp.pallas_auto_profitable(1024)
