@@ -110,9 +110,9 @@ def bench_streaming(nfft=4096, nint=1, nsub=2, cols_per_block=8,
                     ring_len=256, iters=50, repeats=5):
     """p50 block -> STI-column latency of the streaming ring path
     (north-star target: < 5 ms, BASELINE.md)."""
-    # pushes are fast (~0.01-0.2 ms); amortize enough of them that the
-    # measured total clears the ~32 ms dispatch/readback jitter
-    iters = max(iters, 400)
+    # pushes are fast (~5-20 us with the rotating ring); amortize enough
+    # of them that the measured total clears the ~+/-3 ms dispatch jitter
+    iters = max(iters, 4000)
     import jax
     import jax.numpy as jnp
     from pyspectrogram_tpu.models.streaming import StreamingSti
@@ -128,9 +128,12 @@ def bench_streaming(nfft=4096, nint=1, nsub=2, cols_per_block=8,
     @jax.jit
     def run_k(state, block):
         def body(i, st):
-            # each push depends on the previous state's carry/ring, so the
-            # loop body cannot be hoisted or elided
-            st, _ = push(st, block)
+            # the block must vary with the loop: with hop == frame_len the
+            # carry is empty, so a loop-invariant block would let XLA
+            # hoist the whole PSD kernel out of the loop and the bench
+            # would time only the ring update
+            b = block.at[0, 0].set(st.ring[0, 0, 0] * 1e-30)
+            st, _ = push(st, b)
             return st
         return jax.lax.fori_loop(0, iters, body, state).ring[0, 0, 0]
 

@@ -106,3 +106,48 @@ def test_block_len_validation():
         StreamingSti(nfft=64, nsub=1, block_len=100)   # not multiple of hop
     with pytest.raises(ValueError):
         StreamingSti(nfft=64, nsub=1, block_len=64 * 8, ring_len=2)
+
+
+def test_rotating_ring_wraparound_ordering():
+    """Circular storage must present the canonical layout: oldest-first in
+    the last n slots, identical to the shifted-concat scheme, across
+    multiple wraps — and the non-divisible ring keeps the concat path."""
+    rng = np.random.default_rng(31)
+    nfft, k = 256, 4
+    for ring_len in (8, 6):  # 8 % 4 == 0 -> rotating; 6 % 4 != 0 -> concat
+        s = StreamingSti(nfft=nfft, nint=1, nsub=1, block_len=nfft * k,
+                         ring_len=ring_len, window="boxcar")
+        state = s.init_state()
+        all_cols = []
+        for i in range(5):  # 20 columns through a <=8-slot ring
+            block = rng.standard_normal((2, nfft * k)).astype(np.float32)
+            state, cols_db = s.push(state, jnp.asarray(block))
+            all_cols.append(np.asarray(cols_db))
+        kept = np.concatenate(all_cols, axis=0)[-ring_len:]
+        snap, n = s.snapshot(state)
+        assert n == ring_len
+        np.testing.assert_allclose(snap, kept, rtol=1e-6)
+        # median over the kept columns (linear power, canonical order
+        # irrelevant for the median but the fn slices the last n slots)
+        med = s.median_psd(state)
+        lin = 10 ** (kept / 10.0) - 1e-15
+        want = 10 * np.log10(np.median(lin, axis=0) + 1e-15)
+        np.testing.assert_allclose(med, want, rtol=1e-4)
+
+
+def test_rotating_ring_partial_fill_layout():
+    """Before the first wrap, unfilled slots read as the eps floor and sit
+    FIRST, data oldest-first at the tail (the documented snapshot layout)."""
+    rng = np.random.default_rng(32)
+    nfft, k, ring_len = 256, 4, 16
+    s = StreamingSti(nfft=nfft, nint=1, nsub=1, block_len=nfft * k,
+                     ring_len=ring_len, window="boxcar")
+    state = s.init_state()
+    block = rng.standard_normal((2, nfft * k)).astype(np.float32)
+    state, cols_db = s.push(state, jnp.asarray(block))
+    snap, n = s.snapshot(state)
+    assert n == k
+    floor = 10 * np.log10(1e-15)
+    np.testing.assert_allclose(snap[: ring_len - k], floor, rtol=1e-6)
+    np.testing.assert_allclose(snap[ring_len - k :], np.asarray(cols_db),
+                               rtol=1e-6)
