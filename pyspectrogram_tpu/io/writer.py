@@ -111,6 +111,8 @@ class DigitalRFWriter:
 
     # ------------------------------------------------------------------
     def _append_to_file(self, file_ms: int, global_start: int, disk_rows) -> None:
+        import time
+
         import h5py
 
         path = self.props.file_path(self.top_dir, self.channel, file_ms)
@@ -118,7 +120,18 @@ class DigitalRFWriter:
         kw = {}
         if self.compression_level:
             kw = dict(compression="gzip", compression_opts=self.compression_level)
-        with h5py.File(path, "a") as f:
+        # a live reader in the same process may hold this file open
+        # read-only for a moment (HDF5 refuses RDWR then) — retry briefly
+        # instead of dropping the block
+        for attempt in range(200):
+            try:
+                f = h5py.File(path, "a")
+                break
+            except OSError:
+                if attempt == 199:
+                    raise
+                time.sleep(0.002)
+        with f:
             if "rf_data" not in f:
                 # full-row-width chunks: each chunk is then a contiguous
                 # byte range of whole sample rows, which the pooled

@@ -377,3 +377,30 @@ def test_samples_to_datetime64_overflow_fallback():
     assert got.dtype == np.dtype("datetime64[us]")
     want = [int(round(Fraction(int(v), 3) * 1_000_000)) for v in s]
     np.testing.assert_array_equal(got.astype("int64"), want)
+
+
+def test_writer_retries_transient_reader_lock(tmp_path, monkeypatch):
+    """A live reader holding a data file open read-only must not make the
+    writer drop a block — the append retries (found by a TPU soak where a
+    same-process reader/writer collided once in ~600 pushes)."""
+    import h5py
+
+    w = DigitalRFWriter(tmp_path, "rl", np.complex64, 0, 100_000)
+    w.rf_write(np.ones(1000, np.complex64))
+    path = next(p for p in (tmp_path / "rl").rglob("rf@*.h5"))
+    holder = h5py.File(path, "r")  # simulate the reader's open window
+
+    import threading
+    import time as _t
+
+    def release():
+        _t.sleep(0.05)
+        holder.close()
+
+    t = threading.Thread(target=release)
+    t.start()
+    w.rf_write(np.ones(1000, np.complex64))  # must retry, then succeed
+    t.join()
+    rd = DigitalRFReader(tmp_path)
+    lo, hi = rd.get_bounds("rl")
+    assert hi - lo + 1 == 2000
