@@ -111,8 +111,11 @@ def bench_streaming(nfft=4096, nint=1, nsub=2, cols_per_block=8,
     """p50 block -> STI-column latency of the streaming ring path
     (north-star target: < 5 ms, BASELINE.md)."""
     # pushes are fast (~5-20 us with the rotating ring); amortize enough
-    # of them that the measured total clears the ~+/-3 ms dispatch jitter
-    iters = max(iters, 4000)
+    # of them that the measured total clears the ~+/-3 ms dispatch jitter.
+    # The floor scales down with nfft (per-push work scales up with it) so
+    # a large-nfft headline run does not burn its timeout on 4000 pushes;
+    # an explicit larger --iters still wins.
+    iters = max(iters, max(250, 4000 * 4096 // nfft))
     import jax
     import jax.numpy as jnp
     from pyspectrogram_tpu.models.streaming import StreamingSti

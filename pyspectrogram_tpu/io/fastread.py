@@ -95,6 +95,14 @@ class FastSpanReader:
                     return None
                 if ds.dtype.byteorder not in ("<", "=", "|"):
                     return None  # raw-byte reads assume native LE
+                if ds.dtype.names is not None and any(
+                    f[0].byteorder not in ("<", "=", "|")
+                    for f in ds.dtype.fields.values()
+                ):
+                    # compound dtypes report '|' at the top level even when
+                    # their fields are big-endian; a raw read would return
+                    # byte-swapped samples silently
+                    return None
                 nrows = int(ds.shape[0])
                 row_bytes = int(ds.dtype.itemsize) * int(ds.shape[1])
                 if ds.chunks is None:
@@ -184,8 +192,18 @@ class FastSpanReader:
                     base = int(fm.chunk_offsets[ci])
                     if base < 0:
                         return False  # indexed rows in an unallocated chunk
-                    jobs.append((
-                        path, base + in_chunk * row_bytes, dest, take))
+                    off = base + in_chunk * row_bytes
+                    # HDF5 usually allocates consecutive chunks back to
+                    # back; merging byte-adjacent pieces keeps one preadv
+                    # per contiguous extent instead of one per chunk
+                    if jobs and jobs[-1][0] == path and (
+                        jobs[-1][1] + jobs[-1][3] * row_bytes == off
+                        and jobs[-1][2] + jobs[-1][3] == dest
+                    ):
+                        p_, o_, d_, n_ = jobs[-1]
+                        jobs[-1] = (p_, o_, d_, n_ + take)
+                    else:
+                        jobs.append((path, off, dest, take))
                     row += take
                     dest += take
                     left -= take

@@ -129,15 +129,25 @@ class DigitalRFReader:
                     if lo < hi:
                         rows = ds[r0 + (lo - g0) : r0 + (hi - g0)]
                         pieces.append((lo, rows))
-        # merge adjacent pieces (across file boundaries) into runs
-        for g, arr in pieces:
-            if runs:
-                last_g = next(reversed(runs))
-                last = runs[last_g]
-                if last_g + len(last) == g:
-                    runs[last_g] = np.concatenate([last, arr], axis=0)
-                    continue
-            runs[g] = arr
+        # merge adjacent pieces (across file boundaries) into runs —
+        # grouped first, one concatenate per run: pairwise concatenation
+        # would copy O(total^2) bytes on spans with many pieces (small
+        # file cadence and/or many gaps)
+        run_start, run_parts, run_len = None, [], 0
+        def flush():
+            runs[run_start] = (
+                run_parts[0] if len(run_parts) == 1
+                else np.concatenate(run_parts, axis=0))
+        for g, arr in pieces:  # pieces arrive in ascending sample order
+            if run_start is not None and run_start + run_len == g:
+                run_parts.append(arr)
+                run_len += len(arr)
+                continue
+            if run_start is not None:
+                flush()
+            run_start, run_parts, run_len = g, [arr], len(arr)
+        if run_start is not None:
+            flush()
         return runs
 
     def read_vector_raw(

@@ -137,8 +137,15 @@ class DigitalRFWriter:
                 # byte range of whole sample rows, which the pooled
                 # GIL-free read path (io.fastread) maps directly; h5py's
                 # auto-chunking would split the subchannel axis instead
+                # chunk row count is bounded (NOT the whole file span):
+                # HDF5 allocates uncompressed chunks full-size, so a file
+                # holding a few rows of a sparse capture would otherwise
+                # occupy chunk_rows*row_bytes on disk regardless of data
+                # written. 8192 rows bounds that overallocation while the
+                # fastread extent map merges byte-adjacent chunks back
+                # into single preadv extents.
                 span = self.props.file_sample_span(file_ms)
-                chunk_rows = max(1, min(int(span[1] - span[0]), 1 << 16))
+                chunk_rows = max(1, min(int(span[1] - span[0]), 8192))
                 f.create_dataset(
                     "rf_data",
                     shape=(0, self.props.num_subchannels),

@@ -256,8 +256,9 @@ class StiPipeline:
             precision=cfg.precision,
         )
         s_sh, st_sh = fn.input_shardings()
-        if samples_pm.dtype != np.float32:
-            samples_pm = samples_pm.astype(np.float32)
+        # samples_pm ships in its storage dtype: raw int16 planes cross
+        # the host link at half the float bytes (times one copy per device
+        # on the replicated axis) and widen per shard on device
         return fn(
             jax.device_put(jnp.asarray(samples_pm), s_sh),
             jax.device_put(jnp.asarray(padded), st_sh),

@@ -129,21 +129,26 @@ class StreamingSti:
         frame_len, hop, k = self.frame_len, self.hop, self.cols_per_block
         mode, eps = self.mode, self.eps
         win, inv_scale = self._win, self._inv_scale
-        # circular storage: when the ring holds a whole number of blocks,
-        # a push writes ONLY its k new columns at a rotating offset (a
-        # dynamic_update_slice) instead of rewriting the entire ring with
-        # a shifted concatenate — at 4096-pt/ring 256 that replaces an
+        # circular storage: a push writes ONLY its k new columns at a
+        # rotating offset instead of rewriting the entire ring with a
+        # shifted concatenate — at 4096-pt/ring 256 that replaces an
         # 8 MB HBM rewrite per push with a 128 KB write. Read paths
-        # (snapshot/median) de-rotate on demand, which is rare.
-        rotate = self.ring_len % k == 0
-        self._rotating = rotate
+        # (snapshot/median) de-rotate on demand, which is rare. The
+        # rotation is a pure function of total_cols, so storage layout is
+        # deterministic and checkpoints convert without knowing the
+        # streamer (runtime.checkpoint ring_layout="rotated").
+        self._rotating = True
         ring_len = self.ring_len
+        # when k divides ring_len a write never wraps, so it is a single
+        # dynamic_update_slice; otherwise scatter by modular row index
+        wrap_free = ring_len % k == 0
 
         def store(ring, cols, total_cols):
-            if not rotate:
-                return jnp.concatenate([ring[k:], cols], axis=0)
             pos = (total_cols % ring_len).astype(jnp.int32)
-            return jax.lax.dynamic_update_slice(ring, cols, (pos, 0, 0))
+            if wrap_free:
+                return jax.lax.dynamic_update_slice(ring, cols, (pos, 0, 0))
+            idx = (pos + jnp.arange(k, dtype=jnp.int32)) % ring_len
+            return ring.at[idx].set(cols)
 
         # non-overlapping columns on TPU: the block IS contiguous frames,
         # so the fused Pallas kernel consumes it directly

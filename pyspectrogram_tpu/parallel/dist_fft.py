@@ -43,7 +43,7 @@ def split_for_devices(nfft: int, ndev: int) -> Tuple[int, int]:
 
 
 @functools.lru_cache(maxsize=16)
-def _twiddle(n1: int, n2: int, col0_per_shard: int, ndev: int):
+def _twiddle(n1: int, n2: int):
     # full (n1, n2) twiddle as numpy; each shard slices its q columns
     p = np.arange(n1)
     q = np.arange(n2)
@@ -61,7 +61,7 @@ def make_distributed_fft(mesh: Mesh, axis: str, nfft: int):
     """
     ndev = mesh.shape[axis]
     n1, n2 = split_for_devices(nfft, ndev)
-    tw = _twiddle(n1, n2, n2 // ndev, ndev)
+    tw = _twiddle(n1, n2)
 
     def local(xr, xi, twr, twi):
         # stage 1: DFT along p (axis 0) — local, shard holds all p

@@ -66,6 +66,13 @@ def make_sharded_sti_fn(
     frame_len = nfft * nint if mode == "welch" else nfft
 
     def local_sti(samples_pm, starts):
+        # raw integer planes ship over the host link at half the bytes —
+        # and with a mesh the transfer multiplies (one copy per device on
+        # the replicated axis), so widening happens HERE, per shard on
+        # device, never on the host (dBFS normalization rides the folded
+        # power scale, like the single-chip path, ops/stft.py)
+        if samples_pm.dtype != jnp.float32:
+            samples_pm = samples_pm.astype(jnp.float32)
         # auto decides per shard with the LOCAL nsub (the chan axis splits
         # the plane rows), so oversized multi-subchannel configs fall back
         # to XLA instead of tripping the kernel's VMEM-block check

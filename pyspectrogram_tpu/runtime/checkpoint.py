@@ -29,7 +29,12 @@ import numpy as np
 
 from pyspectrogram_tpu.utils.config import SpectrogramConfig
 
-FORMAT_VERSION = 1
+# v2: stream-state headers record ring_layout ("rotated": storage is
+# rolled so the oldest column sits at total_cols % ring_len — the layout
+# every StreamingSti uses). v1 stream states (written before the circular
+# ring) stored the canonical oldest-at-tail layout and are re-rotated on
+# load, so mid-stream resumes stay exact across the format change.
+FORMAT_VERSION = 2
 
 
 def _npz_path(path: Union[str, Path]) -> Path:
@@ -81,9 +86,15 @@ def load_session(path: Union[str, Path]) -> dict:
 
 
 def save_stream_state(path: Union[str, Path], state, meta: dict) -> Path:
-    """Persist a models.streaming.StreamState + its StreamingSti params."""
+    """Persist a models.streaming.StreamState + its StreamingSti params.
+
+    The ring is stored in the rotated storage layout every StreamingSti
+    uses (oldest column at ``total_cols % ring_len``); the header records
+    that so older/newer readers can convert instead of misinterpreting.
+    """
     path = _npz_path(path)
-    header = {"format_version": FORMAT_VERSION, "meta": meta}
+    header = {"format_version": FORMAT_VERSION, "meta": meta,
+              "ring_layout": "rotated"}
     np.savez(
         path,
         header=np.frombuffer(json.dumps(header).encode(), dtype=np.uint8),
@@ -102,9 +113,23 @@ def load_stream_state(path: Union[str, Path]):
 
     with _open_npz(path) as z:
         header = json.loads(bytes(z["header"].tobytes()).decode())
+        version = header.get("format_version", 1)
+        if version > FORMAT_VERSION:
+            raise ValueError(
+                f"stream state written by a newer format ({version})")
+        ring = np.asarray(z["ring"])
+        total_cols = int(np.asarray(z["total_cols"]))
+        layout = header.get("ring_layout",
+                            "canonical" if version < 2 else "rotated")
+        if layout == "canonical" and ring.shape[0]:
+            # v1 states stored oldest-at-tail; rotate into the storage
+            # layout the circular ring expects (inverse of _deroll)
+            ring = np.roll(ring, total_cols % ring.shape[0], axis=0)
+        elif layout not in ("canonical", "rotated"):
+            raise ValueError(f"unknown ring_layout {layout!r}")
         state = StreamState(
             carry=jnp.asarray(z["carry"]),
-            ring=jnp.asarray(z["ring"]),
+            ring=jnp.asarray(ring),
             total_cols=jnp.asarray(z["total_cols"]),
         )
     return state, header["meta"]

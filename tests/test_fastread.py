@@ -116,3 +116,49 @@ def test_probe_cache_invalidates_on_rewrite(tmp_path):
     os.utime(p)  # ensure mtime_ns moves even on coarse filesystems
     fm2 = fsr._probe(p)
     assert fm2 is not None and fm2.mtime_ns != fm1.mtime_ns
+
+
+def test_big_endian_compound_file_falls_back(tmp_path):
+    """Compound dtypes report '|' at the top level even when their FIELDS
+    are big-endian; the probe must inspect field byteorder or raw preadv
+    would return byte-swapped samples silently (ADVICE r2)."""
+    dt_le = np.dtype([("r", "<i2"), ("i", "<i2")])
+    write_capture(tmp_path, channel="b0", kind="tone", n_samples=150_000,
+                  sample_rate_numerator=100_000, dtype=dt_le)
+    files = fmt.list_data_files(tmp_path / "b0")
+    _, victim = files[len(files) // 2]
+    with h5py.File(victim, "r") as f:
+        data, idx = f["rf_data"][...], f["rf_data_index"][...]
+        chunks = f["rf_data"].chunks
+    dt_be = np.dtype([("r", ">i2"), ("i", ">i2")])
+    with h5py.File(victim, "w") as f:
+        f.create_dataset("rf_data", data=data.astype(dt_be), chunks=chunks)
+        f.create_dataset("rf_data_index", data=idx)
+    assert dt_be.byteorder == "|"  # the trap: top-level order is opaque
+    props = fmt.read_properties(tmp_path / "b0" / fmt.PROPERTIES_FILENAME)
+    assert FastSpanReader()._probe(victim) is None
+    # the dataset read must still be exact via the h5py fallback
+    fast = DigitalRFReader(tmp_path)
+    slow = _h5py_only(tmp_path)
+    lo, hi = fast.get_bounds("b0")
+    a = fast.read_vector_raw(lo, hi - lo + 1, "b0")
+    b = slow.read_vector_raw(lo, hi - lo + 1, "b0")
+    np.testing.assert_array_equal(a["r"].astype(np.int32),
+                                  b["r"].astype(np.int32))
+    np.testing.assert_array_equal(a["i"].astype(np.int32),
+                                  b["i"].astype(np.int32))
+
+
+def test_adjacent_chunk_jobs_coalesce(tmp_path):
+    """The writer's bounded chunks (8192 rows) must not multiply preadv
+    jobs: byte-adjacent chunk extents merge into single reads."""
+    write_capture(tmp_path, channel="j0", kind="noise",
+                  n_samples=400_000, sample_rate_numerator=250_000)
+    props = fmt.read_properties(tmp_path / "j0" / fmt.PROPERTIES_FILENAME)
+    slow = _h5py_only(tmp_path)
+    lo, hi = slow.get_bounds("j0")
+    n = hi - lo + 1
+    out = np.zeros((n, 1), np.complex64)
+    fsr = FastSpanReader()
+    assert fsr.read_into(props, tmp_path / "j0", lo, n, out)
+    np.testing.assert_array_equal(out, slow.read_vector_raw(lo, n, "j0"))

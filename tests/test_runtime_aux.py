@@ -156,3 +156,81 @@ def test_checkpoint_non_npz_suffix_roundtrips(tmp_path):
     st2, meta = checkpoint.load_stream_state(tmp_path / "stream.state")
     assert meta["nfft"] == 256
     assert st2.ring.shape == st.ring.shape
+
+
+def test_legacy_v1_canonical_stream_state_loads(tmp_path):
+    """v1 checkpoints stored the canonical oldest-at-tail ring; loading
+    one must re-rotate it into the circular layout so mid-stream resume
+    stays exact (ADVICE r2, medium)."""
+    import json
+
+    nfft, hop, block_len = 64, 32, 128
+    s = StreamingSti(nfft=nfft, nsub=1, block_len=block_len, hop=hop,
+                     ring_len=16, mode="parity")
+    rng = np.random.default_rng(3)
+    blocks = [rng.standard_normal((2, block_len)).astype(np.float32)
+              for _ in range(7)]  # 7*4 = 28 cols -> ring wrapped (len 16)
+
+    st = s.init_state()
+    want_cols = []
+    for b in blocks:
+        st, c = s.push(st, jnp.asarray(b))
+        want_cols.append(np.asarray(c))
+    want_snap, _ = s.snapshot(st)
+
+    # write a v1 checkpoint BY HAND: canonical ring (what pre-circular
+    # code stored), no ring_layout field
+    canonical = np.asarray(s._ordered_ring(st))
+    header = {"format_version": 1, "meta": {"nfft": nfft}}
+    p = tmp_path / "legacy.npz"
+    np.savez(p,
+             header=np.frombuffer(json.dumps(header).encode(), np.uint8),
+             carry=np.asarray(st.carry),
+             ring=canonical,
+             total_cols=np.asarray(st.total_cols))
+
+    st2, meta = checkpoint.load_stream_state(p)
+    assert meta["nfft"] == nfft
+    snap2, _ = s.snapshot(st2)
+    np.testing.assert_array_equal(snap2, want_snap)
+    # resumed pushes must match the uninterrupted stream exactly
+    st_ref = st
+    for b in [rng.standard_normal((2, block_len)).astype(np.float32)
+              for _ in range(3)]:
+        st_ref, c_ref = s.push(st_ref, jnp.asarray(b))
+        st2, c2 = s.push(st2, jnp.asarray(b))
+        np.testing.assert_array_equal(np.asarray(c2), np.asarray(c_ref))
+    a, _ = s.snapshot(st_ref)
+    b_, _ = s.snapshot(st2)
+    np.testing.assert_array_equal(a, b_)
+
+
+def test_v2_stream_state_roundtrip_preserves_rotation(tmp_path):
+    """v2 states store the rotated layout verbatim; save->load->snapshot
+    must be bit-identical mid-wrap."""
+    s = StreamingSti(nfft=32, nsub=1, block_len=96, hop=32, ring_len=8)
+    rng = np.random.default_rng(5)
+    st = s.init_state()
+    for _ in range(4):  # 12 cols through an 8-ring: wrapped + rotated
+        st, _ = s.push(st, jnp.asarray(
+            rng.standard_normal((2, 96)).astype(np.float32)))
+    want, nvalid = s.snapshot(st)
+    p = checkpoint.save_stream_state(tmp_path / "v2.npz", st, {"x": 1})
+    st2, _ = checkpoint.load_stream_state(p)
+    got, nvalid2 = s.snapshot(st2)
+    assert nvalid == nvalid2
+    np.testing.assert_array_equal(want, got)
+
+
+def test_newer_stream_state_version_rejected(tmp_path):
+    import json
+
+    header = {"format_version": 99, "meta": {}}
+    p = tmp_path / "future.npz"
+    np.savez(p,
+             header=np.frombuffer(json.dumps(header).encode(), np.uint8),
+             carry=np.zeros((2, 0), np.float32),
+             ring=np.zeros((4, 1, 8), np.float32),
+             total_cols=np.asarray(0))
+    with pytest.raises(ValueError, match="newer format"):
+        checkpoint.load_stream_state(p)
