@@ -154,6 +154,56 @@ def bench_streaming(nfft=4096, nint=1, nsub=2, cols_per_block=8,
     return sps, float(np.percentile(per_block, 50))
 
 
+def bench_display(nfft=4096, nsub=2, ring_len=256,
+                  frange_khz=(-250.0, 250.0), repeats=7):
+    """Readback cost of one display refresh: full float snapshot (what a
+    client without the on-device display path must transfer) vs the
+    on-device uint8 tile (crop + decimate + quantize fused on device, only
+    level indices leave HBM — the north-star display path, BASELINE.md).
+
+    Returns {"float_bytes", "tile_bytes", "float_ms", "tile_ms",
+    "byte_reduction", "speedup"} per refresh of a ring_len-column ring.
+    """
+    import jax.numpy as jnp
+    from pyspectrogram_tpu.display import make_tile_spec
+    from pyspectrogram_tpu.models.streaming import StreamingSti
+    from pyspectrogram_tpu.ops.stft import shifted_freqs
+
+    s = StreamingSti(nfft=nfft, nsub=nsub, block_len=nfft * 8,
+                     ring_len=ring_len)
+    rng = np.random.default_rng(0)
+    state = s.init_state()
+    block = jnp.asarray(
+        rng.standard_normal((nsub * 2, nfft * 8)).astype(np.float32))
+    for _ in range(ring_len // 8):  # fill the ring once
+        state, _ = s.push(state, block)
+    spec = make_tile_spec(shifted_freqs(nfft, 1_000_000), frange_khz,
+                          (-110.0, -40.0))
+    # warm/compile both readback programs
+    db, _ = s.snapshot(state)
+    tile, _ = s.snapshot_quantized(state, spec)
+    overhead = _roundtrip_overhead_s()
+
+    def timed(fn):
+        ts = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return max(float(np.median(ts)) - overhead, 1e-9)
+
+    t_float = timed(lambda: s.snapshot(state))
+    t_tile = timed(lambda: s.snapshot_quantized(state, spec))
+    return {
+        "float_bytes": int(db.nbytes),
+        "tile_bytes": int(tile.nbytes),
+        "byte_reduction": round(db.nbytes / tile.nbytes, 2),
+        "float_ms": round(t_float * 1e3, 3),
+        "tile_ms": round(t_tile * 1e3, 3),
+        "speedup": round(t_float / t_tile, 2),
+    }
+
+
 def bench_e2e(gb=0.5, nfft=4096, nint=2, ntime=256, nsub=2,
               cache_root="/tmp/pstpu_e2e", depth=2, dtype="c64"):
     """Sustained DISK -> assemble -> device -> STI throughput.
@@ -257,6 +307,8 @@ def main():
     ap.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas"])
     ap.add_argument("--precision", default="exact",
                     choices=["exact", "balanced", "display"])
+    ap.add_argument("--display", action="store_true",
+                    help="measure display-refresh readback: float vs tile")
     ap.add_argument("--e2e", action="store_true",
                     help="measure sustained disk->device->STI instead")
     ap.add_argument("--e2e-gb", type=float, default=0.5,
@@ -269,6 +321,17 @@ def main():
     dev = jax.devices()[0]
     print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
           file=sys.stderr)
+
+    if args.display:
+        d = bench_display(nfft=args.nfft, nsub=args.nsub)
+        print(json.dumps({
+            "metric": f"display_refresh_readback_nfft{args.nfft}",
+            "value": d["tile_ms"],
+            "unit": "ms",
+            "vs_baseline": d["speedup"],
+            **d,
+        }))
+        return
 
     if args.e2e:
         e2e_sps, host_sps, meta = bench_e2e(
@@ -324,6 +387,15 @@ def main():
                   file=sys.stderr)
         except Exception as e:
             print(f"# streaming FAILED: {e}", file=sys.stderr)
+        try:
+            d = bench_display(nfft=4096)
+            print(f"# display refresh   float {d['float_bytes']/2**20:.2f} "
+                  f"MiB/{d['float_ms']:.1f} ms -> tile "
+                  f"{d['tile_bytes']/2**20:.2f} MiB/{d['tile_ms']:.1f} ms "
+                  f"({d['byte_reduction']}x bytes, {d['speedup']}x time)",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"# display FAILED: {e}", file=sys.stderr)
 
     sps, p50, _ = bench_sti(nfft=args.nfft, nint=args.nint, ntime=args.ntime,
                             nsub=args.nsub, iters=args.iters,

@@ -271,7 +271,7 @@ def cmd_watch(args) -> int:
     reference: drfProc.py:239-241, 291-293)."""
     import sys as _sys
 
-    from pyspectrogram_tpu.display import save_sti_png
+    from pyspectrogram_tpu.display import save_sti_png, save_tile_png
     from pyspectrogram_tpu.runtime import (
         ProcessorCallbacks,
         SpectrogramProcessor,
@@ -281,14 +281,18 @@ def cmd_watch(args) -> int:
 
     def on_iter(e):
         peak = float(e.sxx_med_dbfs[:, args.subchannel].max())
-        print(f"# iter {e.i}: {e.sxx_dbfs.shape[1]} cols, "
+        ncols = len(e.times)
+        print(f"# iter {e.i}: {ncols} cols, "
               f"peak {peak:6.1f} dBFS, "
               f"span {np.datetime_as_string(e.times[0], unit='s')[11:]} .. "
               f"{np.datetime_as_string(e.times[-1], unit='s')[11:]}",
               file=_sys.stderr)
         last["e"] = e
 
-    cfg = _config_from(args).replace(stream_seconds=args.window_s)
+    # the live loop runs the on-device display path: every refresh reads
+    # back a uint8 tile + the median PSD, never the float spectra
+    cfg = _config_from(args).replace(stream_seconds=args.window_s,
+                                     display_tile=True)
     proc = SpectrogramProcessor(
         "streaming", args.dataset, tab_id=0, config=cfg,
         callbacks=ProcessorCallbacks(on_iterated=on_iter),
@@ -306,11 +310,15 @@ def cmd_watch(args) -> int:
     if e is None:
         print(json.dumps({"error": "no iterations completed"}))
         return 1
-    out = save_sti_png(
-        args.out, e.freqs, e.times, e.sxx_dbfs[..., args.subchannel],
-        colorrange=cfg.color_range_db, freqrange_khz=cfg.freq_window_khz,
-        renderer=args.renderer,
-    )
+    if e.tile is not None:
+        # final frame straight from the last device tile (host = LUT only)
+        out = save_tile_png(args.out, e.tile[:, args.subchannel, :])
+    else:
+        out = save_sti_png(
+            args.out, e.freqs, e.times, e.sxx_dbfs[..., args.subchannel],
+            colorrange=cfg.color_range_db, freqrange_khz=cfg.freq_window_khz,
+            renderer=args.renderer,
+        )
     print(json.dumps({
         "png": out, "iterations": e.i + 1,
         "latency": proc.latency_stats(),

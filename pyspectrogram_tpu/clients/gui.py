@@ -375,6 +375,10 @@ class MainWindow(QtWidgets.QMainWindow):
             ntime=st.ntime.value(),
             color_range_db=(st.cmin.value(), st.cmax.value()),
             freq_window_khz=(st.fmin.value(), st.fmax.value()),
+            # live view renders from on-device uint8 tiles: crop,
+            # decimation and color quantization run inside the device
+            # program and only the tile + median PSD are read back
+            display_tile=True,
         )
 
     def pull_settings(self, tab_id: int):
@@ -452,16 +456,26 @@ class MainWindow(QtWidgets.QMainWindow):
 
         st.sti_ax.cla()
         crange = st.config.color_range_db
-        # decimate to the plot cap before pcolormesh
-        from pyspectrogram_tpu.display import freq_crop_decimate
+        if p.tile is not None:
+            # on-device display path: the payload already carries the
+            # cropped/decimated/quantized uint8 levels — render them
+            # directly (level k of npoints == the same viridis color the
+            # float path picks for its dB value)
+            st.sti_ax.pcolormesh(
+                p.plot_freqs * 1e-3, p.times, p.tile[:, sub, :],
+                cmap="viridis", vmin=0, vmax=255, shading="auto",
+            )
+        else:
+            # float fallback: decimate to the plot cap before pcolormesh
+            from pyspectrogram_tpu.display import freq_crop_decimate
 
-        idx, plotf = freq_crop_decimate(
-            p.freqs, st.config.freq_window_khz, MAX_PLOT_FREQS)
-        st.sti_ax.pcolormesh(
-            plotf * 1e-3, p.times, p.sxx_dbfs[idx, :, sub].T,
-            cmap="viridis", vmin=crange[0], vmax=crange[1],
-            shading="auto",
-        )
+            idx, plotf = freq_crop_decimate(
+                p.freqs, st.config.freq_window_khz, MAX_PLOT_FREQS)
+            st.sti_ax.pcolormesh(
+                plotf * 1e-3, p.times, p.sxx_dbfs[idx, :, sub].T,
+                cmap="viridis", vmin=crange[0], vmax=crange[1],
+                shading="auto",
+            )
         st.sti_ax.set_xlabel("Frequency (kHz)")
         st.mappable.set_clim(*crange)
         st.canvas.draw_idle()
@@ -476,9 +490,19 @@ class MainWindow(QtWidgets.QMainWindow):
             return
         QtWidgets.QApplication.setOverrideCursor(Qt.WaitCursor)
         try:
+            freqs, times, sxx = st.last.freqs, st.last.times, st.last.sxx_dbfs
+            if sxx is None:
+                # live view runs in display-tile mode (floats never left
+                # the device); the save pipeline wants full-resolution
+                # spectra, so recompute this one request with readback —
+                # and use that result's own axes (settings may have
+                # changed since the displayed payload)
+                res = st.processor.pipeline.compute(
+                    st.processor.config.replace(display_tile=False))
+                freqs, times, sxx = res.freqs, res.times, res.sxx_dbfs
             save_sti_png(
-                fname, st.last.freqs, st.last.times,
-                st.last.sxx_dbfs[..., st.subchan],
+                fname, freqs, times,
+                sxx[..., st.subchan],
                 colorrange=st.config.color_range_db,
                 freqrange_khz=st.config.freq_window_khz,
             )

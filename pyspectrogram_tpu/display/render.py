@@ -166,6 +166,26 @@ def save_sti_png(
     return filename
 
 
+def save_tile_png(filename: str, tile: np.ndarray,
+                  colors: Optional[np.ndarray] = None) -> str:
+    """Write a display tile (uint8 level indices, (ntime, nplot)) straight
+    to PNG: apply the RGBA LUT on host and store the pixels — no float
+    spectra, no matplotlib. This is the terminal stage of the on-device
+    display path (display.tile): crop/decimate/quantize ran on device, the
+    host only colorizes. Rows render oldest-at-bottom (time ascending
+    upward, reference README.md:11)."""
+    if filename[-4:].lower() != ".png":
+        filename += ".png"
+    from PIL import Image
+
+    lut = rgba_lut(get_colormap("viridis") if colors is None else colors)
+    if tile.dtype != np.uint8:
+        raise ValueError(f"expected a uint8 level tile, got {tile.dtype}")
+    rgba = lut[np.minimum(tile, len(lut) - 1)][::-1]
+    Image.fromarray(rgba, mode="RGBA").save(filename)
+    return filename
+
+
 def save_psd_csv(filename: str, freqs_hz: np.ndarray,
                  psd_dbfs: np.ndarray) -> str:
     """Save a median PSD as CSV (the reference README wishlist's 'save PSD'

@@ -34,11 +34,17 @@ class StiResult:
     iteration: int
     times: np.ndarray          # (ntime,) datetime64/us-resolution datetimes
     freqs: np.ndarray          # (nfft,) Hz, fftshifted
-    sxx_dbfs: np.ndarray       # (nfft, ntime, nsub) reference layout
+    #: (nfft, ntime, nsub) reference layout — None in display-tile mode,
+    #: where the float spectra intentionally never leave the device
+    sxx_dbfs: Optional[np.ndarray]
     sxx_med_dbfs: np.ndarray   # (nfft, nsub)
     sample_rate: Fraction
     frame_starts: np.ndarray   # (ntime,) absolute sample indices
     mask: Optional[np.ndarray] = None  # (ntime,) column validity (gaps)
+    #: display-tile mode outputs (see display.tile): uint8 level indices
+    #: (ntime, nsub, nplot) + the plot frequency axis they correspond to
+    tile: Optional[np.ndarray] = None
+    plot_freqs: Optional[np.ndarray] = None
 
     @property
     def sxx_time_major(self) -> np.ndarray:
@@ -168,6 +174,15 @@ class StiPipeline:
             self.ds, chan, isub, n_st, frame_len
         )
 
+        freqs = stft.shifted_freqs(cfg.nfft, sr)
+        spec = None
+        if cfg.display_tile:
+            from pyspectrogram_tpu.display.tile import make_tile_spec
+
+            # None (empty frequency window) falls back to the float path
+            spec = make_tile_spec(freqs, cfg.freq_window_khz,
+                                  cfg.color_range_db)
+
         if self.mesh is not None and cfg.nfft >= self.bigfft_threshold:
             out = self._compute_bigfft(cfg, ref, samples_pm)
         elif self.mesh is not None:
@@ -179,14 +194,30 @@ class StiPipeline:
                 precision=cfg.precision,
                 contiguous=True,  # assemble_device_block packs frames at
                                   # t*frame_len, so the kernel skips the gather
+                tile=spec,        # display epilogue fused into the program
             )
             out = fn(jnp.asarray(samples_pm), jnp.asarray(starts_rel))
-        # drop any time-axis padding the sharded path added
-        sxx_tm = np.asarray(out["sxx_dbfs"])[: cfg.ntime]
-        sxx_dbfs = stft.to_reference_layout(sxx_tm)
+
+        tile = plot_freqs = None
+        if spec is not None:
+            from pyspectrogram_tpu.display.tile import tile_freqs, tile_from_db
+
+            if "tile" in out:         # fused single-device epilogue
+                tile = np.asarray(out["tile"])[: cfg.ntime]
+            else:
+                # mesh tiers: crop+quantize the (device) dB spectra before
+                # readback (the bigfft tier assembles on host, so its tile
+                # quantizes host-side — that tier starts at nfft 2^18,
+                # far past display resolution anyway)
+                tile = tile_from_db(out["sxx_dbfs"], spec)[: cfg.ntime]
+            plot_freqs = tile_freqs(spec, freqs)
+            sxx_dbfs = None           # floats intentionally stay on device
+        else:
+            # drop any time-axis padding the sharded path added
+            sxx_tm = np.asarray(out["sxx_dbfs"])[: cfg.ntime]
+            sxx_dbfs = stft.to_reference_layout(sxx_tm)
         sxx_med_dbfs = np.moveaxis(np.asarray(out["sxx_med_dbfs"]), -1, 0)
         times = samples_to_datetime64(n_st, sr)  # (ntime,) datetime64[us]
-        freqs = stft.shifted_freqs(cfg.nfft, sr)
         return StiResult(
             iteration=self._iteration,
             times=times,
@@ -196,6 +227,8 @@ class StiPipeline:
             sample_rate=sr,
             frame_starts=np.asarray(n_st),
             mask=col_mask,
+            tile=tile,
+            plot_freqs=plot_freqs,
         )
 
     def _compute_bigfft(self, cfg: SpectrogramConfig, ref: float,

@@ -228,6 +228,34 @@ class StreamingSti:
         db = self._snapshot_db(self._ordered_ring(state))
         return np.asarray(db), self.valid_cols(state)
 
+    def snapshot_quantized(self, state: StreamState, spec) -> Tuple[np.ndarray, int]:
+        """Host copy of the ring as a uint8 display tile + valid count.
+
+        ``spec`` is a display.TileSpec; de-rotation, frequency crop,
+        decimation, dB and 256-level quantization all run in ONE jitted
+        device program, so the readback is (ring_len, nsub, plot_n) uint8
+        — 4-16x fewer bytes than the float snapshot() on every refresh
+        (the north-star display path, BASELINE.md; reference:
+        drfview.py:1006-1023 + drfview.py:1057). Rows are oldest-first
+        like snapshot(); unfilled slots quantize the eps floor (level 0
+        for any sane color range)."""
+        q = self._tile_fn(spec)(state.ring, state.total_cols)
+        return np.asarray(q), self.valid_cols(state)
+
+    @functools.lru_cache(maxsize=16)
+    def _tile_fn(self, spec):
+        from pyspectrogram_tpu.display.tile import quantize_tile_linear
+
+        ring_len, eps = self.ring_len, self.eps
+
+        @jax.jit
+        def f(ring, total_cols):
+            pos = (total_cols % ring_len).astype(jnp.int32)
+            ordered = jnp.roll(ring, -pos, axis=0)
+            return quantize_tile_linear(ordered, spec, eps)
+
+        return f
+
     def median_psd(self, state: StreamState) -> np.ndarray:
         """Median dBFS PSD over the valid ring columns (median taken in
         linear power, like the batch path; reference: drfProc.py:401)."""

@@ -302,6 +302,7 @@ def make_sti_fn_pm(
     return_minmax: bool = False,
     contiguous: bool = False,
     precision: str = "exact",
+    tile=None,
 ):
     """Plane-major STI factory — the production device entry point.
 
@@ -318,6 +319,12 @@ def make_sti_fn_pm(
     t*nfft*nint in the buffer (true for every buffer the pipeline's frame
     assembly produces) — the pallas path then slices the buffer directly
     with no gather pass at all.
+
+    ``tile`` (a display.TileSpec) adds ``out["tile"]``: the display
+    epilogue — frequency-window crop, fscale decimation, dB, clamp,
+    uint8 level quantization — fused into the same device program
+    (reference: drfview.py:1006-1023 + drfview.py:1057), so a display
+    client reads back only the uint8 tile, never the float spectra.
     """
     from pyspectrogram_tpu.kernels import sti_pallas
 
@@ -384,6 +391,10 @@ def make_sti_fn_pm(
             "sxx_dbfs": to_dbfs(p, eps),
             "sxx_med_dbfs": to_dbfs(p_med, eps),
         }
+        if tile is not None:
+            from pyspectrogram_tpu.display.tile import quantize_tile_linear
+
+            out["tile"] = quantize_tile_linear(p, tile, eps)
         if return_minmax:
             # min/median/max summary spectra — the capability of the
             # reference's alternate proc_data path (drfProc.py:406-453)

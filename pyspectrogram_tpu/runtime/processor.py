@@ -140,6 +140,8 @@ class SpectrogramProcessor:
                     freqs=result.freqs,
                     sxx_dbfs=result.sxx_dbfs,
                     sxx_med_dbfs=result.sxx_med_dbfs,
+                    tile=result.tile,
+                    plot_freqs=result.plot_freqs,
                 ))
                 if self.max_iterations is not None and i + 1 >= self.max_iterations:
                     self._terminate(TerminateReason.OK)

@@ -26,8 +26,13 @@ class Iterated:
     tab_id: int
     times: np.ndarray          # (ntime,) datetimes
     freqs: np.ndarray          # (nfft,) Hz fftshifted
-    sxx_dbfs: np.ndarray       # (nfft, ntime, nsub)
+    #: (nfft, ntime, nsub) — None in display-tile mode (floats stay on
+    #: device; clients render from ``tile``)
+    sxx_dbfs: Optional[np.ndarray]
     sxx_med_dbfs: np.ndarray   # (nfft, nsub)
+    #: display-tile mode: uint8 levels (ntime, nsub, nplot) + plot axis
+    tile: Optional[np.ndarray] = None
+    plot_freqs: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass(frozen=True)

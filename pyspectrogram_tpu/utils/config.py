@@ -70,6 +70,12 @@ class SpectrogramConfig:
     #: streaming mode uses a trailing window (reference: drfProc.py:239-241)
     streaming: bool = False
     stream_seconds: float = DEFAULT_STREAM_SECONDS
+    #: display-tile mode: the pipeline fuses the display epilogue (freq
+    #: crop + decimation + 256-level quantization) into the device program
+    #: and reads back ONLY the uint8 tile + median PSD — never the float
+    #: spectra (the north-star display path; see display.tile). Results
+    #: then carry ``tile``/``plot_freqs`` and ``sxx_dbfs=None``.
+    display_tile: bool = False
 
     def __post_init__(self):
         if not (NFFT_RANGE[0] <= self.nfft <= NFFT_RANGE[1]):
