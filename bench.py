@@ -107,7 +107,7 @@ def bench_sti(nfft=4096, nint=4, ntime=128, nsub=2, mode="welch",
 
 
 def bench_streaming(nfft=4096, nint=1, nsub=2, cols_per_block=8,
-                    ring_len=256, iters=50, repeats=5):
+                    ring_len=256, iters=50, repeats=5, precision="exact"):
     """p50 block -> STI-column latency of the streaming ring path
     (north-star target: < 5 ms, BASELINE.md)."""
     # pushes are fast (~5-20 us with the rotating ring); amortize enough
@@ -122,7 +122,7 @@ def bench_streaming(nfft=4096, nint=1, nsub=2, cols_per_block=8,
 
     block_len = nfft * nint * cols_per_block
     s = StreamingSti(nfft=nfft, nint=nint, nsub=nsub, block_len=block_len,
-                     ring_len=ring_len)
+                     ring_len=ring_len, precision=precision)
     rng = np.random.default_rng(0)
     block = jnp.asarray(
         rng.standard_normal((nsub * 2, block_len)).astype(np.float32))
@@ -387,6 +387,13 @@ def main():
                   file=sys.stderr)
         except Exception as e:
             print(f"# streaming FAILED: {e}", file=sys.stderr)
+        try:
+            dsps, dp50 = bench_streaming(nfft=4096, iters=args.iters,
+                                         precision="display")
+            print(f"# streaming 4096 display-tier {dsps/1e9:6.3f} GS/s  "
+                  f"p50 block->cols={dp50*1e3:7.3f} ms", file=sys.stderr)
+        except Exception as e:
+            print(f"# streaming display-tier FAILED: {e}", file=sys.stderr)
         try:
             d = bench_display(nfft=4096)
             print(f"# display refresh   float {d['float_bytes']/2**20:.2f} "

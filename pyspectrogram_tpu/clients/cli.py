@@ -236,6 +236,7 @@ def cmd_stream(args) -> int:
     s = StreamingSti(
         nfft=args.nfft, nint=args.nint, nsub=nsub, block_len=block_len,
         ring_len=args.ring_len, mode=args.mode, ref=ds.ref_dict[chan],
+        precision=args.precision,
     )
     state = s.init_state()
     with stream_blocks(ds, chan, lo, block_len, n_blocks) as feeder:
@@ -443,6 +444,9 @@ def main(argv=None) -> int:
     p.add_argument("--nfft", type=int, default=1024)
     p.add_argument("--nint", type=int, default=1)
     p.add_argument("--mode", choices=["welch", "parity"], default="welch")
+    p.add_argument("--precision", default="exact",
+                   choices=["exact", "balanced", "display"],
+                   help="DFT numerics tier for the live ring")
     p.add_argument("--cols-per-block", type=int, default=8)
     p.add_argument("--ring-len", type=int, default=512)
     p.add_argument("--crange", type=float, nargs=2)

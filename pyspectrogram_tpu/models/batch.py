@@ -89,23 +89,106 @@ def make_batched_sti_fn_pm(
     return batched
 
 
+@functools.lru_cache(maxsize=32)
+def make_batched_sti_fn_mesh(
+    mesh,
+    *,
+    nfft: int,
+    nint: int = 1,
+    ntime: int,
+    B: int,
+    mode: str = "welch",
+    window: WindowSpec = ("kaiser", 1.7),
+    eps: float = 1e-15,
+    fft_impl: str = "auto",
+    precision: str = "exact",
+):
+    """Mesh-DP: B same-shape requests shard over the mesh ``time`` axis in
+    ONE device program (SURVEY.md section 2.3 DP row — the multi-chip
+    analogue of the reference's 7 concurrent tabs, drfview.py:177-178).
+
+    The merged (B*ntime)-column buffer is already a time-shardable axis,
+    so unlike the single-request tier the SAMPLES shard too — each device
+    receives only its own column range (1/ndev of the transfer bytes),
+    and plane-row pairs shard over ``chan``. Per-request medians gather
+    linear powers over ICI once and reduce locally, scaled by each
+    column's own dBFS reference.
+
+    Returned ``f(samples_merged, inv_ref_sq)``:
+      samples_merged: (nsub*2, padded_cols*frame_len) plane-major, columns
+                      packed at t'*frame_len, request b at [b*ntime,
+                      (b+1)*ntime), zero-padded to ``f.padded_cols``
+                      columns (a time-axis multiple);
+      inv_ref_sq:     (B,) float32 per-request 1/ref^2.
+    Returns {"sxx_dbfs": (padded_cols, nsub, nfft) sharded (time, chan),
+             "sxx_med_dbfs": (B, nsub, nfft) sharded (chan,)}.
+    """
+    import jax
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pyspectrogram_tpu.parallel.mesh import (
+        CHAN_AXIS,
+        TIME_AXIS,
+        pad_to_multiple,
+    )
+    from pyspectrogram_tpu.parallel.sharded import make_local_sti
+
+    ndev_t = mesh.shape[TIME_AXIS]
+    frame_len = nfft * nint
+    total_cols = B * ntime
+    padded_cols = pad_to_multiple(total_cols, ndev_t)
+    local_cols = padded_cols // ndev_t
+    local_sti = make_local_sti(
+        nfft=nfft, nint=nint, mode=mode, window=window, ref=1.0,
+        fft_impl=fft_impl, precision=precision, contiguous=True,
+    )
+
+    def local(samples_local, inv_ref_sq):
+        starts = jnp.arange(local_cols, dtype=jnp.int32) * frame_len
+        p = local_sti(samples_local, starts)      # (local_cols, nsub_l, nfft)
+        # column t' belongs to request t' // ntime; padding columns clamp
+        # to the last request (they are dropped before the median anyway)
+        t0 = jax.lax.axis_index(TIME_AXIS) * local_cols
+        b_idx = jnp.minimum((t0 + jnp.arange(local_cols)) // ntime, B - 1)
+        p = p * inv_ref_sq.astype(p.dtype)[b_idx][:, None, None]
+        p_all = jax.lax.all_gather(p, TIME_AXIS, axis=0, tiled=True)
+        p_req = p_all[:total_cols].reshape(B, ntime, p.shape[1], nfft)
+        med = jax.vmap(stft.median_over_time)(p_req)   # (B, nsub_l, nfft)
+        return {
+            "sxx_dbfs": stft.to_dbfs(p, eps),
+            "sxx_med_dbfs": stft.to_dbfs(med, eps),
+        }
+
+    in_specs = (P(CHAN_AXIS, TIME_AXIS), P())
+    out_specs = {
+        "sxx_dbfs": P(TIME_AXIS, CHAN_AXIS, None),
+        "sxx_med_dbfs": P(None, CHAN_AXIS, None),
+    }
+    fn = jax.jit(shard_map(local, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False))
+    fn.input_shardings = lambda: tuple(
+        NamedSharding(mesh, s) for s in in_specs)
+    fn.padded_cols = padded_cols
+    return fn
+
+
 class BatchedStiPipeline:
     """Compute one STI per (dataset, channel) pair in a single launch.
 
     All requests share one SpectrogramConfig's shape knobs; time spans and
     dBFS references may differ per request. The host side reuses
     models.sti's coalesced assembly per request; the device side runs one
-    fused program over the concatenated columns.
+    fused program over the concatenated columns. With ``mesh``, the merged
+    columns (and the sample bytes) shard over the mesh ``time`` axis and
+    subchannel plane pairs over ``chan`` (see make_batched_sti_fn_mesh).
     """
 
     def __init__(self, requests: Sequence, config, mesh=None):
         """requests: sequence of (RFDataset, channel_entry_or_None)."""
-        if mesh is not None:
-            raise NotImplementedError(
-                "batched requests currently target one device; use "
-                "StiPipeline(mesh=...) for multi-chip single requests")
         self.requests = list(requests)
         self.config = config
+        self.mesh = mesh
 
     def compute(self, time_spans: Optional[Sequence] = None):
         """Returns a list of StiResult, one per request (same order)."""
@@ -147,16 +230,33 @@ class BatchedStiPipeline:
         B, L = len(blocks), blocks[0].shape[1]
         dtypes = {b.dtype for b in blocks}
         mdtype = blocks[0].dtype if len(dtypes) == 1 else np.float32
-        merged = np.empty((blocks[0].shape[0], B * L), mdtype)
+        frame_len_total = B * L
+        if self.mesh is not None:
+            fn = make_batched_sti_fn_mesh(
+                self.mesh, nfft=cfg.nfft, nint=cfg.nint, ntime=cfg.ntime,
+                B=B, mode=cfg.mode, window=cfg.window, eps=cfg.eps,
+                precision=cfg.precision,
+            )
+            frame_len_total = fn.padded_cols * frame_len
+        merged = np.zeros((blocks[0].shape[0], frame_len_total), mdtype)
         for b, blk in enumerate(blocks):
             merged[:, b * L : (b + 1) * L] = blk
-        fn = make_batched_sti_fn_pm(
-            nfft=cfg.nfft, nint=cfg.nint, ntime=cfg.ntime, mode=cfg.mode,
-            window=cfg.window, eps=cfg.eps, precision=cfg.precision,
-        )
-        out = fn(jnp.asarray(merged),
-                 jnp.asarray(np.asarray(refs, np.float32)))
-        sxx_b = np.asarray(out["sxx_dbfs"])
+        inv_refs = jnp.asarray(np.asarray(refs, np.float32))
+        if self.mesh is not None:
+            import jax
+
+            s_sh, r_sh = fn.input_shardings()
+            out = fn(jax.device_put(jnp.asarray(merged), s_sh),
+                     jax.device_put(inv_refs, r_sh))
+            sxx_b = np.asarray(out["sxx_dbfs"])[: B * cfg.ntime].reshape(
+                B, cfg.ntime, -1, cfg.nfft)
+        else:
+            fn = make_batched_sti_fn_pm(
+                nfft=cfg.nfft, nint=cfg.nint, ntime=cfg.ntime, mode=cfg.mode,
+                window=cfg.window, eps=cfg.eps, precision=cfg.precision,
+            )
+            out = fn(jnp.asarray(merged), inv_refs)
+            sxx_b = np.asarray(out["sxx_dbfs"])
         med_b = np.asarray(out["sxx_med_dbfs"])
 
         results = []

@@ -77,8 +77,33 @@ class StreamingSti:
         window: WindowSpec = ("kaiser", 1.7),
         ref: float = 1.0,
         eps: float = 1e-15,
+        precision: str = "exact",
+        mesh=None,
     ):
+        """``precision`` selects the DFT numerics tier like the batch path
+        (utils.config: "exact" / "balanced" / "display" — display-grade is
+        most defensible exactly here, the live view).
+
+        ``mesh`` (a parallel.make_mesh Mesh) shards the stream over the
+        ``chan`` axis: subchannel plane pairs, the carry and the ring all
+        live sharded, each device pushes its own subchannels — the push
+        stays collective-free, and the time median needs no gather either
+        because every device holds ALL columns of its subchannel slice
+        (SURVEY.md section 5 scaling axes; the trailing-window mode of
+        reference: drfProc.py:291-293 scales with the pod)."""
         self.nfft, self.nint, self.nsub = nfft, nint, nsub
+        self.precision = precision
+        self.mesh = mesh
+        if mesh is not None:
+            from pyspectrogram_tpu.parallel.mesh import CHAN_AXIS
+
+            ndev_c = mesh.shape[CHAN_AXIS]
+            if nsub % ndev_c:
+                raise ValueError(
+                    f"nsub {nsub} must divide by the chan axis ({ndev_c})")
+            self._nsub_local = nsub // ndev_c
+        else:
+            self._nsub_local = nsub
         self.frame_len = nfft * nint
         self.hop = self.frame_len if hop is None else hop
         if self.hop <= 0 or self.hop > self.frame_len:
@@ -116,13 +141,42 @@ class StreamingSti:
         self._deroll = _deroll
 
     def init_state(self) -> StreamState:
-        return StreamState(
+        state = StreamState(
             carry=jnp.zeros((self.nsub * 2, self.frame_len - self.hop),
                             jnp.float32),
             ring=jnp.zeros((self.ring_len, self.nsub, self.nfft),
                            jnp.float32),
             total_cols=jnp.int32(0),
         )
+        if self.mesh is not None:
+            carry_sh, ring_sh, block_sh = self._shardings()
+            state = StreamState(
+                carry=jax.device_put(state.carry, carry_sh),
+                ring=jax.device_put(state.ring, ring_sh),
+                total_cols=state.total_cols,
+            )
+        return state
+
+    def _shardings(self):
+        """(carry, ring, block) NamedShardings of the chan-sharded stream
+        (None without a mesh)."""
+        if self.mesh is None:
+            return None, None, None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from pyspectrogram_tpu.parallel.mesh import CHAN_AXIS
+
+        return (
+            NamedSharding(self.mesh, P(CHAN_AXIS, None)),
+            NamedSharding(self.mesh, P(None, CHAN_AXIS, None)),
+            NamedSharding(self.mesh, P(CHAN_AXIS, None)),
+        )
+
+    def block_sharding(self):
+        """Placement for incoming blocks on the mesh (None single-device);
+        pushing host blocks works without it, but pre-placing avoids a
+        broadcast-then-reshard."""
+        return self._shardings()[2]
 
     def _build_push(self):
         nfft, nint, nsub = self.nfft, self.nint, self.nsub
@@ -151,58 +205,78 @@ class StreamingSti:
             return ring.at[idx].set(cols)
 
         # non-overlapping columns on TPU: the block IS contiguous frames,
-        # so the fused Pallas kernel consumes it directly
+        # so the fused Pallas kernel consumes it directly. The decision
+        # (and the kernel's VMEM block budget) uses the LOCAL subchannel
+        # count — with a mesh each device runs the kernel on its slice.
         from pyspectrogram_tpu.kernels import sti_pallas
 
+        precision = self.precision
         use_pallas = (
             hop == frame_len
-            and sti_pallas.pallas_auto_profitable(nfft, nint, nsub, mode,
-                                                  contiguous=True)
+            and sti_pallas.pallas_auto_profitable(
+                nfft, nint, self._nsub_local, mode, precision,
+                contiguous=True)
             and jax.default_backend() == "tpu"
-        )  # streaming's kernel runs at default ("exact") precision
+        )
         if use_pallas:
             pallas_psd = sti_pallas.make_pallas_sti_psd(
                 nfft=nfft, nint=nint, mode=mode, window=self._window,
-                ref=self._ref, contiguous=True,
+                ref=self._ref, contiguous=True, precision=precision,
             )
 
-        @jax.jit
-        def push(state: StreamState, block: jax.Array):
-            buf = jnp.concatenate([state.carry, block.astype(jnp.float32)],
-                                  axis=1)               # (nsub*2, carry+blk)
+        def core(carry, ring, total_cols, block):
+            """Per-shard push body: everything is local to a device's
+            subchannel slice (collective-free)."""
+            buf = jnp.concatenate([carry, block.astype(jnp.float32)],
+                                  axis=1)               # (nsub2_l, carry+blk)
             if use_pallas:
                 # linear fftshifted power straight from the fused kernel
                 cols = pallas_psd(buf,
                                   jnp.arange(k, dtype=jnp.int32) * hop)
-                new_state = StreamState(
-                    carry=buf[:, buf.shape[1] - (frame_len - hop):],
-                    ring=store(state.ring, cols, state.total_cols),
-                    total_cols=state.total_cols + k,
-                )
-                return new_state, to_dbfs(cols, eps)
-            starts = jnp.arange(k, dtype=jnp.int32) * hop
-
-            def one_start(s):
-                return jax.vmap(
-                    lambda row: jax.lax.dynamic_slice(row, (s,), (frame_len,))
-                )(buf)
-
-            fr = jax.vmap(one_start)(starts)            # (k, nsub*2, flen)
-            c = jax.lax.complex(fr[:, 0::2, :], fr[:, 1::2, :]).astype(
-                jnp.complex64)                          # (k, nsub, flen)
-            if mode == "welch":
-                c = c.reshape(k, nsub, nint, nfft)
-                p = psd_frames(c, win, inv_scale).mean(axis=2)
             else:
-                p = psd_frames(c[..., :nfft], win, inv_scale)
-            cols = jnp.fft.fftshift(p, axes=-1)       # (k, nsub, nfft)
+                starts = jnp.arange(k, dtype=jnp.int32) * hop
 
-            new_state = StreamState(
-                carry=buf[:, buf.shape[1] - (frame_len - hop):],
-                ring=store(state.ring, cols, state.total_cols),
-                total_cols=state.total_cols + k,
+                def one_start(s):
+                    return jax.vmap(
+                        lambda row: jax.lax.dynamic_slice(
+                            row, (s,), (frame_len,))
+                    )(buf)
+
+                fr = jax.vmap(one_start)(starts)        # (k, nsub2_l, flen)
+                c = jax.lax.complex(fr[:, 0::2, :], fr[:, 1::2, :]).astype(
+                    jnp.complex64)                      # (k, nsub_l, flen)
+                if mode == "welch":
+                    c = c.reshape(k, c.shape[1], nint, nfft)
+                    p = psd_frames(c, win, inv_scale).mean(axis=2)
+                else:
+                    p = psd_frames(c[..., :nfft], win, inv_scale)
+                cols = jnp.fft.fftshift(p, axes=-1)     # (k, nsub_l, nfft)
+            new_carry = buf[:, buf.shape[1] - (frame_len - hop):]
+            return (new_carry, store(ring, cols, total_cols),
+                    total_cols + k, to_dbfs(cols, eps))
+
+        if self.mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from pyspectrogram_tpu.parallel.mesh import CHAN_AXIS
+
+            core = shard_map(
+                core,
+                mesh=self.mesh,
+                in_specs=(P(CHAN_AXIS, None), P(None, CHAN_AXIS, None),
+                          P(), P(CHAN_AXIS, None)),
+                out_specs=(P(CHAN_AXIS, None), P(None, CHAN_AXIS, None),
+                           P(), P(None, CHAN_AXIS, None)),
+                check_vma=False,
             )
-            return new_state, to_dbfs(cols, eps)
+
+        @jax.jit
+        def push(state: StreamState, block: jax.Array):
+            carry, ring, total, cols_db = core(
+                state.carry, state.ring, state.total_cols, block)
+            return StreamState(carry=carry, ring=ring,
+                               total_cols=total), cols_db
 
         return push
 

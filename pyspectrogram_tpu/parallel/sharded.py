@@ -29,6 +29,71 @@ from pyspectrogram_tpu.ops.windows import WindowSpec, get_window
 from pyspectrogram_tpu.parallel.mesh import CHAN_AXIS, TIME_AXIS
 
 
+def make_local_sti(
+    *,
+    nfft: int,
+    nint: int = 1,
+    mode: str = "welch",
+    window: WindowSpec = ("kaiser", 1.7),
+    ref: float = 1.0,
+    fft_impl: str = "auto",
+    precision: str = "exact",
+    contiguous: bool = False,
+):
+    """The per-shard STI body shared by every shard_map tier: plane-major
+    samples + frame starts -> LINEAR fftshifted power (ntime_l, nsub_l,
+    nfft). Raw integer planes widen here, per shard on device. ``auto``
+    picks the fused Pallas kernel per shard from the LOCAL nsub."""
+    from pyspectrogram_tpu.kernels import sti_pallas
+
+    if fft_impl not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown fft_impl {fft_impl!r}")
+
+    win64 = get_window(window, nfft)
+    inv_scale = 1.0 / (float(win64.sum()) ** 2 * float(ref) ** 2)
+    win = jnp.asarray(win64.astype(np.float32))
+    frame_len = nfft * nint if mode == "welch" else nfft
+
+    def local_sti(samples_pm, starts):
+        if samples_pm.dtype != jnp.float32:
+            samples_pm = samples_pm.astype(jnp.float32)
+        nsub_l = samples_pm.shape[0] // 2
+        if fft_impl == "pallas":
+            use_pallas = True
+        elif fft_impl == "xla":
+            use_pallas = False
+        else:
+            use_pallas = (
+                jax.default_backend() == "tpu"
+                and sti_pallas.pallas_auto_profitable(
+                    nfft, nint, nsub_l, mode, precision, contiguous)
+            )
+        if use_pallas:
+            pallas_psd = sti_pallas.make_pallas_sti_psd(
+                nfft=nfft, nint=nint, mode=mode, window=window, ref=ref,
+                interpret=jax.default_backend() != "tpu",
+                precision=precision, contiguous=contiguous,
+            )
+            return pallas_psd(samples_pm, starts)
+
+        def one_start(s):
+            return jax.vmap(
+                lambda row: jax.lax.dynamic_slice(row, (s,), (frame_len,))
+            )(samples_pm)
+
+        fr = jax.vmap(one_start)(starts)          # (ntime_l, nsub2_l, L)
+        c = jax.lax.complex(fr[:, 0::2, :], fr[:, 1::2, :]).astype(
+            jnp.complex64)
+        if mode == "welch":
+            c = c.reshape(c.shape[0], c.shape[1], nint, nfft)
+            p = psd_frames(c, win, inv_scale).mean(axis=2)
+        else:
+            p = psd_frames(c, win, inv_scale)
+        return jnp.fft.fftshift(p, axes=-1)       # (ntime_l, nsub_l, nfft)
+
+    return local_sti
+
+
 @functools.lru_cache(maxsize=64)
 def make_sharded_sti_fn(
     mesh: Mesh,
@@ -55,59 +120,10 @@ def make_sharded_sti_fn(
     Returns {"sxx_dbfs": (ntime_padded, nsub, nfft) sharded (time, chan),
              "sxx_med_dbfs": (nsub, nfft) sharded (chan,)}.
     """
-    from pyspectrogram_tpu.kernels import sti_pallas
-
-    if fft_impl not in ("auto", "pallas", "xla"):
-        raise ValueError(f"unknown fft_impl {fft_impl!r}")
-
-    win64 = get_window(window, nfft)
-    inv_scale = 1.0 / (float(win64.sum()) ** 2 * float(ref) ** 2)
-    win = jnp.asarray(win64.astype(np.float32))
-    frame_len = nfft * nint if mode == "welch" else nfft
-
-    def local_sti(samples_pm, starts):
-        # raw integer planes ship over the host link at half the bytes —
-        # and with a mesh the transfer multiplies (one copy per device on
-        # the replicated axis), so widening happens HERE, per shard on
-        # device, never on the host (dBFS normalization rides the folded
-        # power scale, like the single-chip path, ops/stft.py)
-        if samples_pm.dtype != jnp.float32:
-            samples_pm = samples_pm.astype(jnp.float32)
-        # auto decides per shard with the LOCAL nsub (the chan axis splits
-        # the plane rows), so oversized multi-subchannel configs fall back
-        # to XLA instead of tripping the kernel's VMEM-block check
-        nsub_l = samples_pm.shape[0] // 2
-        if fft_impl == "pallas":
-            use_pallas = True
-        elif fft_impl == "xla":
-            use_pallas = False
-        else:
-            use_pallas = (
-                jax.default_backend() == "tpu"
-                and sti_pallas.pallas_auto_profitable(nfft, nint, nsub_l,
-                                                      mode, precision)
-            )
-        if use_pallas:
-            # fused kernel per shard (each device runs it on its columns)
-            pallas_psd = sti_pallas.make_pallas_sti_psd(
-                nfft=nfft, nint=nint, mode=mode, window=window, ref=ref,
-                interpret=jax.default_backend() != "tpu", precision=precision,
-            )
-            return pallas_psd(samples_pm, starts)
-        def one_start(s):
-            return jax.vmap(
-                lambda row: jax.lax.dynamic_slice(row, (s,), (frame_len,))
-            )(samples_pm)
-
-        fr = jax.vmap(one_start)(starts)          # (ntime_l, nsub2_l, L)
-        c = jax.lax.complex(fr[:, 0::2, :], fr[:, 1::2, :]).astype(
-            jnp.complex64)
-        if mode == "welch":
-            c = c.reshape(c.shape[0], c.shape[1], nint, nfft)
-            p = psd_frames(c, win, inv_scale).mean(axis=2)
-        else:
-            p = psd_frames(c, win, inv_scale)
-        return jnp.fft.fftshift(p, axes=-1)       # (ntime_l, nsub_l, nfft)
+    local_sti = make_local_sti(
+        nfft=nfft, nint=nint, mode=mode, window=window, ref=ref,
+        fft_impl=fft_impl, precision=precision,
+    )
 
     def sharded(samples_pm, starts):
         p_local = local_sti(samples_pm, starts)
