@@ -183,7 +183,8 @@ class StiPipeline:
             spec = make_tile_spec(freqs, cfg.freq_window_khz,
                                   cfg.color_range_db)
 
-        if self.mesh is not None and cfg.nfft >= self.bigfft_threshold:
+        if self.mesh is not None and self._use_bigfft(
+                cfg, samples_pm.shape[0] // 2):
             out = self._compute_bigfft(cfg, ref, samples_pm)
         elif self.mesh is not None:
             out = self._compute_sharded(cfg, ref, samples_pm, starts_rel)
@@ -230,6 +231,25 @@ class StiPipeline:
             tile=tile,
             plot_freqs=plot_freqs,
         )
+
+    def _use_bigfft(self, cfg: SpectrogramConfig, nsub: int) -> bool:
+        """Meshed-request tier choice. The dist-FFT tier pays one ICI
+        all-to-all per segment (~25-35% of step time at 2^20 over 8
+        devices — roofline in docs/architecture.md) while column sharding
+        runs the fused kernel per shard collective-free, so the dist-FFT
+        tier is used only where the fused kernel genuinely cannot: the
+        per-shard working set overflows the VMEM budget, or the plane
+        pairs don't divide over the chan axis."""
+        if cfg.nfft < self.bigfft_threshold:
+            return False
+        from pyspectrogram_tpu.kernels import sti_pallas
+        from pyspectrogram_tpu.parallel.mesh import CHAN_AXIS
+
+        chan = dict(self.mesh.shape).get(CHAN_AXIS, 1)
+        if nsub % chan:
+            return True
+        return not sti_pallas.pallas_supported(
+            cfg.nfft, cfg.nint, nsub // chan, cfg.mode, cfg.precision)
 
     def _compute_bigfft(self, cfg: SpectrogramConfig, ref: float,
                         samples_pm: np.ndarray):

@@ -63,10 +63,12 @@ def test_to_freq_order_roundtrip():
             assert out[0, 3 * k2 + k1] == a[0, k1, k2]
 
 
-def test_pipeline_bigfft_tier(tone_capture):
+def test_pipeline_bigfft_tier(tone_capture, monkeypatch):
     """StiPipeline auto-dispatches to the distributed-FFT tier for giant
-    transforms (threshold lowered here to test on the CPU mesh)."""
+    transforms (threshold lowered + VMEM test forced to fail so the tier
+    runs on the CPU mesh at a testable size)."""
     from pyspectrogram_tpu.io.reader import RFDataset
+    from pyspectrogram_tpu.kernels import sti_pallas
     from pyspectrogram_tpu.models.sti import StiPipeline
     from pyspectrogram_tpu.utils.config import SpectrogramConfig
 
@@ -74,12 +76,43 @@ def test_pipeline_bigfft_tier(tone_capture):
     cfg = SpectrogramConfig(nfft=4096, nint=2, ntime=4)
     want = StiPipeline(RFDataset(top), cfg).compute()
     mesh = make_mesh(time_parallel=8, chan_parallel=1)
-    got = StiPipeline(RFDataset(top), cfg, mesh=mesh,
-                      bigfft_threshold=4096).compute()
+    monkeypatch.setattr(sti_pallas, "pallas_supported",
+                        lambda *a, **k: False)
+    pipe = StiPipeline(RFDataset(top), cfg, mesh=mesh,
+                       bigfft_threshold=4096)
+    assert pipe._use_bigfft(cfg, nsub=1)
+    got = pipe.compute()
     assert got.sxx_dbfs.shape == want.sxx_dbfs.shape
     np.testing.assert_allclose(got.sxx_dbfs, want.sxx_dbfs, atol=3e-2)
     np.testing.assert_allclose(got.sxx_med_dbfs, want.sxx_med_dbfs,
                                atol=3e-2)
+
+
+def test_pipeline_prefers_column_sharding_when_kernel_fits(tone_capture):
+    """At/above the threshold the dist-FFT tier (one all-to-all per
+    segment) yields to collective-free column sharding whenever the fused
+    kernel's per-shard VMEM test passes (roofline: docs/architecture.md) —
+    and is still chosen when the planes can't divide over chan."""
+    from pyspectrogram_tpu.io.reader import RFDataset
+    from pyspectrogram_tpu.models.sti import StiPipeline
+    from pyspectrogram_tpu.utils.config import SpectrogramConfig
+
+    top, meta = tone_capture
+    mesh = make_mesh(time_parallel=8, chan_parallel=1)
+    cfg = SpectrogramConfig(nfft=1 << 18, nint=1, ntime=4)
+    pipe = StiPipeline(RFDataset(top), cfg, mesh=mesh)
+    # nsub=1 at 2^18 fits the fused kernel's VMEM budget -> column shard
+    assert not pipe._use_bigfft(cfg, nsub=1)
+    # per-shard working set nfft*(28*nsub+60) > 90 MiB -> dist-FFT
+    assert pipe._use_bigfft(cfg, nsub=16)
+    # plane pairs must divide over the chan axis, else column sharding
+    # cannot place them and the dist-FFT tier takes the request
+    mesh2 = make_mesh(time_parallel=4, chan_parallel=2)
+    pipe2 = StiPipeline(RFDataset(top), cfg, mesh=mesh2)
+    assert pipe2._use_bigfft(cfg, nsub=3)
+    # below the threshold never dist-FFT
+    small = SpectrogramConfig(nfft=4096, nint=1, ntime=4)
+    assert not pipe._use_bigfft(small, nsub=16)
 
 
 def test_bigfft_int16_planes_stay_narrow():
