@@ -210,7 +210,90 @@ class _RangedValueWidget(QWidget):
 
 
 class QSpinBox(_RangedValueWidget):
-    pass
+    def setSingleStep(self, step):
+        self._step = step
+
+
+class QDoubleSpinBox(QWidget):
+    """Float-valued spinbox with Qt's clamp-on-setRange semantics (the
+    save sub-tab's time-subset fields rely on ranges that track the
+    latest result)."""
+
+    valueChanged = pyqtSignal(float)
+
+    def __init__(self, parent=None):
+        super().__init__(parent)
+        self._min, self._max = 0.0, 99.0
+        self._value = 0.0
+        self._step = 1.0
+        self._decimals = 2
+
+    def setRange(self, lo, hi):
+        self._min, self._max = float(lo), float(hi)
+        self.setValue(self._value)
+
+    def minimum(self):
+        return self._min
+
+    def maximum(self):
+        return self._max
+
+    def setSingleStep(self, step):
+        self._step = float(step)
+
+    def setDecimals(self, d):
+        self._decimals = int(d)
+
+    def setValue(self, v):
+        v = min(max(float(v), self._min), self._max)
+        changed = v != self._value
+        self._value = v
+        if changed and not self._block_signals:
+            self.valueChanged.emit(v)
+
+    def value(self) -> float:
+        return self._value
+
+
+class QCheckBox(QWidget):
+    clicked = pyqtSignal(bool)
+    toggled = pyqtSignal(bool)
+
+    def __init__(self, text: str = "", parent=None):
+        super().__init__(parent)
+        self._text = text
+        self._checked = False
+
+    def text(self) -> str:
+        return self._text
+
+    def setChecked(self, on: bool):
+        on = bool(on)
+        changed = on != self._checked
+        self._checked = on
+        if changed and not self._block_signals:
+            self.toggled.emit(on)
+
+    def isChecked(self) -> bool:
+        return self._checked
+
+    def click(self):
+        """User click: flips the state, emits toggled then clicked
+        (Qt ordering)."""
+        if not self._enabled or self._block_signals:
+            return
+        self._checked = not self._checked
+        self.toggled.emit(self._checked)
+        self.clicked.emit(self._checked)
+
+
+class QGroupBox(QWidget):
+    def __init__(self, title: str = "", parent=None):
+        super().__init__(parent)
+        self._title = title
+
+    def title(self) -> str:
+        return self._title
 
 
 class QSlider(_RangedValueWidget):
@@ -481,6 +564,10 @@ class QFileDialog:
     #: test hooks — canned responses
     existing_directory = ""
     save_file_name = ("", "")
+    #: test hook — FIFO of answers for flows that open several save
+    #: dialogs in one action (the save sub-tab's Save File(s));
+    #: drained before falling back to save_file_name
+    save_file_queue: List[tuple] = []
 
     @classmethod
     def getExistingDirectory(cls, parent=None, caption="", directory="", **k):
@@ -489,6 +576,8 @@ class QFileDialog:
     @classmethod
     def getSaveFileName(cls, parent=None, caption="", directory="",
                         filter="", **k):
+        if cls.save_file_queue:
+            return cls.save_file_queue.pop(0)
         return cls.save_file_name
 
 
@@ -539,6 +628,9 @@ QtWidgets = _Namespace(
     QComboBox=QComboBox,
     QSlider=QSlider,
     QSpinBox=QSpinBox,
+    QDoubleSpinBox=QDoubleSpinBox,
+    QCheckBox=QCheckBox,
+    QGroupBox=QGroupBox,
     QLabel=QLabel,
     QAction=QAction,
     QInputDialog=QInputDialog,

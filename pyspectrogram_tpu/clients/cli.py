@@ -123,9 +123,18 @@ def cmd_sti(args) -> int:
             sample_bounds=(int(res.frame_starts[0]),
                            int(res.frame_starts[-1])))
     sub = args.subchannel
+    timerange = None
+    if args.t0 is not None or args.t1 is not None:
+        # save-subset crop in seconds into the result (the GUI save
+        # sub-tab's Start/End time fields; reference drfview.py:1434)
+        t0 = res.times[0] + np.timedelta64(int((args.t0 or 0.0) * 1e6), "us")
+        t1 = (res.times[-1] if args.t1 is None
+              else res.times[0] + np.timedelta64(int(args.t1 * 1e6), "us"))
+        timerange = (t0, t1)
     out = save_sti_png(
         args.out, res.freqs, res.times, res.sxx_dbfs[..., sub],
         colorrange=cfg.color_range_db, freqrange_khz=cfg.freq_window_khz,
+        timerange=timerange,
         renderer=args.renderer,
     )
     if args.npz:
@@ -393,6 +402,10 @@ def main(argv=None) -> int:
                    choices=["auto", "matplotlib", "pixels"])
     p.add_argument("--save-session", default=None,
                    help="persist the request tuple for exact resume")
+    p.add_argument("--t0", type=float, default=None,
+                   help="save only columns from T0 seconds into the result")
+    p.add_argument("--t1", type=float, default=None,
+                   help="save only columns up to T1 seconds into the result")
     _add_common(p)
     p.set_defaults(fn=cmd_sti)
 

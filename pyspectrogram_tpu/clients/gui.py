@@ -11,8 +11,10 @@ RunProgram, rows 7-15 of SURVEY.md section 2):
 * live median-PSD panel (all subchannels, selected one highlighted) above
   the STI waterfall with time ascending upward (reference:
   drfview.py:1296-1321, README.md:11);
-* save sub-tab producing PNGs through the same save path as the CLI
-  (reference: drfview.py:1389-1527);
+* save sub-tab at reference parity: artifact checkboxes, a Save-subset
+  checkbox gating Start/End time fields, save-specific color/frequency
+  ranges, per-artifact file dialogs (reference: drfview.py:589-734,
+  1389-1527) — plus .npz and median-PSD CSV artifacts (README wishlist);
 * last-used directory persistence (reference: drfview.py:1113-1125).
 
 Intentional fixes over the reference (SURVEY.md section 2 quirks list):
@@ -276,9 +278,70 @@ class MainWindow(QtWidgets.QMainWindow):
         st.specs = QtWidgets.QLabel("")
         panel.addRow(st.specs)
 
-        st.save_btn = QtWidgets.QPushButton("Save Spectrogram PNG…")
+        # save sub-tab (reference: drfview.py:589-734): artifact
+        # checkboxes, a time-range subset gate, and save-specific
+        # color/frequency ranges independent of the live view
+        save_box = QtWidgets.QGroupBox("Save")
+        sv = QtWidgets.QFormLayout()
+        st.save_spectro = QtWidgets.QCheckBox("Save spectrogram (PNG)")
+        st.save_npz = QtWidgets.QCheckBox("Save arrays (.npz)")
+        st.save_csv = QtWidgets.QCheckBox("Save median PSD (CSV)")
+        sv.addRow(st.save_spectro)
+        sv.addRow(st.save_npz)
+        sv.addRow(st.save_csv)
+
+        st.save_subset = QtWidgets.QCheckBox("Save subset")
+        sv.addRow(st.save_subset)
+        st.save_t0 = QtWidgets.QDoubleSpinBox()
+        st.save_t1 = QtWidgets.QDoubleSpinBox()
+        for wdg in (st.save_t0, st.save_t1):
+            # ranges track the latest result (intentional fix of the
+            # reference's never-updated maxtime=0, drfview.py:248)
+            wdg.setRange(0, 0)
+            wdg.setSingleStep(0.05)
+            wdg.setDecimals(2)
+        sv.addRow("Start time (s)", st.save_t0)
+        sv.addRow("End time (s)", st.save_t1)
+
+        st.save_cmin = QtWidgets.QDoubleSpinBox()
+        st.save_cmin.setRange(-200, 0)
+        st.save_cmin.setValue(float(st.config.color_range_db[0]))
+        st.save_cmax = QtWidgets.QDoubleSpinBox()
+        st.save_cmax.setRange(-150, 0)
+        st.save_cmax.setValue(float(st.config.color_range_db[1]))
+        sv.addRow("Color min", st.save_cmin)
+        sv.addRow("Color max", st.save_cmax)
+        st.save_fmin = QtWidgets.QSpinBox()
+        st.save_fmin.setRange(-1000, 1000)
+        st.save_fmin.setValue(int(st.config.freq_window_khz[0]))
+        st.save_fmax = QtWidgets.QSpinBox()
+        st.save_fmax.setRange(-1000, 1000)
+        st.save_fmax.setValue(int(st.config.freq_window_khz[1]))
+        sv.addRow("Frequency min (kHz)", st.save_fmin)
+        sv.addRow("Frequency max (kHz)", st.save_fmax)
+
+        st.save_btn = QtWidgets.QPushButton("Save File(s)…")
         st.save_btn.setEnabled(False)
-        panel.addRow(st.save_btn)
+        sv.addRow(st.save_btn)
+        save_box.setLayout(sv)
+        panel.addRow(save_box)
+
+        # checkbox gating (reference updatesavespectrobox /
+        # updatesavesubsetbox, drfview.py:1393-1415)
+        def _gate_spectro(on: bool):
+            for wdg in (st.save_cmin, st.save_cmax,
+                        st.save_fmin, st.save_fmax):
+                wdg.setEnabled(on)
+
+        def _gate_subset(on: bool):
+            st.save_t0.setEnabled(on)
+            st.save_t1.setEnabled(on)
+
+        st.save_spectro.toggled.connect(_gate_spectro)
+        st.save_subset.toggled.connect(_gate_subset)
+        st.save_spectro.setChecked(True)
+        st.save_subset.setChecked(False)
+        _gate_subset(False)
 
         right = QtWidgets.QWidget()
         right.setLayout(panel)
@@ -287,7 +350,7 @@ class MainWindow(QtWidgets.QMainWindow):
         st.start_btn.clicked.connect(lambda: self.start_processor(tab_id))
         st.stop_btn.clicked.connect(lambda: self.stop_processor(tab_id))
         st.update_btn.clicked.connect(lambda: self.pull_settings(tab_id))
-        st.save_btn.clicked.connect(lambda: self.save_png(tab_id))
+        st.save_btn.clicked.connect(lambda: self.save_files(tab_id))
         st.sub_combo.currentIndexChanged.connect(
             lambda i: self._set_subchan(tab_id, i))
         st.chan_combo.currentTextChanged.connect(
@@ -428,6 +491,16 @@ class MainWindow(QtWidgets.QMainWindow):
         if st is None:
             return
         st.last = p
+        # the save sub-tab's time-subset range tracks the latest result
+        # (intentional fix of the reference's maxtime=0 bug,
+        # drfview.py:248,1434): spinboxes span [0, result duration]
+        span_s = float((p.times[-1] - p.times[0])
+                       / np.timedelta64(1, "s")) if len(p.times) else 0.0
+        keep1 = st.save_t1.value() == st.save_t1.maximum()
+        st.save_t0.setRange(0.0, span_s)
+        st.save_t1.setRange(0.0, span_s)
+        if keep1:  # follow the newest data unless the user pinned a value
+            st.save_t1.setValue(span_s)
         self._redraw(st)
 
     def on_terminated(self, tab_id: int, p: Terminated):
@@ -480,17 +553,38 @@ class MainWindow(QtWidgets.QMainWindow):
         st.mappable.set_clim(*crange)
         st.canvas.draw_idle()
 
-    def save_png(self, tab_id: int):
+    def save_files(self, tab_id: int):
+        """Save File(s): one dialog per checked artifact, all driven from
+        the save sub-tab's own ranges + optional time subset (reference
+        savefiles, drfview.py:1417-1457; extended with .npz and PSD CSV
+        from the reference README wishlist)."""
         st = self.states[tab_id]
         if st.last is None:
             return
-        fname, _ = QtWidgets.QFileDialog.getSaveFileName(
-            self, "Save Spectrogram", "", "PNG (*.png)")
-        if not fname:
+        want_png = st.save_spectro.isChecked()
+        want_npz = st.save_npz.isChecked()
+        want_csv = st.save_csv.isChecked()
+        if not (want_png or want_npz or want_csv):
+            self._warn("Select at least one artifact to save.")
+            return
+        names = {}
+        for key, on, caption, flt in [
+            ("png", want_png, "Save Spectrogram", "Image (*.png)"),
+            ("npz", want_npz, "Save Arrays", "NumPy archive (*.npz)"),
+            ("csv", want_csv, "Save Median PSD", "CSV (*.csv)"),
+        ]:
+            if not on:
+                continue
+            fname, _ = QtWidgets.QFileDialog.getSaveFileName(
+                self, caption, "", flt)
+            if fname:
+                names[key] = fname
+        if not names:
             return
         QtWidgets.QApplication.setOverrideCursor(Qt.WaitCursor)
         try:
             freqs, times, sxx = st.last.freqs, st.last.times, st.last.sxx_dbfs
+            med = st.last.sxx_med_dbfs
             if sxx is None:
                 # live view runs in display-tile mode (floats never left
                 # the device); the save pipeline wants full-resolution
@@ -499,13 +593,40 @@ class MainWindow(QtWidgets.QMainWindow):
                 # changed since the displayed payload)
                 res = st.processor.pipeline.compute(
                     st.processor.config.replace(display_tile=False))
-                freqs, times, sxx = res.freqs, res.times, res.sxx_dbfs
-            save_sti_png(
-                fname, freqs, times,
-                sxx[..., st.subchan],
-                colorrange=st.config.color_range_db,
-                freqrange_khz=st.config.freq_window_khz,
-            )
+                freqs, times, sxx, med = (res.freqs, res.times,
+                                          res.sxx_dbfs, res.sxx_med_dbfs)
+            timerange = None
+            if st.save_subset.isChecked():
+                # subset spinboxes are seconds into the result
+                t0 = times[0] + np.timedelta64(
+                    int(st.save_t0.value() * 1e6), "us")
+                t1 = times[0] + np.timedelta64(
+                    int(st.save_t1.value() * 1e6), "us")
+                timerange = (t0, t1)
+            crange = (st.save_cmin.value(), st.save_cmax.value())
+            frange = (st.save_fmin.value(), st.save_fmax.value())
+            if "png" in names:
+                save_sti_png(
+                    names["png"], freqs, times, sxx[..., st.subchan],
+                    colorrange=crange, freqrange_khz=frange,
+                    timerange=timerange,
+                )
+            if "npz" in names:
+                keepf = (freqs * 1e-3 >= frange[0]) & (
+                    freqs * 1e-3 <= frange[1])
+                keept = (np.ones(len(times), bool) if timerange is None
+                         else (times >= timerange[0])
+                         & (times <= timerange[1]))
+                np.savez(
+                    names["npz"], freqs=freqs[keepf],
+                    times=np.datetime_as_string(times[keept], unit="us"),
+                    sxx_dbfs=sxx[np.ix_(keepf, keept)],
+                    sxx_med_dbfs=med[keepf],
+                )
+            if "csv" in names:
+                from pyspectrogram_tpu.display import save_psd_csv
+
+                save_psd_csv(names["csv"], freqs, med[:, st.subchan])
         finally:
             QtWidgets.QApplication.restoreOverrideCursor()
 

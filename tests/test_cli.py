@@ -46,6 +46,21 @@ def test_synth_info_sti_psd(tmp_path, capsys):
                    "--ntime", "8")
     assert rc == 0 and csv.exists() and psd["nbins"] == 256
 
+    # --t0/--t1 subset the saved time range (the GUI save sub-tab's
+    # Start/End time fields; pixel renderer -> one row per kept column)
+    full = tmp_path / "full.png"
+    half = tmp_path / "half.png"
+    _run(capsys, "sti", str(drf), "--out", str(full), "--nfft", "512",
+         "--ntime", "12", "--renderer", "pixels")
+    _run(capsys, "sti", str(drf), "--out", str(half), "--nfft", "512",
+         "--ntime", "12", "--renderer", "pixels",
+         "--t0", "0", "--t1", "0.03")
+    from PIL import Image
+
+    h_full = Image.open(full).size[1]
+    h_half = Image.open(half).size[1]
+    assert 0 < h_half < h_full
+
 
 def test_filter_roundtrip(tmp_path, capsys):
     drf = tmp_path / "cap2"

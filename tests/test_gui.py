@@ -32,6 +32,7 @@ def _dialog_state(tmp_path, monkeypatch):
     QMessageBox.answer = QMessageBox.Yes
     QFileDialog.existing_directory = ""
     QFileDialog.save_file_name = ("", "")
+    QFileDialog.save_file_queue = []
     QInputDialog.double_answer = (0.0, False)
     QInputDialog.text_answer = ("", False)
     monkeypatch.setattr(
@@ -238,6 +239,66 @@ def test_terminated_with_error_reason_warns(tmp_path):
     assert any(k == "warning" for k, *_ in QMessageBox.journal)
     assert win.states[1].processor is not None
     assert not win.states[1].processor.is_running
+    assert win.close()
+
+
+def test_save_subtab_subset_and_artifacts(tone_capture, tmp_path):
+    """The save sub-tab at reference parity (drfview.py:589-734,
+    1417-1457): artifact checkboxes, checkbox-gated option groups, a
+    time-range subset that actually crops, and save-specific ranges
+    independent of the live view — plus the .npz/CSV artifacts from the
+    README wishlist."""
+    top, meta = tone_capture
+    win = gui.MainWindow()
+    st = _start(win, top, ntime=100)
+    assert _wait(lambda: st.last is not None)
+
+    # gating semantics (reference updatesavespectrobox/updatesavesubsetbox,
+    # drfview.py:1393-1415): spectro on by default -> ranges enabled,
+    # subset off by default -> time fields disabled
+    assert st.save_spectro.isChecked() and not st.save_subset.isChecked()
+    assert st.save_cmin.isEnabled() and st.save_fmax.isEnabled()
+    assert not st.save_t0.isEnabled() and not st.save_t1.isEnabled()
+    st.save_subset.click()
+    assert st.save_t0.isEnabled() and st.save_t1.isEnabled()
+    st.save_spectro.click()
+    assert not st.save_cmin.isEnabled() and not st.save_fmin.isEnabled()
+    st.save_spectro.click()
+    assert st.save_cmax.isEnabled()
+
+    # subset spinbox ranges track the latest result — the reference's
+    # maxtime stayed 0 forever (bug drfview.py:248,1434; fixed)
+    assert _wait(lambda: st.save_t1.maximum() > 0)
+
+    st.stop_btn.click()
+    assert _wait(lambda: not st.processor.is_running)
+    st.processor.join(timeout=10)
+
+    ntime_full = len(st.last.times)
+    span = st.save_t1.maximum()
+    st.save_t0.setValue(0.0)
+    st.save_t1.setValue(span / 2)  # keep roughly the first half
+    st.save_npz.click()
+    st.save_csv.click()
+    png = tmp_path / "subset.png"
+    npz = tmp_path / "subset.npz"
+    csv = tmp_path / "psd.csv"
+    QFileDialog.save_file_queue = [
+        (str(png), ""), (str(npz), ""), (str(csv), "")]
+    st.save_btn.click()
+    assert png.exists() and png.stat().st_size > 1000
+    assert npz.exists() and csv.exists()
+
+    data = np.load(npz)
+    kept = data["sxx_dbfs"].shape[1]
+    assert 0 < kept < ntime_full            # the subset actually cropped
+    assert kept == pytest.approx(ntime_full / 2, abs=2)
+    assert data["sxx_dbfs"].shape[0] == len(data["freqs"])
+    assert len(data["times"]) == kept
+    # CSV: header + one row per frequency bin
+    lines = csv.read_text().strip().splitlines()
+    assert lines[0] == "freq_hz,psd_dbfs"
+    assert len(lines) == 1 + len(st.last.freqs)
     assert win.close()
 
 
