@@ -247,6 +247,34 @@ def test_big_factors_and_support():
     assert not sp.pallas_supported(1 << 20, 1, 2)  # beyond the 90M budget
     assert sp.pallas_auto_profitable(1 << 16, 4, 1)
     assert sp.pallas_auto_profitable(1 << 20, 1, 1)
+    # 2-stage/3-stage boundary (MXU block model + v5e measurement, see
+    # sp.BIG2_NFFT_MAX): 65536 takes the dense square split, 131072+ the
+    # A*B*C factorization (Gauss'd)
+    assert sp.BIG2_NFFT_MAX == 1 << 16
+    assert sp.factors2(1 << 16) == (256, 256)
+
+
+@pytest.mark.parametrize("precision", ["exact", "display"])
+def test_big3_kernel_matches_oracle_262144(precision):
+    """262144-pt exercises the 3-STAGE kernel explicitly (above
+    BIG2_NFFT_MAX; exact tier runs the Gauss 3-mult complex products),
+    welch nint=2 so the persistent-scratch accumulate runs too."""
+    from pyspectrogram_tpu.ops import reference as oracle
+
+    nfft, ntime, nsub, nint = 1 << 18, 1, 1, 2
+    rng = np.random.default_rng(7)
+    nsamp = nfft * nint * ntime
+    starts = (np.arange(ntime) * nfft * nint).astype(np.int32)
+    packed = rng.standard_normal((nsamp, nsub, 2)).astype(np.float32)
+    psd = make_pallas_sti_psd(nfft=nfft, nint=nint, interpret=True,
+                              contiguous=True, precision=precision)
+    got = np.asarray(psd(jnp.asarray(to_plane_major(packed)),
+                         jnp.asarray(starts)))
+    x = packed[..., 0] + 1j * packed[..., 1]
+    block = np.stack([x[s : s + nfft * nint] for s in starts], axis=1)
+    want = oracle.sti_psd(block, nfft, nint=nint, mode="welch")
+    np.testing.assert_allclose(got, np.moveaxis(want, 0, -1),
+                               rtol=2e-3, atol=1e-7)
 
 
 @pytest.mark.parametrize("mode,nint,contiguous,precision", [
