@@ -58,24 +58,21 @@ def lane_factors(nfft: int) -> Tuple[int, int]:
     return nfft // LANE, LANE
 
 
-#: transforms at or above this size use a per-segment-grid big kernel:
-#: the 2-stage (n1, 128) split up to BIG2_NFFT_MAX, the 3-stage A*B*C
-#: factorization beyond (see _make_big2_sti_psd / _make_big3_sti_psd)
+#: transforms at or above this size use the 3-stage per-segment-grid
+#: kernel (nfft = A*B*C GEMM factorization, see _make_big3_sti_psd).
+#: Negative result, so nobody re-tries it: a 2-stage square split
+#: (65536 = 256*256, both GEMMs 128-dense) was built on an MXU block
+#: model (a DFT stage with factor F costs ceil(F/128)^2 * nfft/(F*128)
+#: fully-pipelined 128^3-MAC blocks, predicting 2.6x fewer pass-units
+#: than the "FLOP-optimal" tiny-factor split) and briefly measured
+#: 12.7 GS/s — but that reading was under-amortized dispatch jitter
+#: (25 iters x 0.9 ms < the ~+/-3 ms tunnel jitter floor; it also
+#: exceeded the HIGHESTxGauss pass roofline, ~10.7 GS/s). At >= 50
+#: amortized iterations the Gauss'd 3-stage wins at every size
+#: including 65536 (9.8-9.9 vs 9.0-9.6 GS/s at nsub=1/2), so the
+#: square split was retired: small-K GEMMs on this MXU cost closer to
+#: their useful MACs than to full 128-deep passes.
 BIG_NFFT_MIN = 1 << 16
-
-#: largest transform the 2-stage big kernel takes. MXU block model (a
-#: DFT stage with factor F over nfft samples costs
-#: ceil(F/128)^2 * nfft/(F*128) fully-pipelined 128^3-MAC blocks): at
-#: 65536 the square (256, 256) split costs 16 blocks/segment vs 52 for
-#: the 3-stage (32, 16, 128) — the tiny A/B GEMMs run at 6%/1.5% MXU
-#: slot utilization, so the "FLOP-optimal" factorization loses 2-3x in
-#: MXU time. Measured on v5e (welch nint=4, exact): 65536 2-stage
-#: 12.7 GS/s vs 3-stage 5.9-7.3; at 131072 the model favors 2-stage
-#: (512, 256) (48 vs 72 blocks) but measurement says otherwise — 6.7 vs
-#: 10.6 GS/s for the Gauss'd 3-stage (the 512-wide stage streams a 3 MB
-#: D triple through the MXU per segment and the un-square (a+b) grows) —
-#: so the boundary sits at 2^16.
-BIG2_NFFT_MAX = 1 << 16
 
 #: scoped VMEM cap requested for the big kernel (the XLA default is
 #: 16 MB; v5e has 128 MB physical VMEM — the kernel raises the limit via
@@ -89,11 +86,9 @@ def pallas_supported(nfft: int, nint: int = 1, nsub: int = 1,
     if nfft < 256 or nfft % LANE or (nfft & (nfft - 1)):
         return False
     if nfft >= BIG_NFFT_MIN:
-        # the big kernels stream one SEGMENT per grid step and accumulate
+        # the big kernel streams one SEGMENT per grid step and accumulates
         # in persistent scratch, so nint does not enter the block budget
-        est = (_big2_vmem_bytes if nfft <= BIG2_NFFT_MAX
-               else _big3_vmem_bytes)
-        return est(nfft, nsub, precision) <= BIG_VMEM_BUDGET
+        return _big3_vmem_bytes(nfft, nsub, precision) <= BIG_VMEM_BUDGET
     nseg = nint if mode == "welch" else 1
     block = nsub * 2 * nfft * nseg * 4 * 2  # double-buffered
     # n1 <= 256 keeps the DFT factors + column block + pipeline buffers
@@ -110,10 +105,10 @@ def pallas_auto_profitable(nfft: int, nint: int = 1, nsub: int = 1,
     (256: 2.38 vs 1.67, 512: 4.08 vs 2.31, 1024: 7.05 vs 2.21 GS/s);
     gathered (arbitrary-start) paths can't lane-fold, so below 1024 the
     per-column stage-1 matmuls underfeed the MXU and XLA wins there.
-    From 65536 the per-segment big kernels (2-stage square split at
-    2^16: 12.7 GS/s; Gauss'd 3-stage beyond: 9.6 at 2^17, see
-    docs/architecture.md for the full table) cover the reference's
-    ENTIRE remaining range (to 2^20) versus XLA's 1.3-1.8 — 5-7x."""
+    From 65536 the Gauss'd 3-stage per-segment kernel sustains
+    7.8-10.1 GS/s across the reference's ENTIRE remaining range (to
+    2^20; full table in docs/architecture.md) versus XLA's 1.3-1.8 —
+    5-7x."""
     floor = 256 if contiguous else 1024
     return nfft >= floor and pallas_supported(nfft, nint, nsub, mode,
                                               precision)
@@ -272,9 +267,7 @@ def make_pallas_sti_psd(
     kernel (:func:`_make_big3_sti_psd`).
     """
     if nfft >= BIG_NFFT_MIN:
-        make = (_make_big2_sti_psd if nfft <= BIG2_NFFT_MAX
-                else _make_big3_sti_psd)
-        return make(
+        return _make_big3_sti_psd(
             nfft=nfft, nint=nint, mode=mode, window=window, ref=ref,
             interpret=interpret, contiguous=contiguous, precision=precision,
         )
@@ -519,29 +512,6 @@ def make_pallas_sti_psd(
     return psd
 
 
-def factors2(nfft: int) -> Tuple[int, int]:
-    """(n1, n2) split for the 2-stage big kernel, chosen by the MXU block
-    model: with n1 = a*128 and n2 = b*128 the two GEMMs cost
-    a^2*b + a*b^2 = a*b*(a+b) 128^3-MAC blocks per segment, minimized by
-    the most square split. 65536 -> (256, 256) [16 blocks vs 20 for
-    (512, 128)], 131072 -> (512, 256) [48 vs 72 for (1024, 128)]."""
-    if nfft & (nfft - 1) or nfft < BIG_NFFT_MIN:
-        raise ValueError(
-            f"2-stage big kernel needs power-of-two nfft >= {BIG_NFFT_MIN}")
-    best, best_cost = None, None
-    n1 = LANE
-    while n1 * LANE <= nfft:
-        n2 = nfft // n1
-        a, b = n1 // LANE, n2 // LANE
-        cost = a * b * (a + b)
-        # tie-break toward n1 >= n2 (stage 2's right-contraction keeps
-        # full 128-lane tiles longest)
-        if best_cost is None or cost < best_cost or (
-                cost == best_cost and n1 >= n2):
-            best, best_cost = (n1, n2), cost
-        n1 *= 2
-    return best
-
 
 def factors3(nfft: int) -> Tuple[int, int, int]:
     """(A, B, C) split for the 3-stage kernel: C = 128 lanes, A >= B ~
@@ -593,195 +563,6 @@ def make_plan3(nfft: int) -> dict:
     )
 
 
-def _big2_vmem_bytes(nfft: int, nsub: int, precision: str) -> int:
-    """Working-set estimate for the 2-stage big kernel. The mass is the
-    two DFT matrices (x3 for the Gauss triples at the exact tier), the
-    (n1, n2) twiddle, the segment block, and ~8 live full-segment
-    intermediate tiles."""
-    n1, n2 = factors2(nfft)
-    dmats = n1 * n1 * 4 + n2 * n2 * 4
-    if precision == "exact":
-        dbytes = 3 * dmats                               # Gauss triples
-    elif precision == "balanced":
-        dbytes = 4 * dmats                               # hi/lo splits
-    else:
-        dbytes = 2 * dmats
-    dsplit = 2 if precision == "balanced" else 1
-    frames = nsub * 2 * nfft * 4 * 2                     # double-buffered
-    consts = 2 * nfft * 4 + nfft * 4                     # twiddle + window
-    accum = nsub * nfft * 4
-    out = nsub * nfft * 4 * 2
-    interm = 8 * nfft * 4 * dsplit
-    return dbytes + frames + consts + accum + out + interm
-
-
-@functools.lru_cache(maxsize=16)
-def _make_big2_sti_psd(
-    *,
-    nfft: int,
-    nint: int = 1,
-    mode: str = "welch",
-    window: WindowSpec = ("kaiser", 1.7),
-    ref: float = 1.0,
-    interpret: bool = False,
-    contiguous: bool = False,
-    precision: str = "exact",
-):
-    """2-stage GEMM-FFT STI for 65536-131072 (see BIG2_NFFT_MAX).
-
-    Same math as the column kernel (make_plan with n2 = 128) but on the
-    big kernels' per-segment grid: one nfft segment per grid step,
-    persistent accumulation scratch across the segment axis. The (n1, n1)
-    stage-1 GEMM is MXU-dense (n1 = 512/1024 fills the 128-wide array in
-    both contraction and output dims), unlike the 3-stage split's tiny
-    A/B factors — 2.6x fewer MXU pass-units at 65536 despite 3.6x the
-    FLOPs (cycle model at BIG2_NFFT_MAX). Exact tier uses Gauss's 3-mult
-    complex product (25% fewer passes); measured tables in
-    docs/architecture.md.
-    """
-    n1, n2 = factors2(nfft)
-    nseg = nint if mode == "welch" else 1
-    gather_len = nfft * nseg
-
-    plan = make_plan(nfft, n2)
-    win64 = get_window(window, nfft)
-    win2 = win64.reshape(n1, n2).astype(np.float32)
-    inv_scale = np.float32(
-        1.0 / (float(win64.sum()) ** 2 * float(ref) ** 2 * nseg)
-    )
-    # MXU passes dominate every step here (the whole point of this
-    # kernel), so Gauss pays at the exact tier regardless of nseg
-    use_gauss = precision == "exact"
-    if use_gauss:
-        d_consts = list(_plan_triple(plan, "d1", precision)) + list(
-            _plan_triple(plan, "d2", precision))
-    elif precision == "balanced":
-        d_consts = [_split_bf16(plan[k]) for k in ("d1r", "d1i", "d2r", "d2i")]
-    else:
-        d_consts = [plan[k] for k in ("d1r", "d1i", "d2r", "d2i")]
-    consts = [win2] + d_consts + [plan["twr"], plan["twi"]]
-
-    def kernel(frames_ref, win_ref, *rest, nsub: int):
-        s = pl.program_id(1)
-        out_ref, accum = rest[-2], rest[-1]
-        twr, twi = rest[-4][...], rest[-3][...]
-        dref = rest[:-4]
-        if use_gauss:
-            load_d3, cdot_l, cdot_r = _complex_gemm_ops(precision)
-            d1 = load_d3(dref[0:3])
-            d2 = load_d3(dref[3:6])
-
-            def cprod_l(x):
-                return cdot_l(d1, x)
-
-            def cprod_r(z):
-                return cdot_r(z, d2)
-        else:
-            load_d, xsplit, mdot, mdot2 = _mm_ops(precision)
-            d1r, d1i = load_d(dref[0]), load_d(dref[1])
-            d2r, d2i = load_d(dref[2]), load_d(dref[3])
-
-            def cprod_l(x):
-                xr, xi = xsplit(x[0]), xsplit(x[1])
-                return (mdot(d1r, xr) - mdot(d1i, xi),
-                        mdot(d1r, xi) + mdot(d1i, xr))
-
-            def cprod_r(z):
-                zr, zi = xsplit(z[0]), xsplit(z[1])
-                return (mdot2(zr, d2r) - mdot2(zi, d2i),
-                        mdot2(zr, d2i) + mdot2(zi, d2r))
-        win = win_ref[...]
-        for sub in range(nsub):
-            if contiguous:
-                xr0 = frames_ref[2 * sub, :]
-                xi0 = frames_ref[2 * sub + 1, :]
-            else:
-                xr0 = frames_ref[0, 2 * sub, :]
-                xi0 = frames_ref[0, 2 * sub + 1, :]
-            xr = xr0.astype(jnp.float32).reshape(n1, n2) * win
-            xi = xi0.astype(jnp.float32).reshape(n1, n2) * win
-            # stage 1: DFT along p (contraction over the n1 sublanes)
-            yr, yi = cprod_l((xr, xi))
-            zr = yr * twr - yi * twi
-            zi = yr * twi + yi * twr
-            # stage 2: DFT along q (contracts the 128 lanes from the right)
-            xmr, xmi = cprod_r((zr, zi))
-            p = xmr * xmr + xmi * xmi
-            accum[sub, :, :] = jnp.where(s == 0, p, accum[sub, :, :] + p)
-
-        @pl.when(s == nseg - 1)
-        def _write():
-            h = n2 // 2
-            for sub in range(nsub):
-                # Xm[k1, k2] -> natural order O[k2, k1]; fftshift adds
-                # nfft/2 = n1*(n2/2): swap the row halves of O
-                o = (accum[sub, :, :] * inv_scale).T     # (n2, n1)
-                out_ref[0, sub, :h, :] = o[h:, :]
-                out_ref[0, sub, h:, :] = o[:h, :]
-
-    def build(ntime: int, nsub: int):
-        if contiguous:
-            frames_spec = pl.BlockSpec(
-                (nsub * 2, nfft),
-                lambda t, s: (0, t * nint + s),
-                memory_space=pltpu.VMEM,
-            )
-        else:
-            frames_spec = pl.BlockSpec(
-                (1, nsub * 2, nfft), lambda t, s: (t, 0, s),
-                memory_space=pltpu.VMEM,
-            )
-        flops_seg = 8 * nfft * (n1 + n2)
-        return pl.pallas_call(
-            functools.partial(kernel, nsub=nsub),
-            grid=(ntime, nseg),
-            in_specs=[frames_spec]
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(consts),
-            out_specs=pl.BlockSpec((1, nsub, n2, n1),
-                                   lambda t, s: (t, 0, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((ntime, nsub, n2, n1),
-                                           jnp.float32),
-            scratch_shapes=[pltpu.VMEM((nsub, n1, n2), jnp.float32)],
-            interpret=interpret,
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=96 * 1024 * 1024,
-            ),
-            cost_estimate=pl.CostEstimate(
-                flops=ntime * nsub * nseg * flops_seg,
-                bytes_accessed=ntime * nsub * nseg * nfft * 8
-                + ntime * nsub * nfft * 4,
-                transcendentals=0,
-            ),
-        )
-
-    @jax.jit
-    def psd(samples_pm: jax.Array, starts: jax.Array) -> jax.Array:
-        nsub = samples_pm.shape[0] // 2
-        ntime = starts.shape[0]
-        if not pallas_supported(nfft, nint, nsub, mode, precision):
-            raise ValueError(
-                f"big pallas STI unsupported for nfft={nfft} nint={nint} "
-                f"nsub={nsub} mode={mode} precision={precision} (working "
-                "set exceeds the VMEM budget)"
-            )
-        if contiguous:
-            if samples_pm.shape[1] < ntime * nfft * nint:
-                raise ValueError("buffer shorter than ntime contiguous frames")
-            out = build(ntime, nsub)(
-                samples_pm, *[jnp.asarray(c) for c in consts])
-            return out.reshape(ntime, nsub, nfft)
-
-        def one_start(st):
-            return jax.vmap(
-                lambda row: jax.lax.dynamic_slice(row, (st,), (gather_len,))
-            )(samples_pm)
-
-        frames = jax.vmap(one_start)(starts)
-        out = build(ntime, nsub)(frames, *[jnp.asarray(c) for c in consts])
-        return out.reshape(ntime, nsub, nfft)
-
-    return psd
 
 
 def _big3_vmem_bytes(nfft: int, nsub: int, precision: str) -> int:

@@ -247,18 +247,16 @@ def test_big_factors_and_support():
     assert not sp.pallas_supported(1 << 20, 1, 2)  # beyond the 90M budget
     assert sp.pallas_auto_profitable(1 << 16, 4, 1)
     assert sp.pallas_auto_profitable(1 << 20, 1, 1)
-    # 2-stage/3-stage boundary (MXU block model + v5e measurement, see
-    # sp.BIG2_NFFT_MAX): 65536 takes the dense square split, 131072+ the
-    # A*B*C factorization (Gauss'd)
-    assert sp.BIG2_NFFT_MAX == 1 << 16
-    assert sp.factors2(1 << 16) == (256, 256)
+    # single big kernel: the Gauss'd 3-stage covers 65536..2^20 (the
+    # 2-stage square split was retired — see BIG_NFFT_MIN's note)
+    assert sp.BIG_NFFT_MIN == 1 << 16
 
 
 @pytest.mark.parametrize("precision", ["exact", "display"])
 def test_big3_kernel_matches_oracle_262144(precision):
-    """262144-pt exercises the 3-STAGE kernel explicitly (above
-    BIG2_NFFT_MAX; exact tier runs the Gauss 3-mult complex products),
-    welch nint=2 so the persistent-scratch accumulate runs too."""
+    """262144-pt exercises the 3-stage kernel at a large factorization
+    (exact tier runs the Gauss 3-mult complex products), welch nint=2 so
+    the persistent-scratch accumulate runs too."""
     from pyspectrogram_tpu.ops import reference as oracle
 
     nfft, ntime, nsub, nint = 1 << 18, 1, 1, 2
@@ -282,8 +280,8 @@ def test_big3_kernel_matches_oracle_262144(precision):
     ("parity", 2, True, "exact"), ("welch", 2, True, "balanced"),
 ])
 def test_big_kernel_matches_oracle_65536(mode, nint, contiguous, precision):
-    """65536-pt fused kernel (256x256 split, per-segment grid) against the
-    NumPy oracle, interpret mode."""
+    """65536-pt fused kernel (3-stage 32*16*128 split, per-segment grid)
+    against the NumPy oracle, interpret mode."""
     from pyspectrogram_tpu.ops import reference as oracle
 
     nfft, ntime, nsub = 1 << 16, 2, 1
