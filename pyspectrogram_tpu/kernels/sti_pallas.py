@@ -60,18 +60,17 @@ def lane_factors(nfft: int) -> Tuple[int, int]:
 
 #: transforms at or above this size use the 3-stage per-segment-grid
 #: kernel (nfft = A*B*C GEMM factorization, see _make_big3_sti_psd).
-#: Negative result, so nobody re-tries it: a 2-stage square split
-#: (65536 = 256*256, both GEMMs 128-dense) was built on an MXU block
-#: model (a DFT stage with factor F costs ceil(F/128)^2 * nfft/(F*128)
-#: fully-pipelined 128^3-MAC blocks, predicting 2.6x fewer pass-units
-#: than the "FLOP-optimal" tiny-factor split) and briefly measured
-#: 12.7 GS/s — but that reading was under-amortized dispatch jitter
-#: (25 iters x 0.9 ms < the ~+/-3 ms tunnel jitter floor; it also
-#: exceeded the HIGHESTxGauss pass roofline, ~10.7 GS/s). At >= 50
-#: amortized iterations the Gauss'd 3-stage wins at every size
-#: including 65536 (9.8-9.9 vs 9.0-9.6 GS/s at nsub=1/2), so the
-#: square split was retired: small-K GEMMs on this MXU cost closer to
-#: their useful MACs than to full 128-deep passes.
+#: The stage count is a MEASURED optimum, not a model: both a 2-stage
+#: square split (65536 = 256*256; factors 256-1024) and a 4-stage
+#: near-cubic split (2^20 = 32*16*16*128; factors 8-32) were built,
+#: oracle-verified, and timed with >= 50 amortized iterations — the
+#: 2-stage lost 9.0-9.6 vs 9.8-9.9 GS/s at 65536 and the 4-stage lost
+#: 6.6/7.3 vs 7.7/9.0 GS/s at 2^19/2^20 despite 1.45-1.67x fewer
+#: complex MACs. DFT factors of 32-128 are this MXU's efficient range:
+#: bigger factors pay more MACs than their pass-density saves, smaller
+#: ones underfill the contraction depth and add a full-segment
+#: transpose + twiddle per extra stage. Both losers were deleted (this
+#: note + docs/architecture.md are the record; don't re-try them).
 BIG_NFFT_MIN = 1 << 16
 
 #: scoped VMEM cap requested for the big kernel (the XLA default is
@@ -512,7 +511,6 @@ def make_pallas_sti_psd(
     return psd
 
 
-
 def factors3(nfft: int) -> Tuple[int, int, int]:
     """(A, B, C) split for the 3-stage kernel: C = 128 lanes, A >= B ~
     sqrt(nfft/128). 65536 -> (32, 16, 128), 131072 -> (32, 32, 128),
@@ -561,8 +559,6 @@ def make_plan3(nfft: int) -> dict:
         t1r=f32(t1.real), t1i=f32(t1.imag),
         t2r=f32(t2.real), t2i=f32(t2.imag),
     )
-
-
 
 
 def _big3_vmem_bytes(nfft: int, nsub: int, precision: str) -> int:
