@@ -178,58 +178,20 @@ class QPushButton(QWidget):
 
 
 class _RangedValueWidget(QWidget):
-    """Shared value/range behavior of QSpinBox and QSlider: setRange clamps
-    the current value (Qt semantics the Nyquist-clamp logic relies on)."""
+    """Shared value/range behavior of QSpinBox/QSlider/QDoubleSpinBox:
+    setRange clamps the current value (Qt semantics the Nyquist-clamp and
+    save-subset logic rely on). ``_cast`` picks the value type."""
 
     valueChanged = pyqtSignal(int)
+    _cast = int
 
     def __init__(self, parent=None):
         super().__init__(parent)
-        self._min, self._max = 0, 99
-        self._value = 0
-
-    def setRange(self, lo: int, hi: int):
-        self._min, self._max = int(lo), int(hi)
-        self.setValue(self._value)
-
-    def minimum(self) -> int:
-        return self._min
-
-    def maximum(self) -> int:
-        return self._max
-
-    def setValue(self, v: int):
-        v = min(max(int(v), self._min), self._max)
-        changed = v != self._value
-        self._value = v
-        if changed and not self._block_signals:
-            self.valueChanged.emit(v)
-
-    def value(self) -> int:
-        return self._value
-
-
-class QSpinBox(_RangedValueWidget):
-    def setSingleStep(self, step):
-        self._step = step
-
-
-class QDoubleSpinBox(QWidget):
-    """Float-valued spinbox with Qt's clamp-on-setRange semantics (the
-    save sub-tab's time-subset fields rely on ranges that track the
-    latest result)."""
-
-    valueChanged = pyqtSignal(float)
-
-    def __init__(self, parent=None):
-        super().__init__(parent)
-        self._min, self._max = 0.0, 99.0
-        self._value = 0.0
-        self._step = 1.0
-        self._decimals = 2
+        self._min, self._max = self._cast(0), self._cast(99)
+        self._value = self._cast(0)
 
     def setRange(self, lo, hi):
-        self._min, self._max = float(lo), float(hi)
+        self._min, self._max = self._cast(lo), self._cast(hi)
         self.setValue(self._value)
 
     def minimum(self):
@@ -239,20 +201,33 @@ class QDoubleSpinBox(QWidget):
         return self._max
 
     def setSingleStep(self, step):
-        self._step = float(step)
-
-    def setDecimals(self, d):
-        self._decimals = int(d)
+        self._step = self._cast(step)
 
     def setValue(self, v):
-        v = min(max(float(v), self._min), self._max)
+        v = min(max(self._cast(v), self._min), self._max)
         changed = v != self._value
         self._value = v
         if changed and not self._block_signals:
             self.valueChanged.emit(v)
 
-    def value(self) -> float:
+    def value(self):
         return self._value
+
+
+class QSpinBox(_RangedValueWidget):
+    pass
+
+
+class QDoubleSpinBox(_RangedValueWidget):
+    """Float-valued spinbox with Qt's clamp-on-setRange semantics (the
+    save sub-tab's time-subset fields rely on ranges that track the
+    latest result)."""
+
+    valueChanged = pyqtSignal(float)
+    _cast = float
+
+    def setDecimals(self, d):
+        self._decimals = int(d)
 
 
 class QCheckBox(QWidget):

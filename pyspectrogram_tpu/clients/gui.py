@@ -468,6 +468,12 @@ class MainWindow(QtWidgets.QMainWindow):
                 ntime=st.config.ntime,
                 bnd_beg=tb[0] + span * st.tmin.value() / SLIDER_STEPS,
                 bnd_end=tb[0] + span * st.tmax.value() / SLIDER_STEPS,
+                # the display epilogue runs ON DEVICE in tile mode, so the
+                # color range and frequency window must reach the worker's
+                # config too (color changes reuse the compiled program —
+                # the range is a runtime operand, see TileSpec.crop_key)
+                color_range_db=st.config.color_range_db,
+                freq_window_khz=st.config.freq_window_khz,
             )
 
     # -------------------------------------------------------- slots
@@ -560,6 +566,13 @@ class MainWindow(QtWidgets.QMainWindow):
         from the reference README wishlist)."""
         st = self.states[tab_id]
         if st.last is None:
+            return
+        if st.processor and st.processor.is_running:
+            # belt-and-braces: the button is only enabled after the
+            # processor terminates (reference: drfview.py:1343), and the
+            # tile-mode branch below runs pipeline.compute on the GUI
+            # thread — unsafe concurrently with the worker's compute loop
+            self._warn("Stop the processor before saving.")
             return
         want_png = st.save_spectro.isChecked()
         want_npz = st.save_npz.isChecked()

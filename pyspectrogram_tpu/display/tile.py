@@ -51,6 +51,25 @@ class TileSpec:
     def plot_indices(self) -> np.ndarray:
         return self.plot_lo + self.plot_step * np.arange(self.plot_n)
 
+    def crop_key(self) -> "TileSpec":
+        """The spec with its color range canonicalized — use as the
+        compile-cache key. cmin/cmax are RUNTIME operands of the
+        quantization (the reference re-clims without rebuilding anything,
+        drfview.py:1061-1074, and a recompile here costs 20-80 s on a
+        tunneled TPU), so compiled programs must key only on the crop
+        plan + level count; the color range rides in as a (2,) float32
+        array."""
+        return dataclasses.replace(self, cmin=0.0, cmax=1.0)
+
+    @property
+    def qparams(self) -> np.ndarray:
+        """(2,) float32 [cmin, scale] quantization operand. scale is
+        computed in float64 HERE and shipped as float32, so the traced
+        math ``(db - cmin) * scale`` is bit-identical to the host numpy
+        quantization whatever the color range operand."""
+        scale = (self.npoints - 1) / (self.cmax - self.cmin)
+        return np.asarray([self.cmin, scale], np.float32)
+
 
 def make_tile_spec(
     freqs_hz: np.ndarray,
@@ -80,7 +99,8 @@ def tile_freqs(spec: TileSpec, freqs_hz: np.ndarray) -> np.ndarray:
     return np.asarray(freqs_hz)[spec.plot_indices]
 
 
-def quantize_tile_linear(p_linear, spec: TileSpec, eps: float = 1e-15):
+def quantize_tile_linear(p_linear, spec: TileSpec, eps: float = 1e-15,
+                         qparams=None):
     """Device epilogue: LINEAR fftshifted power (..., nfft) -> uint8 tile
     (..., plot_n). Traced code — call inside jit.
 
@@ -97,20 +117,27 @@ def quantize_tile_linear(p_linear, spec: TileSpec, eps: float = 1e-15):
     sl = jax.lax.slice_in_dim(p_linear, spec.plot_lo, hi, spec.plot_step,
                               axis=axis)
     db = 10.0 * jnp.log10(sl + jnp.asarray(eps, sl.dtype))
-    return quantize_db_tile(db, spec)
+    return quantize_db_tile(db, spec, qparams)
 
 
-def quantize_db_tile(db, spec: TileSpec):
+def quantize_db_tile(db, spec: TileSpec, qparams=None):
     """dBFS values -> uint8 levels (traced; the quantization half of the
-    epilogue, reference: drfview.py:1057 + clamp drfview.py:1515-1516)."""
+    epilogue, reference: drfview.py:1057 + clamp drfview.py:1515-1516).
+
+    ``qparams``: optional traced (2,) [cmin, scale] operand (see
+    TileSpec.qparams) overriding the spec's static color range — pass it
+    so color-range changes re-run the SAME compiled program instead of
+    compiling a new one (see TileSpec.crop_key)."""
     import jax.numpy as jnp
 
-    scale = (spec.npoints - 1) / (spec.cmax - spec.cmin)
-    q = (db - spec.cmin) * jnp.asarray(scale, db.dtype)
+    if qparams is None:
+        qparams = spec.qparams
+    qparams = jnp.asarray(qparams, db.dtype)
+    q = (db - qparams[0]) * qparams[1]
     return jnp.clip(jnp.round(q), 0, spec.npoints - 1).astype(jnp.uint8)
 
 
-def quantize_tile_db(db, spec: TileSpec):
+def quantize_tile_db(db, spec: TileSpec, qparams=None):
     """Device epilogue from dBFS values (..., nfft) -> uint8 tile (traced;
     for paths that already produced dB on device, e.g. the sharded STI)."""
     import jax
@@ -118,35 +145,36 @@ def quantize_tile_db(db, spec: TileSpec):
     hi = spec.plot_lo + spec.plot_step * (spec.plot_n - 1) + 1
     sl = jax.lax.slice_in_dim(db, spec.plot_lo, hi, spec.plot_step,
                               axis=db.ndim - 1)
-    return quantize_db_tile(sl, spec)
+    return quantize_db_tile(sl, spec, qparams)
 
 
 @functools.lru_cache(maxsize=64)
-def _make_host_tile_fn(spec: TileSpec, eps: float):
+def _make_host_tile_fn(crop: TileSpec, eps: float):
     import jax
 
     @jax.jit
-    def f(p_linear):
-        return quantize_tile_linear(p_linear, spec, eps)
+    def f(p_linear, qparams):
+        return quantize_tile_linear(p_linear, crop, eps, qparams)
 
     return f
 
 
 @functools.lru_cache(maxsize=64)
-def _make_host_db_tile_fn(spec: TileSpec):
+def _make_host_db_tile_fn(crop: TileSpec):
     import jax
 
     @jax.jit
-    def f(db):
-        return quantize_tile_db(db, spec)
+    def f(db, qparams):
+        return quantize_tile_db(db, crop, qparams)
 
     return f
 
 
 def tile_from_linear(p_linear, spec: TileSpec, eps: float = 1e-15) -> np.ndarray:
     """One-shot helper: device linear power -> host uint8 tile (jitted,
-    cached per spec)."""
-    return np.asarray(_make_host_tile_fn(spec, float(eps))(p_linear))
+    cached per CROP plan; the color range is a runtime operand)."""
+    fn = _make_host_tile_fn(spec.crop_key(), float(eps))
+    return np.asarray(fn(p_linear, spec.qparams))
 
 
 def tile_from_db(db, spec: TileSpec) -> np.ndarray:
@@ -158,4 +186,5 @@ def tile_from_db(db, spec: TileSpec) -> np.ndarray:
         scale = np.float32((spec.npoints - 1) / (spec.cmax - spec.cmin))
         q = np.round((sl - np.float32(spec.cmin)) * scale)
         return np.clip(q, 0, spec.npoints - 1).astype(np.uint8)
-    return np.asarray(_make_host_db_tile_fn(spec)(db))
+    return np.asarray(_make_host_db_tile_fn(spec.crop_key())(
+        db, spec.qparams))

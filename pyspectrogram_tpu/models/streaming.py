@@ -127,6 +127,11 @@ class StreamingSti:
         # cache the jitted dB view once — a fresh jit wrapper per snapshot
         # would retrace/recompile every call (20-80 s on remote transports)
         self._snapshot_db = jax.jit(functools.partial(to_dbfs, eps=self.eps))
+        # per-instance jit caches (a module-level lru_cache on a method
+        # would key on self and pin the instance + its compiled programs
+        # for the life of the process)
+        self._tile_fns: dict = {}
+        self._median_fns: dict = {}
         ring_len = self.ring_len
 
         @jax.jit
@@ -313,22 +318,27 @@ class StreamingSti:
         drfview.py:1006-1023 + drfview.py:1057). Rows are oldest-first
         like snapshot(); unfilled slots quantize the eps floor (level 0
         for any sane color range)."""
-        q = self._tile_fn(spec)(state.ring, state.total_cols)
+        q = self._tile_fn(spec)(state.ring, state.total_cols, spec.qparams)
         return np.asarray(q), self.valid_cols(state)
 
-    @functools.lru_cache(maxsize=16)
     def _tile_fn(self, spec):
-        from pyspectrogram_tpu.display.tile import quantize_tile_linear
+        # keyed on the crop plan only: the color range is a runtime
+        # operand, so re-clims reuse the compiled program
+        crop = spec.crop_key()
+        fn = self._tile_fns.get(crop)
+        if fn is None:
+            from pyspectrogram_tpu.display.tile import quantize_tile_linear
 
-        ring_len, eps = self.ring_len, self.eps
+            ring_len, eps = self.ring_len, self.eps
 
-        @jax.jit
-        def f(ring, total_cols):
-            pos = (total_cols % ring_len).astype(jnp.int32)
-            ordered = jnp.roll(ring, -pos, axis=0)
-            return quantize_tile_linear(ordered, spec, eps)
+            @jax.jit
+            def f(ring, total_cols, qparams):
+                pos = (total_cols % ring_len).astype(jnp.int32)
+                ordered = jnp.roll(ring, -pos, axis=0)
+                return quantize_tile_linear(ordered, crop, eps, qparams)
 
-        return f
+            fn = self._tile_fns[crop] = f
+        return fn
 
     def median_psd(self, state: StreamState) -> np.ndarray:
         """Median dBFS PSD over the valid ring columns (median taken in
@@ -339,12 +349,14 @@ class StreamingSti:
         med = self._median_fn(n)(self._ordered_ring(state))
         return np.asarray(med)
 
-    @functools.lru_cache(maxsize=32)
     def _median_fn(self, n: int):
-        start = self.ring_len - n
+        fn = self._median_fns.get(n)
+        if fn is None:
+            start = self.ring_len - n
 
-        @jax.jit
-        def f(ring):
-            return to_dbfs(median_over_time(ring[start:]), self.eps)
+            @jax.jit
+            def f(ring):
+                return to_dbfs(median_over_time(ring[start:]), self.eps)
 
-        return f
+            fn = self._median_fns[n] = f
+        return fn

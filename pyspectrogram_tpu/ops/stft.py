@@ -306,6 +306,55 @@ def make_sti_fn_pm(
 ):
     """Plane-major STI factory — the production device entry point.
 
+    With ``tile`` set, the COMPILED program keys on the tile's crop plan
+    only (``TileSpec.crop_key``): the color range rides in as a runtime
+    (2,) operand, so specs differing only in cmin/cmax share one device
+    program (a color-range tweak in a live view must not trigger a
+    20-80 s remote recompile). The returned fn optionally takes that
+    operand: ``f(samples_pm, starts, qparams=None)`` with qparams from
+    ``TileSpec.qparams`` (defaults to the factory tile's own range).
+    """
+    if tile is None:
+        return _make_sti_fn_pm(
+            nfft=nfft, nint=nint, mode=mode, window=window, ref=ref,
+            eps=eps, fft_impl=fft_impl, return_linear=return_linear,
+            return_minmax=return_minmax, contiguous=contiguous,
+            precision=precision, tile=None,
+        )
+    inner = _make_sti_fn_pm(
+        nfft=nfft, nint=nint, mode=mode, window=window, ref=ref,
+        eps=eps, fft_impl=fft_impl, return_linear=return_linear,
+        return_minmax=return_minmax, contiguous=contiguous,
+        precision=precision, tile=tile.crop_key(),
+    )
+    default_qp = tile.qparams
+
+    def sti_fn(samples_pm, starts, qparams=None):
+        qp = default_qp if qparams is None else np.asarray(
+            qparams, np.float32)
+        return inner(samples_pm, starts, qp)
+
+    return sti_fn
+
+
+@functools.lru_cache(maxsize=256)
+def _make_sti_fn_pm(
+    *,
+    nfft: int,
+    nint: int = 1,
+    mode: str = "welch",
+    window: WindowSpec = ("kaiser", 1.7),
+    ref: float = 1.0,
+    eps: float = 1e-15,
+    fft_impl: str = "auto",
+    return_linear: bool = False,
+    return_minmax: bool = False,
+    contiguous: bool = False,
+    precision: str = "exact",
+    tile=None,
+):
+    """The compiled-program factory behind :func:`make_sti_fn_pm`.
+
     ``f(samples_pm, starts)`` with samples_pm (nsub*2, nsamp) float32
     (row 2s = subchannel s real plane, row 2s+1 = imag plane; see
     kernels.sti_pallas) and starts (ntime,) int32. Output layout matches
@@ -369,7 +418,8 @@ def make_sti_fn_pm(
         )
 
     @jax.jit
-    def sti_fn(samples_pm: jax.Array, starts: jax.Array) -> dict:
+    def sti_fn(samples_pm: jax.Array, starts: jax.Array,
+               qparams=None) -> dict:
         use_pallas = pick_impl(samples_pm.shape[0] // 2)
         if use_pallas:
             psd_fn = sti_pallas.make_pallas_sti_psd(
@@ -394,7 +444,7 @@ def make_sti_fn_pm(
         if tile is not None:
             from pyspectrogram_tpu.display.tile import quantize_tile_linear
 
-            out["tile"] = quantize_tile_linear(p, tile, eps)
+            out["tile"] = quantize_tile_linear(p, tile, eps, qparams)
         if return_minmax:
             # min/median/max summary spectra — the capability of the
             # reference's alternate proc_data path (drfProc.py:406-453)

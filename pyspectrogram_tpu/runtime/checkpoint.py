@@ -119,10 +119,24 @@ def load_stream_state(path: Union[str, Path]):
                 f"stream state written by a newer format ({version})")
         ring = np.asarray(z["ring"])
         total_cols = int(np.asarray(z["total_cols"]))
-        layout = header.get("ring_layout",
-                            "canonical" if version < 2 else "rotated")
+        layout = header.get("ring_layout")
+        if layout is None:
+            # v1 headers predate the layout flag, and v1 WRITERS differed:
+            # originals stored canonical (oldest-at-tail), but the interim
+            # circular-ring code also wrote v1 with ROTATED storage. The
+            # file cannot say which — the layouts only coincide when the
+            # rotation is the identity, so accept exactly that case and
+            # refuse the rest loudly rather than resume a scrambled ring.
+            if ring.shape[0] and total_cols % ring.shape[0]:
+                raise ValueError(
+                    "v1 stream state with a mid-wrap ring: the stored "
+                    "column layout is ambiguous (canonical vs rotated "
+                    "writers both produced v1). Re-save the stream from "
+                    "a live session with the current format."
+                )
+            layout = "rotated"  # identity rotation: both readings agree
         if layout == "canonical" and ring.shape[0]:
-            # v1 states stored oldest-at-tail; rotate into the storage
+            # canonical stores oldest-at-tail; rotate into the storage
             # layout the circular ring expects (inverse of _deroll)
             ring = np.roll(ring, total_cols % ring.shape[0], axis=0)
         elif layout not in ("canonical", "rotated"):

@@ -106,11 +106,19 @@ def test_live_session_settings_roundtrip_and_save(tone_capture, tmp_path):
     st.tmin.setValue(2500)
     st.tmax.setValue(7500)
     st.nfft.setValue(512)
+    st.cmin.setValue(-95)
+    st.cmax.setValue(-25)
+    st.fmin.setValue(-int(nyq_khz // 2))
     st.update_btn.click()
     tb = st.processor.ds.time_bnds
     span = float(tb[1] - tb[0])
     cfg = st.processor.config
     assert cfg.nfft == 512
+    # display-tile mode quantizes/crops ON DEVICE, so the color range and
+    # frequency window must reach the WORKER's config, not just the tab's
+    # (review r3: a stale device TileSpec renders against old ranges)
+    assert cfg.color_range_db == (-95, -25)
+    assert cfg.freq_window_khz == (-int(nyq_khz // 2), nyq_khz)
     assert cfg.time_span is not None
     assert float(cfg.time_span[0]) == pytest.approx(
         float(tb[0]) + span * 0.25)

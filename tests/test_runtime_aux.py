@@ -158,28 +158,54 @@ def test_checkpoint_non_npz_suffix_roundtrips(tmp_path):
     assert st2.ring.shape == st.ring.shape
 
 
-def test_legacy_v1_canonical_stream_state_loads(tmp_path):
-    """v1 checkpoints stored the canonical oldest-at-tail ring; loading
-    one must re-rotate it into the circular layout so mid-stream resume
-    stays exact (ADVICE r2, medium)."""
+def test_legacy_v1_stream_state_midwrap_is_refused(tmp_path):
+    """v1 checkpoints carry no ring_layout flag and v1 WRITERS differed
+    (original canonical oldest-at-tail vs the interim circular code's
+    rotated storage), so a mid-wrap v1 ring is genuinely ambiguous: the
+    loader must refuse it loudly instead of guessing a layout and
+    silently scrambling resume (review r3; supersedes the ADVICE-r2
+    assume-canonical fix)."""
     import json
 
     nfft, hop, block_len = 64, 32, 128
     s = StreamingSti(nfft=nfft, nsub=1, block_len=block_len, hop=hop,
                      ring_len=16, mode="parity")
     rng = np.random.default_rng(3)
-    blocks = [rng.standard_normal((2, block_len)).astype(np.float32)
-              for _ in range(7)]  # 7*4 = 28 cols -> ring wrapped (len 16)
 
     st = s.init_state()
-    want_cols = []
-    for b in blocks:
-        st, c = s.push(st, jnp.asarray(b))
-        want_cols.append(np.asarray(c))
+    for _ in range(7):  # 7*4 = 28 cols -> mid-wrap (28 % 16 = 12)
+        st, _ = s.push(st, jnp.asarray(
+            rng.standard_normal((2, block_len)).astype(np.float32)))
+
+    canonical = np.asarray(s._ordered_ring(st))
+    header = {"format_version": 1, "meta": {"nfft": nfft}}
+    p = tmp_path / "legacy.npz"
+    np.savez(p,
+             header=np.frombuffer(json.dumps(header).encode(), np.uint8),
+             carry=np.asarray(st.carry),
+             ring=canonical,
+             total_cols=np.asarray(st.total_cols))
+    with pytest.raises(ValueError, match="ambiguous"):
+        checkpoint.load_stream_state(p)
+
+
+def test_legacy_v1_stream_state_rotation_identity_loads(tmp_path):
+    """A v1 ring at a rotation-identity point (total_cols % ring_len == 0)
+    reads the same under both historical layouts — it must load and
+    resume exactly."""
+    import json
+
+    nfft, hop, block_len = 64, 32, 128
+    s = StreamingSti(nfft=nfft, nsub=1, block_len=block_len, hop=hop,
+                     ring_len=16, mode="parity")
+    rng = np.random.default_rng(3)
+
+    st = s.init_state()
+    for _ in range(8):  # 8*4 = 32 cols -> 32 % 16 == 0, unambiguous
+        st, _ = s.push(st, jnp.asarray(
+            rng.standard_normal((2, block_len)).astype(np.float32)))
     want_snap, _ = s.snapshot(st)
 
-    # write a v1 checkpoint BY HAND: canonical ring (what pre-circular
-    # code stored), no ring_layout field
     canonical = np.asarray(s._ordered_ring(st))
     header = {"format_version": 1, "meta": {"nfft": nfft}}
     p = tmp_path / "legacy.npz"

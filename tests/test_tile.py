@@ -73,6 +73,41 @@ def test_tile_from_db_device_and_host_agree():
         tile_from_db(db, spec), tile_from_db(jnp.asarray(db), spec))
 
 
+def test_color_range_change_reuses_compiled_program():
+    """Specs differing only in cmin/cmax must share ONE compiled device
+    program (the color range is a runtime operand — a live-view re-clim
+    must not trigger a 20-80 s remote recompile; review r3), and the
+    tiles must still quantize against their own ranges bit-exactly."""
+    nfft, ntime, nsub = 256, 6, 1
+    freqs = stft.shifted_freqs(nfft, 100_000)
+    s1 = make_tile_spec(freqs, (-20.0, 30.0), (-110.0, -40.0), max_nfreqs=37)
+    s2 = make_tile_spec(freqs, (-20.0, 30.0), (-90.0, -10.0), max_nfreqs=37)
+    assert s1.crop_key() == s2.crop_key()
+
+    before = stft._make_sti_fn_pm.cache_info()
+    f1 = stft.make_sti_fn_pm(nfft=nfft, tile=s1)
+    after1 = stft._make_sti_fn_pm.cache_info()
+    f2 = stft.make_sti_fn_pm(nfft=nfft, tile=s2)
+    after2 = stft._make_sti_fn_pm.cache_info()
+    # the second spec must NOT create a second compiled-program entry
+    assert after1.currsize - before.currsize <= 1
+    assert after2.currsize == after1.currsize
+
+    pm = _pm(nfft * ntime, nsub)
+    starts = (np.arange(ntime) * nfft).astype(np.int32)
+    o1 = f1(jnp.asarray(pm), jnp.asarray(starts))
+    o2 = f2(jnp.asarray(pm), jnp.asarray(starts))
+    w1 = quantize_on_device(
+        np.asarray(o1["sxx_dbfs"])[..., s1.plot_indices], (-110.0, -40.0), 256)
+    w2 = quantize_on_device(
+        np.asarray(o2["sxx_dbfs"])[..., s2.plot_indices], (-90.0, -10.0), 256)
+    np.testing.assert_array_equal(np.asarray(o1["tile"]), w1)
+    np.testing.assert_array_equal(np.asarray(o2["tile"]), w2)
+    # explicit qparams operand overrides the factory default
+    o3 = f1(jnp.asarray(pm), jnp.asarray(starts), s2.qparams)
+    np.testing.assert_array_equal(np.asarray(o3["tile"]), w2)
+
+
 def test_pipeline_display_tile_mode(tone_capture):
     """display_tile=True: result carries tile/plot_freqs, no float sxx;
     levels match the float pipeline quantized on host."""
