@@ -401,32 +401,49 @@ def _make_sti_fn_pm(
             p = psd_frames(c, jnp.asarray(win), inv_scale)
         return jnp.fft.fftshift(p, axes=-1)
 
-    def pick_impl(nsub: int) -> bool:
+    def pick_impl(nsub: int) -> str:
         # auto re-evaluates with the ACTUAL nsub from the traced input
         # shape — the per-column VMEM block scales with nsub, so a config
         # that is profitable at nsub=1 can exceed the kernel's block budget
-        # at higher subchannel counts; auto falls back to XLA instead of
-        # raising (fft_impl="pallas" still raises: it is an explicit ask).
+        # at higher subchannel counts; auto falls back instead of raising
+        # (fft_impl="pallas" still raises: it is an explicit ask).
         if fft_impl == "pallas":
-            return True
-        if fft_impl == "xla":
-            return False
-        return (
-            jax.default_backend() == "tpu"
-            and sti_pallas.pallas_auto_profitable(nfft, nint, nsub, mode,
-                                                  precision, contiguous)
-        )
+            return "pallas"
+        if fft_impl == "xla" or jax.default_backend() != "tpu":
+            return "xla"
+        if sti_pallas.pallas_auto_profitable(nfft, nint, nsub, mode,
+                                             precision, contiguous):
+            return "pallas"
+        # big transforms: a multi-sub working set can overflow the big
+        # kernel's VMEM budget even when one subchannel fits (2^19-2^20
+        # fit only at nsub=1). One pallas launch per plane pair keeps
+        # ~8 GS/s there instead of dropping to the 5-7x slower XLA FFT;
+        # the nsub sequential calls share one compiled kernel.
+        if (nsub > 1 and nfft >= sti_pallas.BIG_NFFT_MIN
+                and sti_pallas.pallas_auto_profitable(
+                    nfft, nint, 1, mode, precision, contiguous)):
+            return "per-sub"
+        return "xla"
 
     @jax.jit
     def sti_fn(samples_pm: jax.Array, starts: jax.Array,
                qparams=None) -> dict:
-        use_pallas = pick_impl(samples_pm.shape[0] // 2)
+        nsub = samples_pm.shape[0] // 2
+        impl = pick_impl(nsub)
+        use_pallas = impl != "xla"
         if use_pallas:
-            psd_fn = sti_pallas.make_pallas_sti_psd(
+            kernel_psd = sti_pallas.make_pallas_sti_psd(
                 nfft=nfft, nint=nint, mode=mode, window=window, ref=ref,
                 interpret=jax.default_backend() != "tpu",
                 contiguous=contiguous, precision=precision,
             )
+            if impl == "per-sub":
+                def psd_fn(samples_pm, starts):
+                    return jnp.concatenate(
+                        [kernel_psd(samples_pm[2 * s : 2 * s + 2], starts)
+                         for s in range(nsub)], axis=1)
+            else:
+                psd_fn = kernel_psd
         else:
             psd_fn = xla_psd
         if samples_pm.dtype != jnp.float32 and not (use_pallas and contiguous):

@@ -128,6 +128,51 @@ def test_welch_reduces_variance():
     assert w.std() < p.std() / 2.5  # ~sqrt(16)=4x in expectation
 
 
+def test_auto_impl_per_sub_big_kernel_when_multi_sub_overflows(monkeypatch):
+    """Big transforms whose MULTI-sub working set overflows the kernel's
+    VMEM budget while one subchannel fits must run one pallas launch per
+    plane pair (auto 'per-sub'), not drop to the 5-7x slower XLA FFT
+    (2^20 nsub>=2 is the real case; budget shrunk here so 65536 nsub=2
+    exercises it fast in interpret mode)."""
+    import jax as _jax
+
+    from pyspectrogram_tpu.kernels import sti_pallas
+    from pyspectrogram_tpu.ops import stft as stft_mod
+
+    nfft, nint, nsub, ntime = 1 << 16, 2, 2, 2
+    monkeypatch.setattr(sti_pallas, "BIG_VMEM_BUDGET", 7_000_000)
+    assert sti_pallas.pallas_auto_profitable(nfft, nint, 1, "welch",
+                                             contiguous=True)
+    assert not sti_pallas.pallas_supported(nfft, nint, nsub, "welch")
+
+    # pretend we're on TPU so auto picks the kernel path, but force the
+    # kernels themselves into interpret mode (we're really on CPU)
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    real_make = sti_pallas.make_pallas_sti_psd
+
+    def make_interpret(**kw):
+        return real_make(**{**kw, "interpret": True})
+
+    monkeypatch.setattr(sti_pallas, "make_pallas_sti_psd", make_interpret)
+
+    rng = np.random.default_rng(1)
+    samples = rng.standard_normal(
+        (nsub * 2, nfft * nint * ntime)).astype(np.float32)
+    starts = np.arange(ntime, dtype=np.int32) * nfft * nint
+    fn = stft_mod.make_sti_fn_pm(nfft=nfft, nint=nint, mode="welch",
+                                 fft_impl="auto", contiguous=True,
+                                 eps=3e-15)
+    got = fn(jnp.asarray(samples), jnp.asarray(starts))
+    ref = stft_mod.make_sti_fn_pm(nfft=nfft, nint=nint, mode="welch",
+                                  fft_impl="xla", contiguous=True,
+                                  eps=3e-15)(jnp.asarray(samples),
+                                             jnp.asarray(starts))
+    assert np.asarray(got["sxx_dbfs"]).shape == (ntime, nsub, nfft)
+    np.testing.assert_allclose(np.asarray(got["sxx_dbfs"]),
+                               np.asarray(ref["sxx_dbfs"]),
+                               rtol=0, atol=2e-2)  # dB tolerance
+
+
 def test_auto_impl_falls_back_to_xla_when_nsub_exceeds_vmem(monkeypatch):
     """fft_impl='auto' must re-evaluate pallas support with the ACTUAL nsub
     at trace time and fall back to XLA instead of raising (ADVICE round 1:
