@@ -186,7 +186,15 @@ def _kth_smallest_f32(x: jax.Array, k: int) -> jax.Array:
     on the float bit pattern — O(32·n) fully-vectorized compare+count, no
     sort HLO. XLA's TPU sort on a 1M-element (128-long lanes) batch costs
     ~10 ms; this runs in ~0.12 ms. Exact for all normal floats (platforms
-    that flush denormals may differ below ~1e-38, i.e. under -750 dBFS)."""
+    that flush denormals may differ below ~1e-38, i.e. under -750 dBFS).
+
+    Negative result (measured, don't re-try): a radix-16 variant — 11
+    passes of 15 thresholds each, hoping XLA would fuse the 15 sibling
+    count-reductions into one buffer read per pass — ran 3.3x SLOWER at
+    65536x128 (XLA materialized each reduction as its own pass over the
+    buffer: ~165 effective reads vs 33). The way to beat 33 HBM reads is
+    to keep the tile resident: see kernels.median_pallas, which this
+    function's callers dispatch to on TPU."""
     kb = _float_order_key(x)
     lo = jnp.full(x.shape[1:], jnp.int32(-0x7F800001), jnp.int32)
     hi = jnp.full(x.shape[1:], jnp.int32(0x7F800000), jnp.int32)
@@ -266,6 +274,15 @@ def median_over_time(p: jax.Array, ntime_valid: Optional[int] = None) -> jax.Arr
     p = p[:n]
     if n <= MEDIAN_NETWORK_MAX_N:
         return _median_network(p, n)
+    if p.dtype == jnp.float32 and jax.default_backend() == "tpu":
+        # VMEM-resident kernel: the full 33-step bisection on ONE read of
+        # the buffer instead of 33 (kernels.median_pallas; this is what
+        # bounds big-nfft STI steps at ntime > 32)
+        from pyspectrogram_tpu.kernels import median_pallas
+
+        m = int(np.prod(p.shape[1:-1], dtype=np.int64)) if p.ndim > 2 else 1
+        if median_pallas.median_pallas_supported(n, m, p.shape[-1]):
+            return median_pallas.median_over_time_pallas(p)
     if p.dtype != jnp.float32:
         q = jnp.moveaxis(p, 0, -1)
         s = jnp.sort(q, axis=-1)
