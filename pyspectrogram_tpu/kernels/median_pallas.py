@@ -41,18 +41,28 @@ LANE = 128
 #: default
 TILE_BYTES_MAX = 4 * 1024 * 1024
 
+#: lane-width cap for the loop state. The bisection carries ~dozens of
+#: (1, m*TW) temps (lo/hi/mid/cnt + loop plumbing) and Mosaic pads each
+#: to 8 sublanes, so scoped VMEM scales with m*TW REGARDLESS of n:
+#: measured 92 MB at m*TW = 65536 (n = 8) vs 21 MB at m*TW = 8192
+#: (n = 128). 8 K lanes keeps each padded temp at 256 KB.
+MAX_LANE_WIDTH = 8192
+
 
 def pick_tile_width(n: int, m: int, nfft: int) -> int:
-    """Widest power-of-two lane multiple whose (n, m, TW) tile fits."""
+    """Widest power-of-two lane multiple whose (n, m, TW) tile AND
+    padded loop temps fit."""
     tw = LANE
     while tw * 2 <= nfft and nfft % (tw * 2) == 0 \
-            and n * m * tw * 2 * 4 <= TILE_BYTES_MAX:
+            and n * m * tw * 2 * 4 <= TILE_BYTES_MAX \
+            and m * tw * 2 <= MAX_LANE_WIDTH:
         tw *= 2
     return tw
 
 
 def median_pallas_supported(n: int, m: int, nfft: int) -> bool:
-    return (n >= 2 and m >= 1 and nfft >= LANE and nfft % LANE == 0
+    return (n >= 2 and 1 <= m <= MAX_LANE_WIDTH // LANE
+            and nfft >= LANE and nfft % LANE == 0
             and n * m * LANE * 4 <= TILE_BYTES_MAX)
 
 
