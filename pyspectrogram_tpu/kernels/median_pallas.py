@@ -75,7 +75,13 @@ def _flip(kb):
 
 @functools.lru_cache(maxsize=64)
 def _make_median_kernel(n: int, m: int, nfft: int, interpret: bool):
-    """(n, m, nfft) f32 -> (m, nfft) exact time-median."""
+    """(n, m, nfft) f32 -> (m, nfft) exact time-median.
+
+    m == 1 lowers as a 2-D (n, nfft) array: a (n, 1, TW) block gives the
+    middle dim a degenerate T(1, 128) sublane tiling — 8x VMEM inflation
+    of every buffer (measured: 72 MB scoped for a (256, 1, 4096) ring
+    median that should cost ~10 MB).
+    """
     tw = pick_tile_width(n, m, nfft)
     k = (n + 1) // 2
 
@@ -107,22 +113,32 @@ def _make_median_kernel(n: int, m: int, nfft: int, interpret: bool):
             v2 = jnp.where(cnt_le > k, v1,
                            bigger.min(axis=0, keepdims=True))
             med = 0.5 * (v1 + v2)
-        out_ref[...] = med.reshape(1, m, tw)
+        out_ref[...] = med.reshape(out_ref.shape)
 
+    if m == 1:
+        in_spec = pl.BlockSpec((n, tw), lambda c: (0, c),
+                               memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((1, tw), lambda c: (0, c),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((1, nfft), jnp.float32)
+    else:
+        in_spec = pl.BlockSpec((n, m, tw), lambda c: (0, 0, c),
+                               memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((1, m, tw), lambda c: (0, 0, c),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((1, m, nfft), jnp.float32)
     call = pl.pallas_call(
         kernel,
         grid=(nfft // tw,),
-        in_specs=[pl.BlockSpec((n, m, tw), lambda c: (0, 0, c),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, m, tw), lambda c: (0, 0, c),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, m, nfft), jnp.float32),
+        in_specs=[in_spec],
+        out_specs=out_spec,
+        out_shape=out_shape,
         interpret=interpret,
         # the double-buffered tile + int32 key view + compare temps run
         # ~5x TILE_BYTES_MAX; lift the 16 MB scoped-vmem software default
         # like the big STI kernel does (v5e: 128 MB physical)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             # the point of the kernel: bytes ~= one read + one row write
@@ -133,6 +149,8 @@ def _make_median_kernel(n: int, m: int, nfft: int, interpret: bool):
     )
 
     def median(p):
+        if m == 1:
+            return call(p.reshape(n, nfft))[0][None]
         return call(p)[0]
 
     return median
