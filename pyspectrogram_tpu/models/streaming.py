@@ -337,7 +337,7 @@ class StreamingSti:
                 ordered = jnp.roll(ring, -pos, axis=0)
                 return quantize_tile_linear(ordered, crop, eps, qparams)
 
-            fn = self._tile_fns[crop] = f
+            fn = self._put(self._tile_fns, crop, f, 16)
         return fn
 
     def median_psd(self, state: StreamState) -> np.ndarray:
@@ -353,10 +353,27 @@ class StreamingSti:
         fn = self._median_fns.get(n)
         if fn is None:
             start = self.ring_len - n
+            # with a mesh the ring is chan-sharded and this jit is NOT a
+            # shard_map: the pallas median would force GSPMD to replicate
+            # the whole ring per device, so keep the XLA bisection there
+            allow_pallas = self.mesh is None
 
             @jax.jit
             def f(ring):
-                return to_dbfs(median_over_time(ring[start:]), self.eps)
+                return to_dbfs(
+                    median_over_time(ring[start:],
+                                     allow_pallas=allow_pallas),
+                    self.eps)
 
-            fn = self._median_fns[n] = f
+            fn = self._put(self._median_fns, n, f, 32)
+        return fn
+
+    @staticmethod
+    def _put(cache: dict, key, fn, cap: int):
+        # bounded like the lru_caches these dicts replaced: a long-lived
+        # streamer seeing many fill counts / crop plans must not
+        # accumulate compiled programs without end
+        if len(cache) >= cap:
+            cache.pop(next(iter(cache)))
+        cache[key] = fn
         return fn

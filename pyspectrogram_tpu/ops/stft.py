@@ -250,7 +250,8 @@ def _median_network(p: jax.Array, n: int) -> jax.Array:
     return 0.5 * (rows[n // 2 - 1] + rows[n // 2])
 
 
-def median_over_time(p: jax.Array, ntime_valid: Optional[int] = None) -> jax.Array:
+def median_over_time(p: jax.Array, ntime_valid: Optional[int] = None,
+                     allow_pallas: bool = True) -> jax.Array:
     """Median across the leading (time) axis of (ntime, ..., nfft)
     (the reference's per-subchannel median PSD, drfProc.py:401).
 
@@ -274,10 +275,16 @@ def median_over_time(p: jax.Array, ntime_valid: Optional[int] = None) -> jax.Arr
     p = p[:n]
     if n <= MEDIAN_NETWORK_MAX_N:
         return _median_network(p, n)
-    if p.dtype == jnp.float32 and jax.default_backend() == "tpu":
+    if allow_pallas and p.dtype == jnp.float32 \
+            and jax.default_backend() == "tpu":
         # VMEM-resident kernel: the full 33-step bisection on ONE read of
         # the buffer instead of 33 (kernels.median_pallas; this is what
-        # bounds big-nfft STI steps at ntime > 32)
+        # bounds big-nfft STI steps at ntime > 32). Callers jitting over
+        # a MESH-SHARDED operand outside shard_map must pass
+        # allow_pallas=False — GSPMD cannot partition the custom call and
+        # would replicate the whole buffer onto every device (the
+        # shard_map paths in parallel.sharded / models.batch are fine:
+        # there the kernel sees the per-device shard).
         from pyspectrogram_tpu.kernels import median_pallas
 
         m = int(np.prod(p.shape[1:-1], dtype=np.int64)) if p.ndim > 2 else 1
