@@ -278,6 +278,14 @@ def test_save_subtab_subset_and_artifacts(tone_capture, tmp_path):
     # maxtime stayed 0 forever (bug drfview.py:248,1434; fixed)
     assert _wait(lambda: st.save_t1.maximum() > 0)
 
+    # saving is refused while the processor runs (the button is stop-gated
+    # like the reference's, drfview.py:1343; this pins the direct-call
+    # guard — tile mode would recompute on the GUI thread otherwise)
+    n_warn = len(QMessageBox.journal)
+    win.save_files(1)
+    assert len(QMessageBox.journal) == n_warn + 1
+    assert "Stop the processor" in QMessageBox.journal[-1][2]
+
     st.stop_btn.click()
     assert _wait(lambda: not st.processor.is_running)
     st.processor.join(timeout=10)
