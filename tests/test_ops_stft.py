@@ -128,12 +128,15 @@ def test_welch_reduces_variance():
     assert w.std() < p.std() / 2.5  # ~sqrt(16)=4x in expectation
 
 
-def test_auto_impl_per_sub_big_kernel_when_multi_sub_overflows(monkeypatch):
+@pytest.mark.parametrize("contiguous", [True, False])
+def test_auto_impl_per_sub_big_kernel_when_multi_sub_overflows(
+        monkeypatch, contiguous):
     """Big transforms whose MULTI-sub working set overflows the kernel's
     VMEM budget while one subchannel fits must run one pallas launch per
     plane pair (auto 'per-sub'), not drop to the 5-7x slower XLA FFT
     (2^20 nsub>=2 is the real case; budget shrunk here so 65536 nsub=2
-    exercises it fast in interpret mode)."""
+    exercises it fast in interpret mode). Both the contiguous production
+    layout and the gathered (arbitrary-start) path split correctly."""
     import jax as _jax
 
     from pyspectrogram_tpu.kernels import sti_pallas
@@ -142,7 +145,7 @@ def test_auto_impl_per_sub_big_kernel_when_multi_sub_overflows(monkeypatch):
     nfft, nint, nsub, ntime = 1 << 16, 2, 2, 2
     monkeypatch.setattr(sti_pallas, "BIG_VMEM_BUDGET", 7_000_000)
     assert sti_pallas.pallas_auto_profitable(nfft, nint, 1, "welch",
-                                             contiguous=True)
+                                             contiguous=contiguous)
     assert not sti_pallas.pallas_supported(nfft, nint, nsub, "welch")
 
     # pretend we're on TPU so auto picks the kernel path, but force the
@@ -160,11 +163,11 @@ def test_auto_impl_per_sub_big_kernel_when_multi_sub_overflows(monkeypatch):
         (nsub * 2, nfft * nint * ntime)).astype(np.float32)
     starts = np.arange(ntime, dtype=np.int32) * nfft * nint
     fn = stft_mod.make_sti_fn_pm(nfft=nfft, nint=nint, mode="welch",
-                                 fft_impl="auto", contiguous=True,
+                                 fft_impl="auto", contiguous=contiguous,
                                  eps=3e-15)
     got = fn(jnp.asarray(samples), jnp.asarray(starts))
     ref = stft_mod.make_sti_fn_pm(nfft=nfft, nint=nint, mode="welch",
-                                  fft_impl="xla", contiguous=True,
+                                  fft_impl="xla", contiguous=contiguous,
                                   eps=3e-15)(jnp.asarray(samples),
                                              jnp.asarray(starts))
     assert np.asarray(got["sxx_dbfs"]).shape == (ntime, nsub, nfft)
