@@ -303,7 +303,11 @@ def main():
     ap.add_argument("--nint", type=int, default=4)
     ap.add_argument("--ntime", type=int, default=128)
     ap.add_argument("--nsub", type=int, default=2)
-    ap.add_argument("--iters", type=int, default=50)
+    # None -> amortization-floored per nfft below. Measured (2026-08-17):
+    # 50 iters at 4096-pt is ~15 ms of device work per reading — inside
+    # the tunnel's jitter zone, giving +/-25% run-to-run spread (10.4-18.3
+    # GS/s); 200 iters (~60 ms readings) repeats within +/-0.7%.
+    ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas"])
     ap.add_argument("--precision", default="exact",
                     choices=["exact", "balanced", "display"])
@@ -316,6 +320,10 @@ def main():
     ap.add_argument("--e2e-dtype", default="c64", choices=["c64", "i16"],
                     help="capture dtype for --e2e (i16 halves the bytes)")
     args = ap.parse_args()
+    if args.iters is None:
+        # ~60 ms of device work per reading at the small-step sizes (see
+        # the --iters help note); big-nfft steps are ms-scale already
+        args.iters = 200 if args.nfft <= 16384 else 50
 
     import jax
     dev = jax.devices()[0]
