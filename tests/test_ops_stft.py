@@ -208,3 +208,21 @@ def test_auto_impl_falls_back_to_xla_when_nsub_exceeds_vmem(monkeypatch):
     out = fn(samples, starts)
     assert np.asarray(out["sxx_dbfs"]).shape == (ntime, nsub, nfft)
     assert np.isfinite(np.asarray(out["sxx_med_dbfs"])).all()
+
+
+def test_reference_ntime_ceiling_structurally_supported():
+    """The reference's ntime spinbox tops out at 100,000
+    (drfview.py:501); a request at that ceiling must flow through the
+    pipeline core + exact median without special-casing (the pallas
+    median's VMEM gate routes this to the XLA bisection)."""
+    nfft, ntime = 256, 100_000
+    rng = np.random.default_rng(0)
+    pm = (0.01 * rng.standard_normal((2, nfft * ntime))).astype(np.float32)
+    starts = (np.arange(ntime) * nfft).astype(np.int32)
+    out = stft.make_sti_fn_pm(nfft=nfft, contiguous=True)(
+        jnp.asarray(pm), jnp.asarray(starts))
+    sxx = np.asarray(out["sxx_dbfs"])
+    assert sxx.shape == (ntime, 1, nfft)
+    want = np.median(10 ** (sxx[:, 0, :] / 10), axis=0)
+    got = 10 ** (np.asarray(out["sxx_med_dbfs"])[0] / 10)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
