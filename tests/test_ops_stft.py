@@ -226,3 +226,20 @@ def test_reference_ntime_ceiling_structurally_supported():
     want = np.median(10 ** (sxx[:, 0, :] / 10), axis=0)
     got = 10 ** (np.asarray(out["sxx_med_dbfs"])[0] / 10)
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_reference_nint_ceiling_structurally_supported():
+    """The reference's nint spinbox tops out at 100,000 (drfview.py:489);
+    true-welch averaging at that ceiling must run (the column kernel's
+    block budget rejects it, so auto routes to XLA) and actually average:
+    white noise over 1e5 segments leaves a near-flat PSD."""
+    nfft, nint, ntime = 256, 100_000, 2
+    rng = np.random.default_rng(0)
+    pm = (0.01 * rng.standard_normal((2, nfft * nint * ntime))).astype(
+        np.float32)
+    starts = (np.arange(ntime) * nfft * nint).astype(np.int32)
+    out = stft.make_sti_fn_pm(nfft=nfft, nint=nint, contiguous=True)(
+        jnp.asarray(pm), jnp.asarray(starts))
+    sxx = np.asarray(out["sxx_dbfs"])
+    assert np.isfinite(sxx).all()
+    assert sxx[0, 0].std() < 0.1  # ~0.013 dB measured; 1 seg is ~5.6 dB
