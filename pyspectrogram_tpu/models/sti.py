@@ -158,8 +158,15 @@ class StiPipeline:
 
         self.ds.bnds_update()
         if cfg.streaming:
+            # trailing window anchored at the data end (the reference
+            # anchors at the wall clock, drfProc.py:291-293, which shows
+            # nothing for a paused/short capture); clamping the start to
+            # the data start keeps a YOUNG capture's columns on real data
+            # instead of mostly pre-capture void — a no-op once the
+            # capture outgrows the window
             end_time = self.ds.time_bnds[1]
-            st_time = end_time - cfg.stream_seconds
+            st_time = max(self.ds.time_bnds[0],
+                          end_time - cfg.stream_seconds)
         elif cfg.time_span is not None:
             st_time, end_time = cfg.time_span
         else:

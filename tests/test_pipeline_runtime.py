@@ -158,6 +158,24 @@ def test_processor_streaming_mode_chases_tail(tone_capture):
     assert hi - (last_start + 128) < sr * 0.02
 
 
+def test_streaming_window_clamps_to_young_capture(tone_capture):
+    """A trailing window longer than the capture clamps its start to the
+    data start, so every STI column covers real data instead of
+    pre-capture void (improvement over the reference's wall-clock window,
+    drfProc.py:291-293, which shows nothing for a paused capture)."""
+    top, meta = tone_capture
+    proc = SpectrogramProcessor(
+        "streaming", top, tab_id=9,
+        config=SpectrogramConfig(nfft=128, ntime=6, stream_seconds=3600.0),
+        callbacks=ProcessorCallbacks(),
+    )
+    res = proc.pipeline.compute(proc.config)
+    lo, hi = proc.ds.bnds[meta["channel"]]
+    assert res.frame_starts[0] >= lo
+    assert res.frame_starts[-1] + 128 <= hi + 1
+    assert res.mask.all()  # no gap columns
+
+
 def test_processor_thread_start_abort(tone_capture):
     top, _ = tone_capture
     events, cb = _collector()
