@@ -216,14 +216,29 @@ class StreamingSti:
         from pyspectrogram_tpu.kernels import sti_pallas
 
         precision = self.precision
+        nsub_local = self._nsub_local
+        on_tpu = jax.default_backend() == "tpu"
         use_pallas = (
             hop == frame_len
             and sti_pallas.pallas_auto_profitable(
-                nfft, nint, self._nsub_local, mode, precision,
+                nfft, nint, nsub_local, mode, precision,
                 contiguous=True)
-            and jax.default_backend() == "tpu"
+            and on_tpu
         )
-        if use_pallas:
+        # big transforms whose multi-sub working set overflows the
+        # kernel's VMEM budget split per subchannel plane pair, like the
+        # batch path (ops.stft pick_impl): 2^20 nsub=2 streams at the
+        # kernel's ~8 GS/s instead of the XLA FFT's ~1.5
+        per_sub = (
+            not use_pallas
+            and on_tpu
+            and hop == frame_len
+            and nsub_local > 1
+            and nfft >= sti_pallas.BIG_NFFT_MIN
+            and sti_pallas.pallas_auto_profitable(
+                nfft, nint, 1, mode, precision, contiguous=True)
+        )
+        if use_pallas or per_sub:
             pallas_psd = sti_pallas.make_pallas_sti_psd(
                 nfft=nfft, nint=nint, mode=mode, window=self._window,
                 ref=self._ref, contiguous=True, precision=precision,
@@ -238,6 +253,11 @@ class StreamingSti:
                 # linear fftshifted power straight from the fused kernel
                 cols = pallas_psd(buf,
                                   jnp.arange(k, dtype=jnp.int32) * hop)
+            elif per_sub:
+                st_k = jnp.arange(k, dtype=jnp.int32) * hop
+                cols = jnp.concatenate(
+                    [pallas_psd(buf[2 * s : 2 * s + 2], st_k)
+                     for s in range(nsub_local)], axis=1)
             else:
                 starts = jnp.arange(k, dtype=jnp.int32) * hop
 
@@ -276,7 +296,16 @@ class StreamingSti:
                 check_vma=False,
             )
 
-        @jax.jit
+        # donate the state so XLA aliases the ring in place: without it
+        # every push copies the WHOLE ring to a fresh output buffer —
+        # invisible at 4096 (16 MB, ~0.04 ms) but ~5 ms at 2^20 where the
+        # ring is 2 GB (measured: push p50 11.5 ms -> the copy dominated).
+        # The API contract is already move-semantics (`state, cols =
+        # s.push(state, block)`); donation just enforces what callers do.
+        # CPU ignores donation (tests would only see a warning), so gate.
+        donate = (0,) if jax.default_backend() == "tpu" else ()
+
+        @functools.partial(jax.jit, donate_argnums=donate)
         def push(state: StreamState, block: jax.Array):
             carry, ring, total, cols_db = core(
                 state.carry, state.ring, state.total_cols, block)
@@ -294,7 +323,12 @@ class StreamingSti:
 
     def push(self, state: StreamState, block) -> Tuple[StreamState, jax.Array]:
         """Consume one plane-major (nsub*2, block_len) block; returns
-        (new_state, new dB columns (cols_per_block, nsub, nfft))."""
+        (new_state, new dB columns (cols_per_block, nsub, nfft)).
+
+        Move semantics: on TPU the input ``state``'s device buffers are
+        DONATED (the ring updates in place; keeping a reference to the
+        pre-push state and reading it later raises). Snapshot/save a
+        state BEFORE pushing from it if you need the old contents."""
         return self._push(state, block)
 
     # ------------------------------------------------------------- queries
