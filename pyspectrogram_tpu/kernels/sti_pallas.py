@@ -113,6 +113,24 @@ def pallas_auto_profitable(nfft: int, nint: int = 1, nsub: int = 1,
                                               precision)
 
 
+def pallas_per_sub_profitable(nfft: int, nint: int = 1, nsub: int = 1,
+                              mode: str = "welch", precision: str = "exact",
+                              contiguous: bool = False) -> bool:
+    """True where a MULTI-sub working set overflows the big kernel's VMEM
+    budget but one subchannel fits: dispatchers (ops.stft pick_impl, the
+    streaming core) then run one pallas launch per plane pair — ~8 GS/s
+    at 2^19-2^20 versus the 5-7x slower XLA FFT fallback. One policy,
+    shared, so the batch and streaming paths cannot drift apart."""
+    return (
+        nsub > 1
+        and nfft >= BIG_NFFT_MIN
+        and not pallas_auto_profitable(nfft, nint, nsub, mode, precision,
+                                       contiguous)
+        and pallas_auto_profitable(nfft, nint, 1, mode, precision,
+                                   contiguous)
+    )
+
+
 @functools.lru_cache(maxsize=32)
 def make_plan(nfft: int, n2: int) -> dict:
     """DFT factor matrices for the split n = n2*p + q (n1 = nfft/n2):

@@ -226,17 +226,14 @@ class StreamingSti:
             and on_tpu
         )
         # big transforms whose multi-sub working set overflows the
-        # kernel's VMEM budget split per subchannel plane pair, like the
-        # batch path (ops.stft pick_impl): 2^20 nsub=2 streams at the
-        # kernel's ~8 GS/s instead of the XLA FFT's ~1.5
+        # kernel's VMEM budget split per subchannel plane pair, same
+        # shared policy as the batch path (ops.stft pick_impl): 2^20
+        # nsub=2 streams at the kernel's ~8 GS/s, not the XLA FFT's ~1.5
         per_sub = (
-            not use_pallas
-            and on_tpu
+            on_tpu
             and hop == frame_len
-            and nsub_local > 1
-            and nfft >= sti_pallas.BIG_NFFT_MIN
-            and sti_pallas.pallas_auto_profitable(
-                nfft, nint, 1, mode, precision, contiguous=True)
+            and sti_pallas.pallas_per_sub_profitable(
+                nfft, nint, nsub_local, mode, precision, contiguous=True)
         )
         if use_pallas or per_sub:
             pallas_psd = sti_pallas.make_pallas_sti_psd(

@@ -438,14 +438,11 @@ def _make_sti_fn_pm(
         if sti_pallas.pallas_auto_profitable(nfft, nint, nsub, mode,
                                              precision, contiguous):
             return "pallas"
-        # big transforms: a multi-sub working set can overflow the big
-        # kernel's VMEM budget even when one subchannel fits (2^19-2^20
-        # fit only at nsub=1). One pallas launch per plane pair keeps
-        # ~8 GS/s there instead of dropping to the 5-7x slower XLA FFT;
-        # the nsub sequential calls share one compiled kernel.
-        if (nsub > 1 and nfft >= sti_pallas.BIG_NFFT_MIN
-                and sti_pallas.pallas_auto_profitable(
-                    nfft, nint, 1, mode, precision, contiguous)):
+        # one pallas launch per plane pair where the multi-sub working
+        # set overflows the kernel's VMEM budget but one subchannel fits
+        # (shared policy: sti_pallas.pallas_per_sub_profitable)
+        if sti_pallas.pallas_per_sub_profitable(nfft, nint, nsub, mode,
+                                                precision, contiguous):
             return "per-sub"
         return "xla"
 

@@ -215,3 +215,39 @@ def test_streaming_precision_knob_accepted():
         outs.append(np.asarray(cols))
     np.testing.assert_array_equal(outs[0], outs[1])
     np.testing.assert_array_equal(outs[0], outs[2])
+
+
+def test_streaming_per_sub_big_kernel_split(monkeypatch):
+    """The streaming core's per-subchannel big-kernel split (multi-sub
+    working set overflows VMEM, one subchannel fits — shared policy
+    sti_pallas.pallas_per_sub_profitable) must produce the same columns
+    as the XLA path. CPU runs it via a monkeypatched backend +
+    interpret-mode kernels, like the batch-path test."""
+    import jax as _jax
+
+    from pyspectrogram_tpu.kernels import sti_pallas
+
+    nfft, nsub, k = 1 << 16, 2, 2
+    monkeypatch.setattr(sti_pallas, "BIG_VMEM_BUDGET", 7_000_000)
+    assert sti_pallas.pallas_per_sub_profitable(nfft, 1, nsub, "welch",
+                                                contiguous=True)
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    real_make = sti_pallas.make_pallas_sti_psd
+    monkeypatch.setattr(
+        sti_pallas, "make_pallas_sti_psd",
+        lambda **kw: real_make(**{**kw, "interpret": True}))
+
+    rng = np.random.default_rng(2)
+    block = rng.standard_normal((nsub * 2, nfft * k)).astype(np.float32)
+
+    s = StreamingSti(nfft=nfft, nsub=nsub, block_len=nfft * k, ring_len=4)
+    assert s._push is not None
+    st, cols = s.push(s.init_state(), jnp.asarray(block))
+
+    # XLA reference on the same block (backend monkeypatch still active,
+    # so force the non-pallas core by failing the per-sub predicate)
+    monkeypatch.setattr(sti_pallas, "BIG_VMEM_BUDGET", 0)
+    s2 = StreamingSti(nfft=nfft, nsub=nsub, block_len=nfft * k, ring_len=4)
+    st2, cols2 = s2.push(s2.init_state(), jnp.asarray(block))
+    np.testing.assert_allclose(np.asarray(cols), np.asarray(cols2),
+                               rtol=0, atol=2e-2)  # dB tolerance
