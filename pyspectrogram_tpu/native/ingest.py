@@ -21,7 +21,14 @@ _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
-_SRC = Path(__file__).resolve().parents[2] / "csrc" / "pstpu_ingest.cpp"
+# canonical source ships INSIDE the package (wheel installs have no
+# csrc/ tree); the repo's csrc/ copy is kept in sync for out-of-band
+# `make` builds and is preferred when present (dev edits land there)
+_SRC_CANDIDATES = (
+    Path(__file__).resolve().parents[2] / "csrc" / "pstpu_ingest.cpp",
+    Path(__file__).resolve().parent / "pstpu_ingest.cpp",
+)
+_SRC = next((p for p in _SRC_CANDIDATES if p.exists()), _SRC_CANDIDATES[0])
 
 
 def _cache_dir() -> Path:
