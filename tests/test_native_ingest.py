@@ -55,3 +55,20 @@ def test_deinterleave_plane_major():
     np.testing.assert_array_equal(out[1], x[:, 0].imag)
     np.testing.assert_array_equal(out[2], x[:, 1].real)
     np.testing.assert_array_equal(out[3], x[:, 1].imag)
+
+
+def test_packaged_native_source_in_sync():
+    """The in-package copy of the ingest kernels (shipped in wheels) must
+    match the canonical csrc/ source byte-for-byte (csrc/Makefile `sync`
+    refreshes it)."""
+    from pathlib import Path
+
+    import pyspectrogram_tpu.native as native_pkg
+
+    pkg = Path(native_pkg.__file__).parent / "pstpu_ingest.cpp"
+    dev = Path(native_pkg.__file__).parents[2] / "csrc" / "pstpu_ingest.cpp"
+    if not dev.exists():
+        import pytest
+
+        pytest.skip("installed layout: no csrc/ tree to compare")
+    assert pkg.read_bytes() == dev.read_bytes()
