@@ -250,6 +250,16 @@ def test_big_factors_and_support():
     # single big kernel: the Gauss'd 3-stage covers 65536..2^20 (the
     # 2-stage square split was retired — see BIG_NFFT_MIN's note)
     assert sp.BIG_NFFT_MIN == 1 << 16
+    # shared per-sub policy (batch + streaming dispatchers): splits only
+    # where multi-sub overflows VMEM while one subchannel fits
+    assert sp.pallas_per_sub_profitable(1 << 20, 1, 2, "welch",
+                                        contiguous=True)
+    assert not sp.pallas_per_sub_profitable(1 << 19, 1, 2, "welch",
+                                            contiguous=True)  # fused fits
+    assert not sp.pallas_per_sub_profitable(1 << 20, 1, 1, "welch",
+                                            contiguous=True)  # single sub
+    assert not sp.pallas_per_sub_profitable(4096, 4, 100, "welch",
+                                            contiguous=True)  # not big
 
 
 @pytest.mark.parametrize("precision", ["exact", "display"])
