@@ -105,7 +105,7 @@ def pallas_auto_profitable(nfft: int, nint: int = 1, nsub: int = 1,
     gathered (arbitrary-start) paths can't lane-fold, so below 1024 the
     per-column stage-1 matmuls underfeed the MXU and XLA wins there.
     From 65536 the Gauss'd 3-stage per-segment kernel sustains
-    7.8-10.1 GS/s across the reference's ENTIRE remaining range (to
+    8.1-10.0 GS/s across the reference's ENTIRE remaining range (to
     2^20; full table in docs/architecture.md) versus XLA's 1.3-1.8 —
     5-7x."""
     floor = 256 if contiguous else 1024
