@@ -621,10 +621,15 @@ def _make_big3_sti_psd(
     inv_scale = np.float32(
         1.0 / (float(win64.sum()) ** 2 * float(ref) ** 2 * nseg)
     )
-    # exact tier: Gauss 3-mult complex products (25% fewer MXU passes) —
-    # the big kernels are pass-bound at every step, unlike the column
-    # kernel's memory-bound small-nseg variants
-    use_gauss = precision == "exact"
+    # exact AND balanced tiers use Gauss 3-mult complex products (25%
+    # fewer MXU passes) — the big kernel is pass-bound at every step,
+    # unlike the column kernel's memory-bound small-nseg variants.
+    # Balanced accuracy with Gauss stays ~2e-4 dB p99 (vs 1.3e-4
+    # without), well inside the tier's ~7e-4 spec. Display keeps the
+    # 4-mult form: its bf16-rounded Gauss sums cost 1.5x the error
+    # (p99 0.19 vs 0.125 dB, measured) for <=1.33x passes — not worth it
+    # at a tier already running 20+ GS/s.
+    use_gauss = precision in ("exact", "balanced")
     keys = ("dAr", "dAi", "dBr", "dBi", "dCr", "dCi",
             "t1r", "t1i", "t2r", "t2i")
     if use_gauss:
@@ -633,10 +638,6 @@ def _make_big3_sti_psd(
             + list(_plan_triple(plan, "dB", precision))
             + list(_plan_triple(plan, "dC", precision))
         ) + [plan[k] for k in keys[6:]]
-    elif precision == "balanced":
-        d_split = {"dAr", "dAi", "dBr", "dBi", "dCr", "dCi"}
-        consts = [win2] + [
-            _split_bf16(plan[k]) if k in d_split else plan[k] for k in keys]
     else:
         consts = [win2] + [plan[k] for k in keys]
 
