@@ -371,31 +371,114 @@ class StreamingSti:
             fn = self._put(self._tile_fns, crop, f, 16)
         return fn
 
-    def median_psd(self, state: StreamState) -> np.ndarray:
+    def median_psd(self, state: StreamState,
+                   n_cols: Optional[int] = None) -> np.ndarray:
         """Median dBFS PSD over the valid ring columns (median taken in
-        linear power, like the batch path; reference: drfProc.py:401)."""
+        linear power, like the batch path; reference: drfProc.py:401).
+
+        ``n_cols`` restricts the median to the NEWEST n_cols columns (the
+        live trailing-window semantics, reference: drfProc.py:291-293);
+        default is every valid column."""
         n = self.valid_cols(state)
         if n == 0:
             raise ValueError("no columns pushed yet")
+        if n_cols is not None:
+            n = min(n, int(n_cols))
         med = self._median_fn(n)(self._ordered_ring(state))
         return np.asarray(med)
+
+    # ------------------------------------------------- trailing-window view
+    def strided_cols(self, state: StreamState, n_disp: int,
+                     stride: int) -> np.ndarray:
+        """(n_disp,) absolute column indices snapshot_strided selects,
+        oldest first; entries < 0 are unfilled rows (quantize/read as the
+        eps floor) — trim them on the host."""
+        newest = int(state.total_cols) - 1
+        return newest - stride * np.arange(n_disp - 1, -1, -1,
+                                           dtype=np.int64)
+
+    def snapshot_strided(self, state: StreamState, n_disp: int, stride: int,
+                         spec=None) -> np.ndarray:
+        """Trailing-window view, time-decimated ON DEVICE before readback.
+
+        Selects every ``stride``-th column ending at the newest one —
+        n_disp rows spanning the last ``stride*(n_disp-1)+1`` columns —
+        straight out of the rotated ring storage (an n_disp-row gather, no
+        full-ring de-roll). With ``spec`` (a display.TileSpec) the rows
+        are also freq-cropped + quantized, so a live refresh reads back a
+        (n_disp, nsub, plot_n) uint8 tile no matter how many columns the
+        ring holds; without it, (n_disp, nsub, nfft) float dBFS.
+
+        This is the TPU-native form of the reference's sparse trailing
+        window (its linspace of ntime frame starts over the last 30 s,
+        reference: drfProc.py:159, drfProc.py:291-293): the ring computes
+        EVERY column, the display edge strides over them. Rows whose
+        column index is negative (see strided_cols) read unwritten slots.
+        """
+        if stride < 1 or n_disp < 1:
+            raise ValueError("n_disp and stride must be >= 1")
+        if stride * (n_disp - 1) >= self.ring_len:
+            raise ValueError(
+                f"window span {stride * (n_disp - 1) + 1} cols exceeds the "
+                f"ring ({self.ring_len}) — selected rows would alias")
+        crop = None if spec is None else spec.crop_key()
+        fn = self._strided_fn(n_disp, stride, crop)
+        q = spec.qparams if spec is not None else np.zeros(2, np.float32)
+        return np.asarray(fn(state.ring, state.total_cols, q))
+
+    def _strided_fn(self, n_disp: int, stride: int, crop):
+        key = ("strided", n_disp, stride, crop)
+        fn = self._tile_fns.get(key)
+        if fn is None:
+            ring_len, eps = self.ring_len, self.eps
+            if crop is not None:
+                from pyspectrogram_tpu.display.tile import (
+                    quantize_tile_linear,
+                )
+
+            @jax.jit
+            def f(ring, total_cols, qparams):
+                # column c lives at storage row c % ring_len (the push
+                # writes at total_cols % ring_len), so the trailing-window
+                # gather needs no de-roll; negative columns wrap onto rows
+                # at/above total_cols, which are provably unwritten while
+                # any selected column is negative (span < ring_len)
+                cols = (total_cols - 1) - stride * jnp.arange(
+                    n_disp - 1, -1, -1, dtype=jnp.int32)
+                sel = jnp.take(ring, jnp.mod(cols, ring_len), axis=0)
+                if crop is None:
+                    return to_dbfs(sel, eps)
+                return quantize_tile_linear(sel, crop, eps, qparams)
+
+            fn = self._put(self._tile_fns, key, f, 16)
+        return fn
 
     def _median_fn(self, n: int):
         fn = self._median_fns.get(n)
         if fn is None:
-            start = self.ring_len - n
-            # with a mesh the ring is chan-sharded and this jit is NOT a
-            # shard_map: the pallas median would force GSPMD to replicate
-            # the whole ring per device, so keep the XLA bisection there
-            allow_pallas = self.mesh is None
+            start, eps = self.ring_len - n, self.eps
 
-            @jax.jit
-            def f(ring):
-                return to_dbfs(
-                    median_over_time(ring[start:],
-                                     allow_pallas=allow_pallas),
-                    self.eps)
+            def local(ring):
+                return to_dbfs(median_over_time(ring[start:]), eps)
 
+            if self.mesh is None:
+                f = jax.jit(local)
+            else:
+                # per-shard median inside a shard_map: each device runs
+                # the VMEM-resident pallas kernel (on TPU) on its OWN
+                # chan slice — same pattern as parallel.sharded. A bare
+                # jit over the sharded ring would gate the kernel off
+                # (GSPMD cannot partition the custom call) and re-pay the
+                # 33 HBM passes the kernel exists to kill.
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                from pyspectrogram_tpu.parallel.mesh import CHAN_AXIS
+
+                f = jax.jit(shard_map(
+                    local, mesh=self.mesh,
+                    in_specs=P(None, CHAN_AXIS, None),
+                    out_specs=P(CHAN_AXIS, None), check_vma=False))
             fn = self._put(self._median_fns, n, f, 32)
         return fn
 

@@ -1,3 +1,4 @@
+from pyspectrogram_tpu.runtime.live import LiveStreamEngine
 from pyspectrogram_tpu.runtime.processor import SpectrogramProcessor
 from pyspectrogram_tpu.runtime.signals import (
     Iterated,
@@ -8,6 +9,7 @@ from pyspectrogram_tpu.runtime.signals import (
 
 __all__ = [
     "Iterated",
+    "LiveStreamEngine",
     "ProcessorCallbacks",
     "SpectrogramProcessor",
     "StatsUpdated",

@@ -1,0 +1,209 @@
+"""Incremental live-streaming engine: O(delta) work per refresh.
+
+The reference's streaming mode re-reads and recomputes the ENTIRE trailing
+30 s window on every 0.08 s refresh (reference: drfProc.py:239-241,
+291-293) — O(window) HDF5 IO, host->device transfer and FFT per tick.
+Here the live path is incremental: the engine keeps a
+:class:`~pyspectrogram_tpu.models.streaming.StreamingSti` ring + carry
+across ticks and, per tick, reads ONLY the samples written since the last
+pushed column, pushes them, and serves the display from the on-device
+ring:
+
+* every new sample is read exactly once (``samples_read`` counts them);
+* the refresh view is a stride-decimated trailing-window snapshot that
+  leaves the device as a uint8 tile (<= ntime rows), so per-tick readback
+  is O(display), not O(window);
+* the median PSD is computed on device over the window's columns.
+
+The engine is rebuilt only when a SHAPE knob changes
+(:meth:`signature`); color-range and freq-window changes ride as runtime
+operands / crop-plan cache keys of the snapshot programs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from fractions import Fraction
+from typing import Optional
+
+import numpy as np
+
+from pyspectrogram_tpu.io.reader import RFDataset
+from pyspectrogram_tpu.io.time_util import samples_to_datetime64
+from pyspectrogram_tpu.models.sti import StiResult, _assemblable
+from pyspectrogram_tpu.models.streaming import StreamingSti
+from pyspectrogram_tpu.ops import stft
+from pyspectrogram_tpu.utils.config import SpectrogramConfig
+
+#: per-push block target (samples): big enough to amortize dispatch
+#: (pushes measured ~3 us at 4096-pt), small enough that new data surfaces
+#: within a refresh tick (~0.07 s of samples at 1 MS/s)
+TARGET_BLOCK_SAMPLES = 1 << 16
+#: device-memory cap for the column ring (float32 power columns)
+RING_BYTE_BUDGET = 512 << 20
+
+
+def _signature(cfg: SpectrogramConfig):
+    """The knobs whose change forces a ring rebuild (static shapes /
+    numerics of the compiled push). Color range, freq window, ntime and
+    display_tile are display-edge knobs and do NOT re-init the ring."""
+    return (cfg.nfft, cfg.nint, cfg.mode, cfg.window, cfg.precision,
+            cfg.channel, float(cfg.stream_seconds))
+
+
+class LiveStreamEngine:
+    """One channel's incremental trailing-window stream over a (possibly
+    growing) dataset.
+
+    >>> eng = LiveStreamEngine(ds, cfg)
+    >>> res = eng.tick(cfg)    # push new samples, return an StiResult
+    """
+
+    def __init__(self, ds: RFDataset, cfg: SpectrogramConfig, mesh=None,
+                 target_block_samples: int = TARGET_BLOCK_SAMPLES):
+        self.ds = ds
+        self.mesh = mesh
+        self.sig = _signature(cfg)
+        chan, isub = ds._split_entry(cfg.channel or ds.channels[0])
+        self.chan, self.isub = chan, isub
+        self.sr: Fraction = ds.sr_dict[chan]
+        self.ref = ds.ref_dict[chan]
+        self.nsub = 1 if isub is not None else len(ds.chan_2sub[chan])
+        self.hop = cfg.nfft * cfg.nint          # contiguous columns
+        self._iteration = -1
+        self.samples_read = 0                   # O(delta) observability
+
+        # trailing-window geometry: how many contiguous columns cover
+        # stream_seconds (reference streamtime, drfProc.py:241)
+        w = int(-(-(cfg.stream_seconds * self.sr) // self.hop))  # ceil
+        cap = max(1, RING_BYTE_BUDGET // (self.nsub * cfg.nfft * 4))
+        self.window_cols = max(1, min(w, cap))
+
+        # block size: ~TARGET_BLOCK_SAMPLES, whole columns, and no larger
+        # than the initially-available data so short/young captures still
+        # surface columns block by block
+        lo, hi = ds.bnds[chan]
+        avail_cols = max(1, (hi - lo + 1) // self.hop)
+        k = max(1, min(target_block_samples // self.hop,
+                       avail_cols, self.window_cols))
+        self.cols_per_block = k
+        self.block_len = k * self.hop
+        # round the ring up to whole blocks: stores stay wrap-free
+        ring_len = -(-self.window_cols // k) * k
+
+        self.sti = StreamingSti(
+            nfft=cfg.nfft, nint=cfg.nint, nsub=self.nsub,
+            block_len=self.block_len, ring_len=ring_len, mode=cfg.mode,
+            window=cfg.window, ref=self.ref, eps=cfg.eps,
+            precision=cfg.precision, mesh=mesh,
+        )
+        self.state = self.sti.init_state()
+        # anchor at the current trailing window (cold start reads at most
+        # one window, never the whole capture)
+        self.start_sample = max(lo, hi + 1 - self.window_cols * self.hop)
+        self.next_sample = self.start_sample
+
+    # ---------------------------------------------------------------- ingest
+    def _push_new(self) -> int:
+        """Read + push every complete new block; returns blocks pushed."""
+        import jax.numpy as jnp
+
+        from pyspectrogram_tpu.native import ingest as native_ingest
+
+        lo, hi = self.ds.bnds[self.chan]
+        behind = hi + 1 - self.next_sample
+        max_backlog = self.window_cols * self.hop
+        if behind > max_backlog + self.block_len:
+            # the producer outran us by more than a whole window: data we
+            # haven't read would be evicted from the ring before anyone
+            # saw it. Restart the ring at the new trailing window instead
+            # of reading stale samples (keeps reads O(window) worst-case).
+            self.state = self.sti.init_state()
+            self.start_sample = hi + 1 - max_backlog
+            self.next_sample = self.start_sample
+        n_blocks = 0
+        block_sh = self.sti.block_sharding()
+        while hi + 1 - self.next_sample >= self.block_len:
+            raw = self.ds.reader.read_vector_raw(
+                self.next_sample, self.block_len, self.chan)
+            self.samples_read += self.block_len
+            if self.isub is not None:
+                raw = raw[:, self.isub : self.isub + 1]
+            pm = native_ingest.assemble_plane_major(
+                _assemblable(raw), np.asarray([0], np.int64), self.block_len)
+            blk = jnp.asarray(pm)
+            if block_sh is not None:
+                import jax
+
+                blk = jax.device_put(blk, block_sh)
+            self.state, _ = self.sti.push(self.state, blk)
+            self.next_sample += self.block_len
+            n_blocks += 1
+        return n_blocks
+
+    # --------------------------------------------------------------- display
+    def tick(self, cfg: SpectrogramConfig) -> Optional[StiResult]:
+        """One refresh: ingest the delta, then build the display payload
+        from the ring (no recompute of already-pushed columns). Returns
+        None while the capture is still shorter than one column."""
+        self._push_new()
+        total = int(self.state.total_cols)
+        if total == 0:
+            return None
+        self._iteration += 1
+
+        W = self.window_cols
+        n_target = max(1, min(cfg.ntime, W))
+        stride = -(-W // n_target)                       # ceil
+        n_disp = -(-W // stride)
+        cols = self.sti.strided_cols(self.state, n_disp, stride)
+        keep = cols >= 0
+
+        freqs = stft.shifted_freqs(cfg.nfft, self.sr)
+        spec = None
+        if cfg.display_tile:
+            from pyspectrogram_tpu.display.tile import make_tile_spec
+
+            spec = make_tile_spec(freqs, cfg.freq_window_khz,
+                                  cfg.color_range_db)
+        tile = plot_freqs = sxx_dbfs = None
+        view = self.sti.snapshot_strided(self.state, n_disp, stride,
+                                         spec=spec)[keep]
+        if spec is not None:
+            from pyspectrogram_tpu.display.tile import tile_freqs
+
+            tile, plot_freqs = view, tile_freqs(spec, freqs)
+        else:
+            sxx_dbfs = stft.to_reference_layout(view)
+        med = self.sti.median_psd(self.state, n_cols=W)  # (nsub, nfft)
+        kept_cols = cols[keep]
+        starts = self.start_sample + kept_cols * self.hop
+        return StiResult(
+            iteration=self._iteration,
+            times=samples_to_datetime64(starts, self.sr),
+            freqs=freqs,
+            sxx_dbfs=sxx_dbfs,
+            sxx_med_dbfs=np.moveaxis(med, -1, 0),
+            sample_rate=self.sr,
+            frame_starts=np.asarray(starts),
+            tile=tile,
+            plot_freqs=plot_freqs,
+        )
+
+
+@dataclasses.dataclass
+class _EngineSlot:
+    """Processor-side holder: rebuilds the engine when the config's shape
+    signature changes (the settings-change case — shape knobs are static,
+    so a new ring is the correct semantics; reference's streaming loop
+    likewise starts fresh windows, drfProc.py:291-293)."""
+
+    ds: RFDataset
+    mesh: object = None
+    engine: Optional[LiveStreamEngine] = None
+
+    def tick(self, cfg: SpectrogramConfig) -> Optional[StiResult]:
+        sig = _signature(cfg)
+        if self.engine is None or self.engine.sig != sig:
+            self.engine = LiveStreamEngine(self.ds, cfg, mesh=self.mesh)
+        return self.engine.tick(cfg)

@@ -94,6 +94,16 @@ class SpectrogramProcessor:
         except Exception:
             self._terminate(TerminateReason.MISSING_PATH)
             return
+        if streaming:
+            # live mode is incremental: a ring + carry persist across
+            # iterations and each tick reads only NEW samples — O(delta)
+            # per refresh, not the reference's O(window) recompute
+            # (reference: drfProc.py:239-241, 291-293; runtime.live)
+            from pyspectrogram_tpu.runtime.live import _EngineSlot
+
+            self._live = _EngineSlot(self.ds, mesh=self.pipeline.mesh)
+        else:
+            self._live = None
         self.chan_listing = list(self.ds.chan_2sub)
         self.sub_chan_list = list(self.ds.chan_entries)
         self.is_running = True
@@ -131,8 +141,20 @@ class SpectrogramProcessor:
                 self.ds.bnds_update()
                 self._emit_stats(cfg)
                 t0 = time.perf_counter()
-                result = self.pipeline.compute(cfg)
+                if self._live is not None:
+                    result = self._live.tick(cfg)
+                else:
+                    result = self.pipeline.compute(cfg)
                 self.latencies_s.append(time.perf_counter() - t0)
+                if result is None:
+                    # capture still shorter than one STI column — keep
+                    # chasing bounds until data appears
+                    if (self.max_iterations is not None
+                            and i + 1 >= self.max_iterations):
+                        self._terminate(TerminateReason.OK)
+                        return
+                    self._stop.wait(self.streaming_sleep)
+                    continue
                 self.callbacks.emit_iterated(Iterated(
                     i=i,
                     tab_id=self.tab_id,

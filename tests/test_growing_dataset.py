@@ -27,22 +27,22 @@ def test_streaming_chases_growing_capture(tmp_path):
     )
     w.rf_write(tone_signal(block, sr, [12_500.0]).astype(np.complex64))
 
+    # record where each iteration's last frame ended (absolute samples);
+    # the live path is incremental now (runtime.live), so track via the
+    # emitted payloads rather than pipeline.compute (never called live)
+    tails = []
+
+    def track(e):
+        us = int(e.times[-1].astype("datetime64[us]").astype(np.int64))
+        tails.append(us * sr // 1_000_000 + 256)
+
+    cb = ProcessorCallbacks(on_iterated=track)
     proc = SpectrogramProcessor(
         "streaming", tmp_path, tab_id=1,
         config=SpectrogramConfig(nfft=256, ntime=8, stream_seconds=0.05),
-        callbacks=ProcessorCallbacks(), streaming_sleep=0.02,
+        callbacks=cb, streaming_sleep=0.02,
         max_iterations=6,
     )
-    # record where each iteration's last frame ended (absolute samples)
-    tails = []
-    orig = proc.pipeline.compute
-
-    def tracking(cfg):
-        r = orig(cfg)
-        tails.append(int(r.frame_starts[-1]) + cfg.nfft * cfg.nint)
-        return r
-
-    proc.pipeline.compute = tracking
 
     stop = threading.Event()
 

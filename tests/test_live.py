@@ -1,0 +1,223 @@
+"""The incremental live path (runtime.live): O(delta) reads per refresh,
+ring columns identical to a from-scratch recompute, display decimation on
+device, settings-change re-init, and producer-outran-consumer recovery.
+
+This is the behavior the reference's streaming mode lacks — it re-reads
+and recomputes the whole trailing window every 0.08 s tick (reference:
+drfProc.py:239-241, 291-293)."""
+
+import numpy as np
+import pytest
+
+from pyspectrogram_tpu.io.reader import RFDataset
+from pyspectrogram_tpu.io.synthetic import tone_signal
+from pyspectrogram_tpu.io.writer import DigitalRFWriter
+from pyspectrogram_tpu.runtime.live import LiveStreamEngine, _EngineSlot
+from pyspectrogram_tpu.utils.config import SpectrogramConfig
+
+
+SR = 100_000
+START = 1_451_661_840 * SR
+
+
+def _growing_writer(tmp_path, n0):
+    w = DigitalRFWriter(
+        tmp_path, "live", np.complex64, start_global_index=START,
+        sample_rate_numerator=SR, file_cadence_millisecs=100,
+        subdir_cadence_secs=1,
+    )
+    w.rf_write(tone_signal(n0, SR, [12_500.0]).astype(np.complex64))
+    return w
+
+
+def _count_reads(ds):
+    """Wrap read_vector_raw to record each read's sample span."""
+    spans = []
+    orig = ds.reader.read_vector_raw
+
+    def counting(start, n, chan, **kw):
+        spans.append(int(n))
+        return orig(start, n, chan, **kw)
+
+    ds.reader.read_vector_raw = counting
+    return spans
+
+
+def test_tick_reads_are_o_delta_not_o_window(tmp_path):
+    """THE round-4 pin: after the initial window fill, each tick reads only
+    the samples appended since the previous tick — never the window."""
+    n0 = 60_000
+    w = _growing_writer(tmp_path, n0)
+    ds = RFDataset(tmp_path)
+    cfg = SpectrogramConfig(nfft=64, ntime=16, stream_seconds=0.5,
+                            streaming=True)
+    # small blocks so granularity is far below the window
+    eng = LiveStreamEngine(ds, cfg, target_block_samples=4096)
+    spans = _count_reads(ds)
+    window_samples = eng.window_cols * eng.hop
+    assert window_samples == 50_048  # ceil(0.5s * 100k / 64) * 64
+
+    eng.tick(cfg)
+    initial = sum(spans)
+    # cold start: at most one window (+ one block of rounding)
+    assert initial <= window_samples + eng.block_len
+
+    for it in range(3):
+        delta = 7_000
+        w.rf_write(tone_signal(delta, SR, [12_500.0],
+                               start_sample=n0).astype(np.complex64))
+        n0 += delta
+        ds.bnds_update()
+        before = sum(spans)
+        eng.tick(cfg)
+        read = sum(spans) - before
+        # reads the delta (whole blocks), NOT the window
+        assert read <= delta + eng.block_len
+        assert read < window_samples / 4
+
+
+def test_ring_columns_equal_recompute(tone_capture):
+    """Every displayed live column is bit-comparable to a from-scratch
+    STI over the same frames (the fused batch path, ops.stft)."""
+    import jax.numpy as jnp
+
+    from pyspectrogram_tpu.models.sti import assemble_device_block
+    from pyspectrogram_tpu.ops import stft
+
+    top, meta = tone_capture
+    ds = RFDataset(top)
+    # sr 1e6, nfft 256, nint 2: window 0.01 s -> ceil(10000/512)=20 cols;
+    # ntime >= W so the display stride is 1 (every column shown)
+    cfg = SpectrogramConfig(nfft=256, nint=2, ntime=64, stream_seconds=0.01,
+                            streaming=True)
+    eng = LiveStreamEngine(ds, cfg)
+    res = eng.tick(cfg)
+    assert res is not None
+    W = eng.window_cols
+    assert res.sxx_dbfs.shape == (256, W, 2)
+
+    chan = meta["channel"]
+    fn = stft.make_sti_fn_pm(
+        nfft=256, nint=2, mode=cfg.mode, window=cfg.window,
+        ref=ds.ref_dict[chan], contiguous=True)
+    pm, starts_rel, _ = assemble_device_block(
+        ds, chan, None, res.frame_starts, 512)
+    out = fn(jnp.asarray(pm), jnp.asarray(starts_rel))
+    want = stft.to_reference_layout(np.asarray(out["sxx_dbfs"])[:W])
+    np.testing.assert_allclose(res.sxx_dbfs, want, atol=1e-4)
+    want_med = np.moveaxis(np.asarray(out["sxx_med_dbfs"]), -1, 0)
+    np.testing.assert_allclose(res.sxx_med_dbfs, want_med, atol=1e-4)
+    # times/frame_starts agree: hop-spaced, ending at the capture tail
+    assert np.all(np.diff(res.frame_starts) == 512)
+    lo, hi = ds.bnds[chan]
+    assert res.frame_starts[-1] + 512 == hi + 1
+
+
+def test_display_stride_decimation(tone_capture):
+    """ntime < window columns: the device snapshot strides so at most
+    ntime rows are read back, evenly covering the window."""
+    top, meta = tone_capture
+    ds = RFDataset(top)
+    cfg = SpectrogramConfig(nfft=64, ntime=10, stream_seconds=0.03,
+                            streaming=True)
+    eng = LiveStreamEngine(ds, cfg)
+    res = eng.tick(cfg)
+    W = eng.window_cols  # ceil(30000/64) = 469
+    assert W > cfg.ntime
+    n = res.sxx_dbfs.shape[1]
+    assert n <= cfg.ntime
+    stride = np.diff(res.frame_starts)
+    assert (stride == stride[0]).all() and stride[0] >= 64
+    # newest column is always included
+    lo, hi = ds.bnds[meta["channel"]]
+    assert res.frame_starts[-1] + 64 == hi + 1
+
+
+def test_live_tile_mode_matches_float_view(tone_capture):
+    """display_tile: only a uint8 tile + median leave the device, and the
+    tile equals quantizing the float snapshot."""
+    from pyspectrogram_tpu.display.tile import make_tile_spec, tile_from_db
+    from pyspectrogram_tpu.ops.stft import shifted_freqs, to_reference_layout
+
+    top, meta = tone_capture
+    ds = RFDataset(top)
+    base = SpectrogramConfig(nfft=256, ntime=16, stream_seconds=0.01,
+                             streaming=True, color_range_db=(-80.0, -10.0))
+    eng = LiveStreamEngine(ds, base)
+    res_f = eng.tick(base)
+    res_t = eng.tick(base.replace(display_tile=True))
+    assert res_t.sxx_dbfs is None and res_t.tile is not None
+    assert res_t.tile.dtype == np.uint8
+    freqs = shifted_freqs(256, ds.sr_dict[meta["channel"]])
+    spec = make_tile_spec(freqs, base.freq_window_khz, base.color_range_db)
+    # same ring, no new data: float view quantized == device tile
+    want = tile_from_db(np.moveaxis(res_f.sxx_dbfs, 0, -1), spec)
+    np.testing.assert_array_equal(res_t.tile, want)
+    assert len(res_t.plot_freqs) == res_t.tile.shape[-1]
+
+
+def test_engine_slot_reinits_on_shape_change(tone_capture):
+    top, _ = tone_capture
+    ds = RFDataset(top)
+    slot = _EngineSlot(ds)
+    cfg = SpectrogramConfig(nfft=128, ntime=8, stream_seconds=0.005,
+                            streaming=True)
+    r1 = slot.tick(cfg)
+    e1 = slot.engine
+    # display-edge knobs do NOT rebuild the ring
+    slot.tick(cfg.replace(color_range_db=(-90.0, -20.0), ntime=4))
+    assert slot.engine is e1
+    # shape knobs do
+    r2 = slot.tick(cfg.replace(nfft=256))
+    assert slot.engine is not e1
+    assert r1.freqs.shape == (128,) and r2.freqs.shape == (256,)
+
+
+def test_backlog_skip_restarts_at_tail(tmp_path):
+    """Producer outruns the consumer by more than a window: the engine
+    restarts at the new trailing window instead of reading stale data."""
+    n0 = 30_000
+    w = _growing_writer(tmp_path, n0)
+    ds = RFDataset(tmp_path)
+    cfg = SpectrogramConfig(nfft=64, ntime=8, stream_seconds=0.1,
+                            streaming=True)
+    eng = LiveStreamEngine(ds, cfg, target_block_samples=4096)
+    eng.tick(cfg)
+    window_samples = eng.window_cols * eng.hop
+    spans = _count_reads(ds)
+    # burst: 5 windows' worth of new data
+    burst = 5 * window_samples
+    w.rf_write(tone_signal(burst, SR, [12_500.0],
+                           start_sample=n0).astype(np.complex64))
+    ds.bnds_update()
+    res = eng.tick(cfg)
+    assert sum(spans) <= window_samples + eng.block_len  # stale data skipped
+    lo, hi = ds.bnds["live"]
+    # newest column is at the tail (modulo the sub-block residual)
+    assert hi + 1 - (res.frame_starts[-1] + 64) < eng.block_len
+
+
+def test_processor_streaming_is_incremental(tone_capture):
+    """Processor-level pin: N streaming iterations over a static capture
+    read the window ONCE (the reference reads it N times)."""
+    from pyspectrogram_tpu.runtime import (
+        ProcessorCallbacks,
+        SpectrogramProcessor,
+    )
+
+    top, meta = tone_capture
+    events = []
+    proc = SpectrogramProcessor(
+        "streaming", top, tab_id=5,
+        config=SpectrogramConfig(nfft=128, ntime=8, stream_seconds=0.01),
+        callbacks=ProcessorCallbacks(on_iterated=events.append),
+        streaming_sleep=0.0, max_iterations=5,
+    )
+    spans = _count_reads(proc.ds)
+    proc.run()
+    assert len(events) == 5
+    window_samples = proc._live.engine.window_cols * proc._live.engine.hop
+    # static capture: everything after the initial fill reads nothing
+    assert sum(spans) <= window_samples + proc._live.engine.block_len
+    # all five refreshes still produced full payloads from the ring
+    assert all(e.sxx_med_dbfs.shape == (128, 2) for e in events)

@@ -191,6 +191,78 @@ def test_mesh_streaming_matches_single_device():
     assert diff.max() <= 1 and (diff > 0).mean() < 0.01
 
 
+def test_mesh_streaming_median_bisection_path():
+    """Mesh median with > 32 valid columns (the bisection tier that the
+    pallas kernel accelerates per shard on TPU — r3 weak #1): shard_map'd
+    median equals the single-device one."""
+    import jax
+
+    from pyspectrogram_tpu.parallel import make_mesh
+
+    nfft, nsub, k, ring_len = 64, 2, 8, 48
+    mesh = make_mesh(time_parallel=4, chan_parallel=2)
+    single = StreamingSti(nfft=nfft, nsub=nsub, block_len=nfft * k,
+                          ring_len=ring_len)
+    multi = StreamingSti(nfft=nfft, nsub=nsub, block_len=nfft * k,
+                         ring_len=ring_len, mesh=mesh)
+    rng = np.random.default_rng(21)
+    st_s, st_m = single.init_state(), multi.init_state()
+    bsh = multi.block_sharding()
+    for _ in range(6):  # 48 cols: fills the ring, n > MEDIAN_NETWORK_MAX_N
+        b = 0.1 * rng.standard_normal((nsub * 2, nfft * k)).astype(np.float32)
+        st_s, _ = single.push(st_s, jnp.asarray(b))
+        st_m, _ = multi.push(st_m, jax.device_put(jnp.asarray(b), bsh))
+    np.testing.assert_allclose(multi.median_psd(st_m),
+                               single.median_psd(st_s), atol=1e-4)
+    # windowed median (the live trailing-window semantics) too
+    np.testing.assert_allclose(multi.median_psd(st_m, n_cols=40),
+                               single.median_psd(st_s, n_cols=40), atol=1e-4)
+
+
+def test_snapshot_strided_matches_snapshot():
+    """The device-side trailing-window stride view equals striding the
+    full de-rolled snapshot on host (runtime.live's display path)."""
+    rng = np.random.default_rng(33)
+    nfft, k, ring_len = 128, 4, 24
+    s = StreamingSti(nfft=nfft, nint=1, nsub=2, block_len=nfft * k,
+                     ring_len=ring_len, window="boxcar")
+    state = s.init_state()
+    for _ in range(9):  # 36 cols: ring wrapped mid-cycle
+        b = rng.standard_normal((4, nfft * k)).astype(np.float32)
+        state, _ = s.push(state, jnp.asarray(b))
+    full, n = s.snapshot(state)           # (ring_len, nsub, nfft) dB
+    for n_disp, stride in [(8, 3), (5, 4), (24, 1)]:
+        got = s.snapshot_strided(state, n_disp, stride)
+        # row j = column total-1 - stride*(n_disp-1-j); in the ordered
+        # snapshot the newest column is the LAST row
+        rows = ring_len - 1 - stride * np.arange(n_disp - 1, -1, -1)
+        np.testing.assert_allclose(got, full[rows], atol=1e-5)
+        cols = s.strided_cols(state, n_disp, stride)
+        assert cols[-1] == int(state.total_cols) - 1
+    # span wider than the ring is refused (would alias)
+    with pytest.raises(ValueError, match="alias"):
+        s.snapshot_strided(state, 13, 2)
+
+
+def test_snapshot_strided_unfilled_rows_read_floor():
+    """Rows whose column index is negative (young stream) read the eps
+    floor, matching snapshot()'s unfilled-slot convention."""
+    rng = np.random.default_rng(34)
+    nfft, k, ring_len = 64, 2, 16
+    s = StreamingSti(nfft=nfft, nint=1, nsub=1, block_len=nfft * k,
+                     ring_len=ring_len, window="boxcar")
+    state = s.init_state()
+    b = rng.standard_normal((2, nfft * k)).astype(np.float32)
+    state, _ = s.push(state, jnp.asarray(b))  # 2 cols only
+    got = s.snapshot_strided(state, 6, 2)
+    cols = s.strided_cols(state, 6, 2)        # [-9,-7,-5,-3,-1, 1]
+    floor = 10 * np.log10(1e-15)
+    valid = cols >= 0
+    np.testing.assert_allclose(got[~valid], floor, rtol=1e-6)
+    full, _ = s.snapshot(state)
+    np.testing.assert_allclose(got[valid][-1], full[-1], atol=1e-5)
+
+
 def test_mesh_streaming_rejects_undividable_nsub():
     import pytest as _pytest
 
