@@ -192,7 +192,7 @@ class StiPipeline:
 
         if self.mesh is not None and self._use_bigfft(
                 cfg, samples_pm.shape[0] // 2):
-            out = self._compute_bigfft(cfg, ref, samples_pm)
+            out = self._compute_bigfft(cfg, ref, samples_pm, spec)
         elif self.mesh is not None:
             out = self._compute_sharded(cfg, ref, samples_pm, starts_rel)
         else:
@@ -210,13 +210,13 @@ class StiPipeline:
         if spec is not None:
             from pyspectrogram_tpu.display.tile import tile_freqs, tile_from_db
 
-            if "tile" in out:         # fused single-device epilogue
+            if "tile" in out:         # device epilogue (fused single-chip
+                                      # program or the bigfft k-matrix
+                                      # gather) — floats never left HBM
                 tile = np.asarray(out["tile"])[: cfg.ntime]
             else:
-                # mesh tiers: crop+quantize the (device) dB spectra before
-                # readback (the bigfft tier assembles on host, so its tile
-                # quantizes host-side — that tier starts at nfft 2^18,
-                # far past display resolution anyway)
+                # column-sharded tier: crop+quantize the (device) dB
+                # spectra before readback
                 tile = tile_from_db(out["sxx_dbfs"], spec)[: cfg.ntime]
             plot_freqs = tile_freqs(spec, freqs)
             sxx_dbfs = None           # floats intentionally stay on device
@@ -259,10 +259,12 @@ class StiPipeline:
             cfg.nfft, cfg.nint, nsub // chan, cfg.mode, cfg.precision)
 
     def _compute_bigfft(self, cfg: SpectrogramConfig, ref: float,
-                        samples_pm: np.ndarray):
+                        samples_pm: np.ndarray, spec=None):
         """Distributed-FFT tier: the per-column transform itself shards
         over the mesh 'time' axis (SURVEY.md section 5, multi-device
-        4-step FFT)."""
+        4-step FFT). With ``spec`` (display-tile mode) only a uint8 tile
+        + the median PSD leave the device — readback stays O(display)
+        exactly where nfft (>= 2^18) makes float readback largest."""
         import jax
         import jax.numpy as jnp
 
@@ -276,6 +278,10 @@ class StiPipeline:
         fn = make_bigfft_sti_fn(
             self.mesh, TIME_AXIS, nfft=cfg.nfft, nint=cfg.nint,
             mode=cfg.mode, window=cfg.window, ref=ref, eps=cfg.eps,
+            precision=cfg.precision,
+            # crop_key: programs key on the crop plan; colors ride as the
+            # qparams operand so a re-clim reuses the compiled program
+            tile=spec.crop_key() if spec is not None else None,
         )
         n1, n2 = fn.n1n2
         nseg = fn.nseg
@@ -291,6 +297,12 @@ class StiPipeline:
         x2 = jax.device_put(
             jnp.asarray(frames_to_x2(frames_pm, cfg.nfft, nseg, n1, n2)),
             fn.input_sharding)
+        if spec is not None:
+            out = fn(x2, spec.qparams)
+            return {
+                "tile": out["tile"],
+                "sxx_med_dbfs": to_freq_order(out["sxx_med_dbfs"]),
+            }
         out = fn(x2)
         return {
             "sxx_dbfs": to_freq_order(out["sxx_dbfs"]),

@@ -9,6 +9,19 @@ ICI all-to-all transpose, local DFT stage — SURVEY.md section 5's
 the sharded frequency axis, so the all-to-all per segment is the only
 collective; the time median needs none (time is unsharded).
 
+The local DFT stages are tier-dependent, each choice MEASURED on v5e
+(single-device mesh, nfft=2^17, ntime=32, 60 amortized iterations):
+
+* "exact"    — XLA FFT HLO stages (3.54 GS/s). A GEMM-DFT stage at
+               HIGHEST precision (6 bf16 passes x Gauss's 3 products)
+               measured 2.37 GS/s: the DFT matmul's ~(n1+n2)/log2(nfft)
+               ~ 45x MAC overhead over FFT is not paid back at 18
+               passes/product — recorded negative result.
+* "balanced" — GEMM-DFT stages (kernels.gemm_fft strategy: 3 real GEMMs
+               via Gauss, host-split hi/lo bf16 constants, 3 single
+               passes per product): 4.42 GS/s, 1.25x the FFT stages.
+* "display"  — GEMM-DFT single-pass bf16: 7.19 GS/s, 2.0x.
+
 Layout: a frame x reshapes to x2[p, q] = x[p*n2 + q] with the q axis
 explicit and SHARDED (each device holds all p for its q-slice, which is
 what makes stage 1 local). After the all-to-all the shard holds all q for
@@ -16,6 +29,12 @@ a k1-slice, making stage 2 local. Results come back as the "k-matrix"
 (..., n1, n2) with X[n1*k2 + k1] = Xm[k1, k2], sharded over k1 rows —
 contiguous shards of a coherent global array. ``to_freq_order`` converts
 an assembled k-matrix to the natural fftshifted frequency axis.
+
+Display tier: pass ``tile`` (a display.TileSpec) and the program gathers
+the tile's natural-order bins out of the k-matrix ON DEVICE, quantizes
+them (color range as a runtime operand) and returns a uint8
+(ntime, nsub, plot_n) tile — the float spectra never leave HBM, exactly
+like the single-device display path (north star, BASELINE.md).
 """
 
 from __future__ import annotations
@@ -53,6 +72,66 @@ def to_freq_order(kmatrix: np.ndarray) -> np.ndarray:
     return np.swapaxes(a, -1, -2).reshape(a.shape[:-2] + (n1 * n2,))
 
 
+def _kmatrix_flat_indices(natural_idx: np.ndarray, n1: int,
+                          n2: int) -> np.ndarray:
+    """Flat (n1*n2 row-major k-matrix) positions of natural fftshifted
+    bins: bin f lives at Xm[f % n1, f // n1] (inverse of to_freq_order)."""
+    f = np.asarray(natural_idx, np.int64)
+    return (f % n1) * n2 + f // n1
+
+
+def _dft_mats(n: int):
+    """(Dr, Di) of the n-point DFT matrix, float64 -> float32 (the same
+    host-precision construction as kernels.gemm_fft.make_plan)."""
+    k = np.arange(n)
+    d = np.exp(-2j * np.pi * np.outer(k, k) / n)
+    return d.real.astype(np.float32), d.imag.astype(np.float32)
+
+
+def _triple(dr: np.ndarray, di: np.ndarray, precision: str):
+    """Gauss-identity constant triple (dr, di, dr+di), hi/lo-split for
+    the balanced tier (kernels.sti_pallas._split_bf16)."""
+    mats = (dr, di, dr + di)
+    if precision == "balanced":
+        from pyspectrogram_tpu.kernels.sti_pallas import _split_bf16
+
+        return tuple(_split_bf16(m) for m in mats)
+    return mats
+
+
+def _tier_cdot(precision: str, eq: str):
+    """Complex contraction ``einsum(eq, D, x)`` on real planes with
+    Gauss's 3-multiplication identity, tiered like the Pallas kernel
+    (kernels.sti_pallas._complex_gemm_ops):
+        k1 = (Dr+Di)*xr, k2 = Dr*(xi-xr), k3 = Di*(xr+xi)
+        real = k1 - k3, imag = k1 + k2
+    Returns f(d3, xr, xi) -> (yr, yi)."""
+    es = functools.partial(
+        jnp.einsum,
+        precision=(jax.lax.Precision.HIGHEST if precision == "exact"
+                   else jax.lax.Precision.DEFAULT),
+        preferred_element_type=jnp.float32,
+    )
+    if precision == "balanced":
+        def mdot(m, x):
+            mh, ml = m[0], m[1]
+            xh = x.astype(jnp.bfloat16).astype(jnp.float32)
+            xl = x - xh
+            return es(eq, mh, xh) + es(eq, mh, xl) + es(eq, ml, xh)
+    else:
+        def mdot(m, x):
+            return es(eq, m, x)
+
+    def cdot(d3, xr, xi):
+        dr, di, dsum = d3
+        k1 = mdot(dsum, xr)
+        k2 = mdot(dr, xi - xr)
+        k3 = mdot(di, xr + xi)
+        return k1 - k3, k1 + k2
+
+    return cdot
+
+
 @functools.lru_cache(maxsize=16)
 def make_bigfft_sti_fn(
     mesh: Mesh,
@@ -64,21 +143,32 @@ def make_bigfft_sti_fn(
     window: WindowSpec = ("kaiser", 1.7),
     ref: float = 1.0,
     eps: float = 1e-15,
+    precision: str = "exact",
+    tile=None,
 ):
     """Jitted STI whose per-column FFT is distributed over ``mesh[axis]``.
 
-    Returned ``f(x2)``:
+    Returned ``f(x2, qparams=None)``:
       x2: (ntime, nsub, 2, nseg, n1, n2) float32 — or any real dtype
           (raw int16 planes transfer at half the bytes and widen on
           device) — see frames_to_x2; the last (q) axis sharded with
           ``f.input_sharding``;
-    returns {"sxx_dbfs": (ntime, nsub, n1, n2) k-matrix dB, sharded over
-    the n1 (k1) axis; "sxx_med_dbfs": (nsub, n1, n2) likewise} — convert
-    assembled arrays with :func:`to_freq_order`.
+      qparams: display-tile color range operand (TileSpec.qparams);
+          accepted only with ``tile``.
+    Without ``tile`` returns {"sxx_dbfs": (ntime, nsub, n1, n2) k-matrix
+    dB, sharded over the n1 (k1) axis; "sxx_med_dbfs": (nsub, n1, n2)
+    likewise} — convert assembled arrays with :func:`to_freq_order`.
+    With ``tile`` (a display.TileSpec) the float spectra stay on device:
+    returns {"tile": (ntime, nsub, plot_n) uint8, "sxx_med_dbfs":
+    k-matrix} — compiled programs key on the CROP plan only, the color
+    range rides in ``qparams`` (pass ``tile.crop_key()``-equal specs to
+    share the program; a re-clim must not recompile, TileSpec.crop_key).
     """
     ndev = mesh.shape[axis]
     n1, n2 = split_for_devices(nfft, ndev)
     nseg = nint if mode == "welch" else 1
+    if tile is not None:
+        tile = tile.crop_key()
 
     win64 = get_window(window, nfft)
     inv_scale = np.float32(
@@ -88,29 +178,59 @@ def make_bigfft_sti_fn(
                 * np.outer(np.arange(n1), np.arange(n2)) / nfft)
     twr = tw.real.astype(np.float32)
     twi = tw.imag.astype(np.float32)
+    # tier-dependent local stages (measured A/B in the module docstring):
+    # exact keeps XLA's FFT HLO; balanced/display run GEMM-DFT stages on
+    # the MXU. GEMM constants ride as replicated operands (P()) rather
+    # than baked HLO constants: at 2^20 the triples are ~24 MB and
+    # constants that size bloat the program + its remote-compile time.
+    use_gemm = precision != "exact"
+    if use_gemm:
+        d1_3 = _triple(*_dft_mats(n1), precision)
+        d2_3 = _triple(*_dft_mats(n2), precision)
+        # stage 1 contracts p (axis -2): D1[k1,p] x[...,p,q] -> [...,k1,q]
+        cdot1 = _tier_cdot(precision, "kp,abpq->abkq")
+        # stage 2 contracts q (axis -1): D2[q,k2] z[...,p,q] -> [...,p,k2]
+        # (D2 is symmetric, so contracting its first axis is the DFT)
+        cdot2 = _tier_cdot(precision, "qk,abpq->abpk")
+    else:
+        d1_3 = d2_3 = ()
 
-    def local(x2, winr, twr_s, twi_s):
+    def local(x2, winr, twr_s, twi_s, *dmats):
         # x2 shard: (ntime, nsub, 2, nseg, n1, n2/ndev) — all p, a q-slice
         ntime, nsub = x2.shape[0], x2.shape[1]
+        d1 = dmats[:3]
+        d2 = dmats[3:]
 
         def one_seg(seg):
             # raw integer planes ship at half the bytes and widen here,
             # per shard (dBFS normalization rides inv_scale)
-            xr = x2[:, :, 0, seg].astype(jnp.float32)
-            xi = x2[:, :, 1, seg].astype(jnp.float32)
-            c = jax.lax.complex(xr, xi) * winr
+            xr = x2[:, :, 0, seg].astype(jnp.float32) * winr
+            xi = x2[:, :, 1, seg].astype(jnp.float32) * winr
             # stage 1: DFT along p (full on this shard)
-            y = jnp.fft.fft(c, axis=-2)
-            y = y * jax.lax.complex(twr_s, twi_s)
-            # all-to-all: trade the q shard for a k1 shard
-            y = y.reshape(ntime, nsub, ndev, n1 // ndev, n2 // ndev)
-            y = jax.lax.all_to_all(y, axis, split_axis=2, concat_axis=2,
+            if use_gemm:
+                yr, yi = cdot1(d1, xr, xi)
+            else:
+                y = jnp.fft.fft(jax.lax.complex(xr, xi), axis=-2)
+                yr, yi = jnp.real(y), jnp.imag(y)
+            zr = yr * twr_s - yi * twi_s
+            zi = yr * twi_s + yi * twr_s
+            # all-to-all: trade the q shard for a k1 shard — ONE
+            # collective for both planes (stacked), keeping the step's
+            # ICI traffic a single transfer
+            z = jnp.stack([zr, zi])       # (2, ntime, nsub, n1, n2/ndev)
+            z = z.reshape(2, ntime, nsub, ndev, n1 // ndev, n2 // ndev)
+            z = jax.lax.all_to_all(z, axis, split_axis=3, concat_axis=3,
                                    tiled=False)
-            # axis 2 now indexes the SOURCE shard = global q block
-            y = jnp.moveaxis(y, 2, 3).reshape(ntime, nsub, n1 // ndev, n2)
+            # axis 3 now indexes the SOURCE shard = global q block
+            z = jnp.moveaxis(z, 3, 4).reshape(
+                2, ntime, nsub, n1 // ndev, n2)
             # stage 2: DFT along q (full on this shard)
-            X = jnp.fft.fft(y, axis=-1)
-            return jnp.real(X) ** 2 + jnp.imag(X) ** 2
+            if use_gemm:
+                Xr, Xi = cdot2(d2, z[0], z[1])
+            else:
+                X = jnp.fft.fft(jax.lax.complex(z[0], z[1]), axis=-1)
+                Xr, Xi = jnp.real(X), jnp.imag(X)
+            return Xr * Xr + Xi * Xi
 
         p = one_seg(0)
         for seg in range(1, nseg):
@@ -121,10 +241,11 @@ def make_bigfft_sti_fn(
         p_med = median_over_time(p)        # (nsub, n1/ndev, n2)
         return to_dbfs(p, eps), to_dbfs(p_med, eps)
 
+    dspecs = (P(),) * len(d1_3 + d2_3)
     fn = shard_map(
         local, mesh=mesh,
         in_specs=(P(None, None, None, None, None, axis),
-                  P(None, axis), P(None, axis), P(None, axis)),
+                  P(None, axis), P(None, axis), P(None, axis)) + dspecs,
         out_specs=(P(None, None, axis, None), P(None, axis, None)),
         check_vma=False,
     )
@@ -132,11 +253,30 @@ def make_bigfft_sti_fn(
     win_j = jnp.asarray(win2)
     twr_j = jnp.asarray(twr)
     twi_j = jnp.asarray(twi)
+    d_j = tuple(jnp.asarray(m) for m in d1_3 + d2_3)
 
-    @jax.jit
-    def sti(x2: jax.Array) -> dict:
-        sxx, med = fn(x2, win_j, twr_j, twi_j)
-        return {"sxx_dbfs": sxx, "sxx_med_dbfs": med}
+    if tile is None:
+        @jax.jit
+        def sti(x2: jax.Array) -> dict:
+            sxx, med = fn(x2, win_j, twr_j, twi_j, *d_j)
+            return {"sxx_dbfs": sxx, "sxx_med_dbfs": med}
+    else:
+        from pyspectrogram_tpu.display.tile import quantize_db_tile
+
+        flat_idx = jnp.asarray(
+            _kmatrix_flat_indices(tile.plot_indices, n1, n2))
+        default_q = tile.qparams
+
+        @functools.partial(jax.jit, static_argnums=())
+        def sti(x2: jax.Array, qparams=None) -> dict:
+            if qparams is None:
+                qparams = default_q
+            sxx, med = fn(x2, win_j, twr_j, twi_j, *d_j)
+            # gather the tile's natural-order bins out of the k-matrix on
+            # device (plot_n <= 2^15 elements), quantize, read back uint8
+            db = sxx.reshape(sxx.shape[:2] + (n1 * n2,))[..., flat_idx]
+            return {"tile": quantize_db_tile(db, tile, qparams),
+                    "sxx_med_dbfs": med}
 
     sti.input_sharding = NamedSharding(
         mesh, P(None, None, None, None, None, axis))
