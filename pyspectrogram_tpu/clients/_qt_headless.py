@@ -172,6 +172,9 @@ class QPushButton(QWidget):
     def text(self) -> str:
         return self._text
 
+    def setText(self, text: str) -> None:
+        self._text = str(text)
+
     def click(self):
         if self._enabled and not self._block_signals:
             self.clicked.emit(False)

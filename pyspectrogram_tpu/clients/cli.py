@@ -138,10 +138,15 @@ def cmd_sti(args) -> int:
         renderer=args.renderer,
     )
     if args.npz:
+        # the --t0/--t1 subset applies to the npz sidecar exactly like
+        # the PNG (and like the GUI save sub-tab's subset does)
+        keept = (np.ones(len(res.times), bool) if timerange is None
+                 else (res.times >= timerange[0])
+                 & (res.times <= timerange[1]))
         np.savez(
             args.npz, freqs=res.freqs,
-            times=np.datetime_as_string(res.times, unit="us"),
-            sxx_dbfs=res.sxx_dbfs, sxx_med_dbfs=res.sxx_med_dbfs,
+            times=np.datetime_as_string(res.times[keept], unit="us"),
+            sxx_dbfs=res.sxx_dbfs[:, keept], sxx_med_dbfs=res.sxx_med_dbfs,
         )
     print(json.dumps({
         "png": out, "shape": list(res.sxx_dbfs.shape),

@@ -110,6 +110,14 @@ class _Bridge(QtCore.QObject):
             on_terminated=self.terminated.emit,
         )
 
+
+class _SaveBridge(QtCore.QObject):
+    """Completion signal for the save worker thread (the artifact writes
+    — and, in tile mode, the full-resolution recompute with its possible
+    20-80 s remote compile — must not block the Qt event loop)."""
+
+    done = pyqtSignal(object)  # Exception | None
+
 class TabState:
     def __init__(self):
         self.processor: SpectrogramProcessor | None = None
@@ -234,6 +242,18 @@ class MainWindow(QtWidgets.QMainWindow):
         panel.addRow("Channel", st.chan_combo)
         panel.addRow("Subchannel", st.sub_combo)
 
+        # live mode toggle (the reference hardcodes usetype="written",
+        # drfview.py:172-174; live streaming is its README wishlist item,
+        # README.md:16): a streaming tab runs the incremental engine
+        # (runtime.live) against a growing capture over a trailing window
+        st.live_check = QtWidgets.QCheckBox("Live (streaming)")
+        st.window_s = QtWidgets.QDoubleSpinBox()
+        st.window_s.setRange(0.1, 86_400.0)
+        st.window_s.setDecimals(1)
+        st.window_s.setValue(st.config.stream_seconds)
+        panel.addRow(st.live_check)
+        panel.addRow("Live window (s)", st.window_s)
+
         st.tmin = QtWidgets.QSlider(Qt.Horizontal)
         st.tmax = QtWidgets.QSlider(Qt.Horizontal)
         for s, v in ((st.tmin, 0), (st.tmax, SLIDER_STEPS)):
@@ -302,6 +322,18 @@ class MainWindow(QtWidgets.QMainWindow):
             wdg.setDecimals(2)
         sv.addRow("Start time (s)", st.save_t0)
         sv.addRow("End time (s)", st.save_t1)
+        # End time follows the newest result until the USER edits it —
+        # an explicit flag, not value==maximum inference (which silently
+        # re-enabled following for a user who pinned End time to exactly
+        # the present span)
+        st.save_t1_user = False
+        st.save_t1_programmatic = False
+
+        def _t1_edited(_v):
+            if not st.save_t1_programmatic:
+                st.save_t1_user = True
+
+        st.save_t1.valueChanged.connect(_t1_edited)
 
         st.save_cmin = QtWidgets.QDoubleSpinBox()
         st.save_cmin.setRange(-200, 0)
@@ -351,6 +383,9 @@ class MainWindow(QtWidgets.QMainWindow):
         st.stop_btn.clicked.connect(lambda: self.stop_processor(tab_id))
         st.update_btn.clicked.connect(lambda: self.pull_settings(tab_id))
         st.save_btn.clicked.connect(lambda: self.save_files(tab_id))
+        st.save_thread = None
+        st.save_bridge = _SaveBridge()  # worker -> main thread completion
+        st.save_bridge.done.connect(lambda e: self._on_save_done(tab_id, e))
         st.sub_combo.currentIndexChanged.connect(
             lambda i: self._set_subchan(tab_id, i))
         st.chan_combo.currentTextChanged.connect(
@@ -386,8 +421,10 @@ class MainWindow(QtWidgets.QMainWindow):
         st.bridge.stats.connect(lambda p: self.on_stats(tab_id, p))
         st.bridge.terminated.connect(
             lambda p: self.on_terminated(tab_id, p))
+        datasource = ("streaming" if st.live_check.isChecked()
+                      else "written")
         st.processor = SpectrogramProcessor(
-            "written", drfdir, tab_id, self._config_from_widgets(st),
+            datasource, drfdir, tab_id, self._config_from_widgets(st),
             callbacks=st.bridge.callbacks(),
         )
         if not st.processor.is_running:
@@ -402,6 +439,9 @@ class MainWindow(QtWidgets.QMainWindow):
         st.start_btn.setEnabled(False)
         st.stop_btn.setEnabled(True)
         st.save_btn.setEnabled(False)
+        # mode is per-run: the incremental ring's lifecycle is the
+        # processor's (a stop releases it; a new start builds a fresh one)
+        st.live_check.setEnabled(False)
 
     def stop_processor(self, tab_id: int):
         st = self.states[tab_id]
@@ -438,6 +478,7 @@ class MainWindow(QtWidgets.QMainWindow):
             ntime=st.ntime.value(),
             color_range_db=(st.cmin.value(), st.cmax.value()),
             freq_window_khz=(st.fmin.value(), st.fmax.value()),
+            stream_seconds=st.window_s.value(),
             # live view renders from on-device uint8 tiles: crop,
             # decimation and color quantization run inside the device
             # program and only the tile + median PSD are read back
@@ -474,6 +515,8 @@ class MainWindow(QtWidgets.QMainWindow):
                 # the range is a runtime operand, see TileSpec.crop_key)
                 color_range_db=st.config.color_range_db,
                 freq_window_khz=st.config.freq_window_khz,
+                # live tabs: window change rebuilds the ring (shape knob)
+                stream_seconds=st.config.stream_seconds,
             )
 
     # -------------------------------------------------------- slots
@@ -502,11 +545,16 @@ class MainWindow(QtWidgets.QMainWindow):
         # drfview.py:248,1434): spinboxes span [0, result duration]
         span_s = float((p.times[-1] - p.times[0])
                        / np.timedelta64(1, "s")) if len(p.times) else 0.0
-        keep1 = st.save_t1.value() == st.save_t1.maximum()
-        st.save_t0.setRange(0.0, span_s)
-        st.save_t1.setRange(0.0, span_s)
-        if keep1:  # follow the newest data unless the user pinned a value
-            st.save_t1.setValue(span_s)
+        # programmatic updates must not set the user-edited flag (the
+        # setRange clamp also fires valueChanged)
+        st.save_t1_programmatic = True
+        try:
+            st.save_t0.setRange(0.0, span_s)
+            st.save_t1.setRange(0.0, span_s)
+            if not st.save_t1_user:  # follow newest until the user edits
+                st.save_t1.setValue(span_s)
+        finally:
+            st.save_t1_programmatic = False
         self._redraw(st)
 
     def on_terminated(self, tab_id: int, p: Terminated):
@@ -516,6 +564,7 @@ class MainWindow(QtWidgets.QMainWindow):
         st.start_btn.setEnabled(True)
         st.stop_btn.setEnabled(False)
         st.save_btn.setEnabled(st.last is not None)
+        st.live_check.setEnabled(True)
         if p.reason != TerminateReason.OK:
             self._warn(p.reason.describe())
 
@@ -594,54 +643,89 @@ class MainWindow(QtWidgets.QMainWindow):
                 names[key] = fname
         if not names:
             return
-        QtWidgets.QApplication.setOverrideCursor(Qt.WaitCursor)
-        try:
-            freqs, times, sxx = st.last.freqs, st.last.times, st.last.sxx_dbfs
-            med = st.last.sxx_med_dbfs
-            if sxx is None:
-                # live view runs in display-tile mode (floats never left
-                # the device); the save pipeline wants full-resolution
-                # spectra, so recompute this one request with readback —
-                # and use that result's own axes (settings may have
-                # changed since the displayed payload)
-                res = st.processor.pipeline.compute(
-                    st.processor.config.replace(display_tile=False))
-                freqs, times, sxx, med = (res.freqs, res.times,
-                                          res.sxx_dbfs, res.sxx_med_dbfs)
-            timerange = None
-            if st.save_subset.isChecked():
-                # subset spinboxes are seconds into the result
-                t0 = times[0] + np.timedelta64(
-                    int(st.save_t0.value() * 1e6), "us")
-                t1 = times[0] + np.timedelta64(
-                    int(st.save_t1.value() * 1e6), "us")
-                timerange = (t0, t1)
-            crange = (st.save_cmin.value(), st.save_cmax.value())
-            frange = (st.save_fmin.value(), st.save_fmax.value())
-            if "png" in names:
-                save_sti_png(
-                    names["png"], freqs, times, sxx[..., st.subchan],
-                    colorrange=crange, freqrange_khz=frange,
-                    timerange=timerange,
-                )
-            if "npz" in names:
-                keepf = (freqs * 1e-3 >= frange[0]) & (
-                    freqs * 1e-3 <= frange[1])
-                keept = (np.ones(len(times), bool) if timerange is None
-                         else (times >= timerange[0])
-                         & (times <= timerange[1]))
-                np.savez(
-                    names["npz"], freqs=freqs[keepf],
-                    times=np.datetime_as_string(times[keept], unit="us"),
-                    sxx_dbfs=sxx[np.ix_(keepf, keept)],
-                    sxx_med_dbfs=med[keepf],
-                )
-            if "csv" in names:
-                from pyspectrogram_tpu.display import save_psd_csv
+        # capture everything on the GUI thread; the writes — and in tile
+        # mode the full-resolution recompute, which can include a 20-80 s
+        # remote compile — run on a worker so the event loop stays live.
+        # Progress state = disabled button with "Saving…" (no wait
+        # cursor: the loop keeps serving redraws/menus meanwhile).
+        subset = st.save_subset.isChecked()
+        t0_s, t1_s = st.save_t0.value(), st.save_t1.value()
+        crange = (st.save_cmin.value(), st.save_cmax.value())
+        frange = (st.save_fmin.value(), st.save_fmax.value())
+        subchan = st.subchan
+        last = st.last
+        processor = st.processor
+        st.save_btn.setEnabled(False)
+        st.save_btn.setText("Saving…")
 
-                save_psd_csv(names["csv"], freqs, med[:, st.subchan])
-        finally:
-            QtWidgets.QApplication.restoreOverrideCursor()
+        def work():
+            try:
+                self._write_artifacts(names, last, processor, subset,
+                                      t0_s, t1_s, crange, frange, subchan)
+            except Exception as e:  # surfaced via the bridge
+                st.save_bridge.done.emit(e)
+            else:
+                st.save_bridge.done.emit(None)
+
+        import threading
+
+        st.save_thread = threading.Thread(target=work, daemon=True)
+        st.save_thread.start()
+
+    @staticmethod
+    def _write_artifacts(names, last, processor, subset, t0_s, t1_s,
+                         crange, frange, subchan):
+        """Worker-thread body: (re)compute if needed + write artifacts."""
+        freqs, times, sxx = last.freqs, last.times, last.sxx_dbfs
+        med = last.sxx_med_dbfs
+        if sxx is None:
+            # live view runs in display-tile mode (floats never left the
+            # device); the save pipeline wants full-resolution spectra,
+            # so recompute this one request with readback — and use that
+            # result's own axes (settings may have changed since the
+            # displayed payload)
+            res = processor.pipeline.compute(
+                processor.config.replace(display_tile=False))
+            freqs, times, sxx, med = (res.freqs, res.times,
+                                      res.sxx_dbfs, res.sxx_med_dbfs)
+        timerange = None
+        if subset:
+            # subset spinboxes are seconds into the result
+            timerange = (
+                times[0] + np.timedelta64(int(t0_s * 1e6), "us"),
+                times[0] + np.timedelta64(int(t1_s * 1e6), "us"),
+            )
+        keepf = (freqs * 1e-3 >= frange[0]) & (freqs * 1e-3 <= frange[1])
+        if "png" in names:
+            save_sti_png(
+                names["png"], freqs, times, sxx[..., subchan],
+                colorrange=crange, freqrange_khz=frange,
+                timerange=timerange,
+            )
+        if "npz" in names:
+            keept = (np.ones(len(times), bool) if timerange is None
+                     else (times >= timerange[0]) & (times <= timerange[1]))
+            np.savez(
+                names["npz"], freqs=freqs[keepf],
+                times=np.datetime_as_string(times[keept], unit="us"),
+                sxx_dbfs=sxx[np.ix_(keepf, keept)],
+                sxx_med_dbfs=med[keepf],
+            )
+        if "csv" in names:
+            from pyspectrogram_tpu.display import save_psd_csv
+
+            # the CSV honors the save sub-tab's frequency range like the
+            # PNG/npz artifacts (it silently wrote full-band before)
+            save_psd_csv(names["csv"], freqs[keepf], med[keepf, subchan])
+
+    def _on_save_done(self, tab_id: int, err):
+        st = self.states.get(tab_id)
+        if st is None:
+            return
+        st.save_btn.setText("Save File(s)…")
+        st.save_btn.setEnabled(True)
+        if err is not None:
+            self._warn(f"Save failed: {err}")
 
     # ------------------------------------------------------- dialogs
     def _warn(self, text: str):

@@ -61,6 +61,16 @@ def test_synth_info_sti_psd(tmp_path, capsys):
     h_half = Image.open(half).size[1]
     assert 0 < h_half < h_full
 
+    # the subset applies to the npz sidecar too, not just the PNG
+    # (advisor r3: the sidecar silently saved the full arrays before)
+    half_npz = tmp_path / "half.npz"
+    _run(capsys, "sti", str(drf), "--out", str(half), "--nfft", "512",
+         "--ntime", "12", "--renderer", "pixels", "--npz", str(half_npz),
+         "--t0", "0", "--t1", "0.03")
+    cropped = np.load(half_npz)
+    assert 0 < cropped["sxx_dbfs"].shape[1] < 12
+    assert len(cropped["times"]) == cropped["sxx_dbfs"].shape[1]
+
 
 def test_filter_roundtrip(tmp_path, capsys):
     drf = tmp_path / "cap2"
