@@ -107,9 +107,12 @@ def bench_sti(nfft=4096, nint=4, ntime=128, nsub=2, mode="welch",
 
 
 def bench_streaming(nfft=4096, nint=1, nsub=2, cols_per_block=8,
-                    ring_len=256, iters=50, repeats=5, precision="exact"):
+                    ring_len=256, iters=50, repeats=5, precision="exact",
+                    hop=None):
     """p50 block -> STI-column latency of the streaming ring path
-    (north-star target: < 5 ms, BASELINE.md)."""
+    (north-star target: < 5 ms, BASELINE.md). ``hop`` < nfft*nint
+    measures the overlap-save configuration (columns overlap; the
+    dedicated VMEM-resident kernel when supported)."""
     # pushes are fast (~5-20 us with the rotating ring); amortize enough
     # of them that the measured total clears the ~+/-3 ms dispatch jitter.
     # The floor scales down with nfft (per-push work scales up with it) so
@@ -120,9 +123,9 @@ def bench_streaming(nfft=4096, nint=1, nsub=2, cols_per_block=8,
     import jax.numpy as jnp
     from pyspectrogram_tpu.models.streaming import StreamingSti
 
-    block_len = nfft * nint * cols_per_block
+    block_len = (nfft * nint if hop is None else hop) * cols_per_block
     s = StreamingSti(nfft=nfft, nint=nint, nsub=nsub, block_len=block_len,
-                     ring_len=ring_len, precision=precision)
+                     ring_len=ring_len, precision=precision, hop=hop)
     rng = np.random.default_rng(0)
     block = jnp.asarray(
         rng.standard_normal((nsub * 2, block_len)).astype(np.float32))

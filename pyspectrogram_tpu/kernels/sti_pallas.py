@@ -529,6 +529,179 @@ def make_pallas_sti_psd(
     return psd
 
 
+def _stage_prods(dref, precision: str, use_gauss: bool):
+    """(cprod_l, cprod_r) stage products from kernel const refs — the
+    same tier/Gauss wiring the batch kernel builds inline."""
+    if use_gauss:
+        load_d3, cdot_l, cdot_r = _complex_gemm_ops(precision)
+        d1 = load_d3(dref[0:3])
+        d2 = load_d3(dref[3:6])
+        return (lambda x: cdot_l(d1, x)), (lambda z: cdot_r(z, d2))
+    load_d, xsplit, mdot, mdot2 = _mm_ops(precision)
+    d1r, d1i = load_d(dref[0]), load_d(dref[1])
+    d2r, d2i = load_d(dref[2]), load_d(dref[3])
+
+    def cprod_l(x):
+        xr, xi = xsplit(x[0]), xsplit(x[1])
+        return (mdot(d1r, xr) - mdot(d1i, xi),
+                mdot(d1r, xi) + mdot(d1i, xr))
+
+    def cprod_r(z):
+        zr, zi = xsplit(z[0]), xsplit(z[1])
+        return (mdot2(zr, d2r) - mdot2(zi, d2i),
+                mdot2(zr, d2i) + mdot2(zi, d2r))
+
+    return cprod_l, cprod_r
+
+
+def pallas_stream_supported(nfft: int, nint: int, hop: int, k: int,
+                            nsub: int, mode: str = "welch",
+                            precision: str = "exact") -> bool:
+    """Can the overlap-hop streaming kernel take this push?
+
+    The kernel keeps the ENTIRE push buffer (carry + block) VMEM-resident
+    and slices each column's frame at its element offset t*hop — so
+    overlapping starts need no gather at all. Requirements: hop strictly
+    inside (0, frame_len) (hop == frame_len is the contiguous kernel's
+    case), lane-aligned hop (hop % 128, so every frame slice starts on a
+    lane boundary), a power-of-two nfft inside the small-kernel range,
+    and the buffer + one out column + DFT constants within the VMEM
+    block budget.
+    """
+    frame_len = nfft * nint
+    if not (0 < hop < frame_len) or hop % LANE:
+        return False
+    if nfft & (nfft - 1) or not (1024 <= nfft < BIG_NFFT_MIN):
+        return False
+    if mode not in ("welch", "parity") or precision not in (
+            "exact", "balanced", "display"):
+        return False
+    n1, n2 = lane_factors(nfft)
+    buf_len = frame_len - hop + k * hop
+    const_bytes = (n1 * n1 + n2 * n2 + 3 * n1 * n2) * 4
+    if precision == "balanced":
+        const_bytes *= 2
+    need = (nsub * 2 * buf_len * 4        # resident buffer
+            + nsub * nfft * 4             # one out column block
+            + const_bytes + 4 * n1 * n2 * 4)  # consts + scratch/temps
+    return need <= MAX_BLOCK_BYTES
+
+
+@functools.lru_cache(maxsize=64)
+def make_pallas_stream_psd(
+    *,
+    nfft: int,
+    nint: int = 1,
+    hop: int,
+    mode: str = "welch",
+    window: WindowSpec = ("kaiser", 1.7),
+    ref: float = 1.0,
+    interpret: bool = False,
+    precision: str = "exact",
+):
+    """Overlap-hop streaming push kernel: ``f(buf_pm) -> (k, nsub, nfft)``
+    linear fftshifted power, with column t's frame at element offset
+    t*hop of the buffer (hop < frame_len: frames OVERLAP).
+
+    The batch kernel's BlockSpec slicing is block-granular, so it cannot
+    express starts that are not multiples of the gather length — which is
+    exactly the overlap-save streaming case (models.streaming carries
+    frame_len - hop samples between pushes, README.md:16). Streaming push
+    buffers are small (carry + k*hop samples), so this kernel skips
+    HBM blocking entirely: the whole buffer rides VMEM-resident across
+    the k-column grid and each segment slices ``pl.ds(t*hop + seg*nfft,
+    nfft)`` directly — overlapping reads cost VMEM bandwidth, not extra
+    HBM traffic. Gate with :func:`pallas_stream_supported`.
+
+    ``buf_pm``: (nsub*2, frame_len - hop + k*hop) plane-major float32.
+    """
+    n1, n2 = lane_factors(nfft)
+    nseg = nint if mode == "welch" else 1
+    frame_len = nfft * nint
+
+    plan = make_plan_lane(nfft)
+    win64 = get_window(window, nfft)
+    win2 = win64.reshape(n1, n2).astype(np.float32)
+    inv_scale = np.float32(
+        1.0 / (float(win64.sum()) ** 2 * float(ref) ** 2 * nseg))
+    use_gauss = precision == "exact" and nseg >= 2
+    if use_gauss:
+        d_consts = list(_plan_triple(plan, "d1", precision)) + list(
+            _plan_triple(plan, "d2", precision))
+    elif precision == "balanced":
+        d_consts = [_split_bf16(plan[k]) for k in ("d1r", "d1i", "d2r", "d2i")]
+    else:
+        d_consts = [plan[k] for k in ("d1r", "d1i", "d2r", "d2i")]
+    consts = [win2] + d_consts + [plan["twr"], plan["twi"]]
+
+    def kernel(frames_ref, win_ref, *rest, nsub: int):
+        out_ref, accum = rest[-2], rest[-1]
+        twr, twi = rest[-4][...], rest[-3][...]
+        cprod_l, cprod_r = _stage_prods(rest[:-4], precision, use_gauss)
+        win = win_ref[...]
+        h = n2 // 2
+        t = pl.program_id(0)
+        for sub in range(nsub):
+            accum[...] = jnp.zeros((n1, n2), jnp.float32)
+
+            def seg_body(seg, _, sub=sub):
+                off = pl.multiple_of(t * hop + seg * nfft, LANE)
+                xr = frames_ref[2 * sub, pl.ds(off, nfft)]
+                xi = frames_ref[2 * sub + 1, pl.ds(off, nfft)]
+                xr = xr.astype(jnp.float32).reshape(n1, n2) * win
+                xi = xi.astype(jnp.float32).reshape(n1, n2) * win
+                yr, yi = cprod_l((xr, xi))
+                zr = yr * twr - yi * twi
+                zi = yr * twi + yi * twr
+                xmr, xmi = cprod_r((zr, zi))
+                accum[...] += xmr * xmr + xmi * xmi
+                return 0
+
+            jax.lax.fori_loop(0, nseg, seg_body, 0)
+            p = accum[...] * inv_scale
+            o = p.T                               # (n2, n1)
+            out_ref[0, sub, :h, :] = o[h:, :]
+            out_ref[0, sub, h:, :] = o[:h, :]
+
+    @functools.lru_cache(maxsize=8)
+    def build(k: int, nsub: int):
+        flops_seg = 8 * 2 * (n1 * n1 * n2 + n1 * n2 * n2)
+        return pl.pallas_call(
+            functools.partial(kernel, nsub=nsub),
+            grid=(k,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+            * (1 + len(consts)),
+            out_specs=pl.BlockSpec((1, nsub, n2, n1),
+                                   lambda t: (t, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((k, nsub, n2, n1), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((n1, n2), jnp.float32)],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=2 * MAX_BLOCK_BYTES + 16 * 1024 * 1024,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=k * nsub * nseg * flops_seg,
+                bytes_accessed=nsub * 2 * (frame_len + (k - 1) * hop) * 4
+                + k * nsub * nfft * 4,
+                transcendentals=0,
+            ),
+        )
+
+    @jax.jit
+    def psd(buf_pm: jax.Array) -> jax.Array:
+        nsub = buf_pm.shape[0] // 2
+        k = (buf_pm.shape[1] - (frame_len - hop)) // hop
+        if k < 1 or buf_pm.shape[1] != frame_len - hop + k * hop:
+            raise ValueError(
+                f"buffer width {buf_pm.shape[1]} is not carry + k*hop "
+                f"(frame_len={frame_len}, hop={hop})")
+        out = build(k, nsub)(buf_pm, *[jnp.asarray(c) for c in consts])
+        return out.reshape(k, nsub, nfft)
+
+    return psd
+
+
 def factors3(nfft: int) -> Tuple[int, int, int]:
     """(A, B, C) split for the 3-stage kernel: C = 128 lanes, A >= B ~
     sqrt(nfft/128). 65536 -> (32, 16, 128), 131072 -> (32, 32, 128),

@@ -240,6 +240,21 @@ class StreamingSti:
                 nfft=nfft, nint=nint, mode=mode, window=self._window,
                 ref=self._ref, contiguous=True, precision=precision,
             )
+        # overlap-save with hop < frame_len (the classic STFT overlap
+        # case the carry exists for): a dedicated VMEM-resident kernel
+        # slices the overlapping frames at their element offsets — the
+        # block-granular batch kernel cannot express such starts
+        use_stream_kernel = (
+            on_tpu
+            and hop != frame_len
+            and sti_pallas.pallas_stream_supported(
+                nfft, nint, hop, k, nsub_local, mode, precision)
+        )
+        if use_stream_kernel:
+            stream_psd = sti_pallas.make_pallas_stream_psd(
+                nfft=nfft, nint=nint, hop=hop, mode=mode,
+                window=self._window, ref=self._ref, precision=precision,
+            )
 
         def core(carry, ring, total_cols, block):
             """Per-shard push body: everything is local to a device's
@@ -255,6 +270,8 @@ class StreamingSti:
                 cols = jnp.concatenate(
                     [pallas_psd(buf[2 * s : 2 * s + 2], st_k)
                      for s in range(nsub_local)], axis=1)
+            elif use_stream_kernel:
+                cols = stream_psd(buf)
             else:
                 starts = jnp.arange(k, dtype=jnp.int32) * hop
 

@@ -345,3 +345,64 @@ def test_auto_profitable_contiguous_floor():
     assert not sp.pallas_auto_profitable(256)
     assert not sp.pallas_auto_profitable(512)
     assert sp.pallas_auto_profitable(1024)
+
+
+def _overlap_oracle(buf, nfft, nint, hop, k, mode="welch", beta=1.7):
+    """NumPy overlap-hop STI: column t's frame at element offset t*hop."""
+    from pyspectrogram_tpu.ops.windows import get_window
+
+    nsub = buf.shape[0] // 2
+    frame_len = nfft * nint
+    win = get_window(("kaiser", beta), nfft)
+    c = (buf[0::2] + 1j * buf[1::2]).astype(np.complex128)
+    nseg = nint if mode == "welch" else 1
+    cols = np.empty((k, nsub, nfft))
+    for t in range(k):
+        fr = c[:, t * hop : t * hop + frame_len][:, : nseg * nfft]
+        segs = fr.reshape(nsub, nseg, nfft)
+        p = (np.abs(np.fft.fft(win * segs, axis=-1)) ** 2).mean(axis=1)
+        cols[t] = np.fft.fftshift(p / win.sum() ** 2, axes=-1)
+    return cols
+
+
+@pytest.mark.parametrize("nfft,nint,hop,mode", [
+    (1024, 1, 512, "welch"),       # classic 50% overlap
+    (1024, 2, 1024, "welch"),      # hop = nfft, frame 2*nfft (welch)
+    (1024, 1, 384, "welch"),       # lane-aligned but not nfft-divisible
+    (2048, 2, 2048, "parity"),     # parity consumes first nfft only
+])
+def test_stream_kernel_overlap_hop_matches_oracle(nfft, nint, hop, mode):
+    """The overlap-hop streaming kernel (r3 weak #4): VMEM-resident
+    element-offset slicing equals the windowed-FFT oracle for hops the
+    block-granular batch kernel cannot express."""
+    from pyspectrogram_tpu.kernels.sti_pallas import (
+        make_pallas_stream_psd,
+        pallas_stream_supported,
+    )
+
+    k, nsub = 4, 2
+    frame_len = nfft * nint
+    assert pallas_stream_supported(nfft, nint, hop, k, nsub, mode)
+    rng = np.random.default_rng(5)
+    buf = rng.standard_normal(
+        (nsub * 2, frame_len - hop + k * hop)).astype(np.float32)
+    f = make_pallas_stream_psd(nfft=nfft, nint=nint, hop=hop, mode=mode,
+                               interpret=True)
+    got = np.asarray(f(jnp.asarray(buf)))
+    want = _overlap_oracle(buf, nfft, nint, hop, k, mode)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-7)
+
+
+def test_stream_kernel_support_gates():
+    from pyspectrogram_tpu.kernels.sti_pallas import pallas_stream_supported
+
+    ok = dict(nfft=1024, nint=1, hop=512, k=4, nsub=2)
+    assert pallas_stream_supported(**ok)
+    # hop == frame_len is the contiguous kernel's case, not this one
+    assert not pallas_stream_supported(1024, 1, 1024, 4, 2)
+    # unaligned hop: frame slices would straddle lanes
+    assert not pallas_stream_supported(1024, 1, 500, 4, 2)
+    # giant transforms belong to the 3-stage kernel
+    assert not pallas_stream_supported(1 << 16, 1, 1 << 15, 4, 2)
+    # VMEM budget: an absurdly long buffer is refused
+    assert not pallas_stream_supported(16384, 1, 8192, 4096, 2)
