@@ -756,6 +756,15 @@ def _big3_vmem_bytes(nfft: int, nsub: int, precision: str) -> int:
     """Working-set estimate for the 3-stage kernel: the D matrices are
     tiny (<=128^2); the mass is the T1 twiddle, the segment block, and
     ~12 live full-segment intermediate tiles."""
+    # A matrices-only hi/lo split (constants split on host, data taking
+    # single-pass bf16 uncorrected) would make dsplit 1 and reopen
+    # balanced at 2^19-2^20 nsub=1 — MEASURED round 4 and rejected: it
+    # ran 10.4 GS/s at 2^19 (vs 6.5 exact, 12.7 display in the same
+    # loop) but its accuracy was p99 0.042 dB ~= the display tier's
+    # 0.041 (the uncorrected DATA rounding dominates; the matrices' low
+    # bits buy nothing) — i.e. a strictly-dominated slower display, not
+    # a balanced tier. The data split below IS what makes balanced
+    # balanced; its x2 premium stays.
     dsplit = 2 if precision == "balanced" else 1
     frames = nsub * 2 * nfft * 4 * 2
     consts = 2 * nfft * 4 + nfft * 4      # T1 r+i + window (D mats are KBs)
