@@ -299,6 +299,119 @@ def bench_e2e(gb=0.5, nfft=4096, nint=2, ntime=256, nsub=2,
     return total / e2e_dt, total / host_dt, meta
 
 
+def run_all(args):
+    """The --all suite: run every standard row, narrate to stderr, and
+    return machine-readable [{key, gs, p50_ms}, ...] for the snapshot /
+    regression check (each row's key is stable across rounds)."""
+    rows = []
+
+    def row(key, gs=None, p50_ms=None, **extra):
+        rows.append({"key": key,
+                     **({"gs": round(gs, 3)} if gs is not None else {}),
+                     **({"p50_ms": round(p50_ms, 4)}
+                        if p50_ms is not None else {}),
+                     **extra})
+
+    for nfft in (1024, 4096, 65536):
+        for impl in ("auto", "xla"):
+            for mode in ("welch", "parity"):
+                try:
+                    # floor of 25: short loops at big nfft are
+                    # dominated by the ~+/-3 ms dispatch jitter
+                    sps, p50, p99 = bench_sti(
+                        nfft=nfft, nint=args.nint, ntime=args.ntime,
+                        nsub=args.nsub, mode=mode, fft_impl=impl,
+                        iters=max(25, args.iters * 4096 // nfft),
+                    )
+                    print(
+                        f"# nfft={nfft:6d} {impl:5s} {mode:6s} "
+                        f"{sps/1e9:8.3f} GS/s  p50={p50*1e3:7.3f} ms  "
+                        f"p99={p99*1e3:7.3f} ms",
+                        file=sys.stderr,
+                    )
+                    row(f"sti/{nfft}/{impl}/{mode}", gs=sps / 1e9,
+                        p50_ms=p50 * 1e3)
+                except Exception as e:
+                    print(f"# nfft={nfft} {impl} {mode} FAILED: {e}",
+                          file=sys.stderr)
+    for prec, note in (("balanced", "~7e-4 dB"),
+                       ("display", "~0.12 dB, waterfall-grade")):
+        try:
+            dsps, dp50, _ = bench_sti(nfft=4096, nint=args.nint,
+                                      ntime=args.ntime, nsub=args.nsub,
+                                      iters=args.iters, precision=prec)
+            print(f"# nfft=  4096 pallas {prec}-precision "
+                  f"{dsps/1e9:8.3f} GS/s  p50={dp50*1e3:7.3f} ms "
+                  f"({note})", file=sys.stderr)
+            row(f"sti/4096/pallas/{prec}", gs=dsps / 1e9, p50_ms=dp50 * 1e3)
+        except Exception as e:
+            print(f"# {prec}-precision FAILED: {e}", file=sys.stderr)
+    try:
+        ssps, sp50 = bench_streaming(nfft=4096, iters=args.iters)
+        print(f"# streaming 4096    {ssps/1e9:8.3f} GS/s  "
+              f"p50 block->cols={sp50*1e3:7.3f} ms (target <5 ms)",
+              file=sys.stderr)
+        row("stream/4096/exact", gs=ssps / 1e9, p50_ms=sp50 * 1e3)
+    except Exception as e:
+        print(f"# streaming FAILED: {e}", file=sys.stderr)
+    try:
+        dsps, dp50 = bench_streaming(nfft=4096, iters=args.iters,
+                                     precision="display")
+        print(f"# streaming 4096 display-tier {dsps/1e9:6.3f} GS/s  "
+              f"p50 block->cols={dp50*1e3:7.3f} ms", file=sys.stderr)
+        row("stream/4096/display", gs=dsps / 1e9, p50_ms=dp50 * 1e3)
+    except Exception as e:
+        print(f"# streaming display-tier FAILED: {e}", file=sys.stderr)
+    try:
+        osps, op50 = bench_streaming(nfft=4096, hop=2048, iters=args.iters)
+        print(f"# streaming 4096 overlap hop=2048 {osps/1e9:6.3f} GS/s  "
+              f"p50 block->cols={op50*1e3:7.3f} ms", file=sys.stderr)
+        row("stream/4096/overlap2048", gs=osps / 1e9, p50_ms=op50 * 1e3)
+    except Exception as e:
+        print(f"# streaming overlap FAILED: {e}", file=sys.stderr)
+    try:
+        d = bench_display(nfft=4096)
+        print(f"# display refresh   float {d['float_bytes']/2**20:.2f} "
+              f"MiB/{d['float_ms']:.1f} ms -> tile "
+              f"{d['tile_bytes']/2**20:.2f} MiB/{d['tile_ms']:.1f} ms "
+              f"({d['byte_reduction']}x bytes, {d['speedup']}x time)",
+              file=sys.stderr)
+        row("display/4096/refresh", tile_ms=round(d["tile_ms"], 2),
+            speedup=d["speedup"])
+    except Exception as e:
+        print(f"# display FAILED: {e}", file=sys.stderr)
+    return rows
+
+
+def check_snapshot(rows, path, tolerance):
+    """Diff a fresh --all run against a pinned snapshot: every GS/s row
+    must stay within ``tolerance`` (fraction) of its pinned value, rows
+    may not disappear. Transfer-bound metrics (display tile ms) are
+    reported but not gated — the tunnel's rate swings run to run."""
+    with open(path) as f:
+        snap = {r["key"]: r for r in json.load(f)["rows"]}
+    got = {r["key"]: r for r in rows}
+    ok = True
+    for key, want in sorted(snap.items()):
+        have = got.get(key)
+        if have is None:
+            print(f"# CHECK MISSING {key} (was in snapshot)",
+                  file=sys.stderr)
+            ok = False
+            continue
+        if "gs" in want:
+            lo = want["gs"] * (1 - tolerance)
+            status = "ok" if have["gs"] >= lo else "REGRESSED"
+            if status != "ok":
+                ok = False
+            print(f"# CHECK {status:9s} {key}: {have['gs']:.3f} GS/s "
+                  f"(pinned {want['gs']:.3f}, floor {lo:.3f})",
+                  file=sys.stderr)
+    print(f"# CHECK {'PASS' if ok else 'FAIL'} vs {path} "
+          f"(tolerance {tolerance:.0%})", file=sys.stderr)
+    return ok
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true", help="full suite to stderr")
@@ -322,6 +435,15 @@ def main():
                     help="synthetic capture size for --e2e (GiB)")
     ap.add_argument("--e2e-dtype", default="c64", choices=["c64", "i16"],
                     help="capture dtype for --e2e (i16 halves the bytes)")
+    ap.add_argument("--snapshot", default=None, metavar="PATH",
+                    help="run the --all suite and pin it as JSON "
+                         "(docs/bench_snapshot.json is the checked-in pin)")
+    ap.add_argument("--check", default=None, metavar="PATH",
+                    help="run the --all suite and FAIL (exit 1) if any "
+                         "GS/s row fell below the pinned snapshot by "
+                         "more than --tolerance")
+    ap.add_argument("--tolerance", type=float, default=0.10,
+                    help="allowed fractional drop for --check (default 10%%)")
     args = ap.parse_args()
     if args.iters is None:
         # ~60 ms of device work per reading at the small-step sizes (see
@@ -359,61 +481,18 @@ def main():
         }))
         return
 
-    if args.all:
-        for nfft in (1024, 4096, 65536):
-            for impl in ("auto", "xla"):
-                for mode in ("welch", "parity"):
-                    try:
-                        # floor of 25: short loops at big nfft are
-                        # dominated by the ~+/-3 ms dispatch jitter
-                        sps, p50, p99 = bench_sti(
-                            nfft=nfft, nint=args.nint, ntime=args.ntime,
-                            nsub=args.nsub, mode=mode, fft_impl=impl,
-                            iters=max(25, args.iters * 4096 // nfft),
-                        )
-                        print(
-                            f"# nfft={nfft:6d} {impl:5s} {mode:6s} "
-                            f"{sps/1e9:8.3f} GS/s  p50={p50*1e3:7.3f} ms  "
-                            f"p99={p99*1e3:7.3f} ms",
-                            file=sys.stderr,
-                        )
-                    except Exception as e:
-                        print(f"# nfft={nfft} {impl} {mode} FAILED: {e}",
-                              file=sys.stderr)
-        for prec, note in (("balanced", "~7e-4 dB"),
-                           ("display", "~0.12 dB, waterfall-grade")):
-            try:
-                dsps, dp50, _ = bench_sti(nfft=4096, nint=args.nint,
-                                          ntime=args.ntime, nsub=args.nsub,
-                                          iters=args.iters, precision=prec)
-                print(f"# nfft=  4096 pallas {prec}-precision "
-                      f"{dsps/1e9:8.3f} GS/s  p50={dp50*1e3:7.3f} ms "
-                      f"({note})", file=sys.stderr)
-            except Exception as e:
-                print(f"# {prec}-precision FAILED: {e}", file=sys.stderr)
-        try:
-            ssps, sp50 = bench_streaming(nfft=4096, iters=args.iters)
-            print(f"# streaming 4096    {ssps/1e9:8.3f} GS/s  "
-                  f"p50 block->cols={sp50*1e3:7.3f} ms (target <5 ms)",
+    if args.all or args.check or args.snapshot:
+        rows = run_all(args)
+        if args.snapshot:
+            with open(args.snapshot, "w") as f:
+                json.dump({"rows": rows, "config": {
+                    "nint": args.nint, "ntime": args.ntime,
+                    "nsub": args.nsub}}, f, indent=1)
+            print(f"# snapshot -> {args.snapshot} ({len(rows)} rows)",
                   file=sys.stderr)
-        except Exception as e:
-            print(f"# streaming FAILED: {e}", file=sys.stderr)
-        try:
-            dsps, dp50 = bench_streaming(nfft=4096, iters=args.iters,
-                                         precision="display")
-            print(f"# streaming 4096 display-tier {dsps/1e9:6.3f} GS/s  "
-                  f"p50 block->cols={dp50*1e3:7.3f} ms", file=sys.stderr)
-        except Exception as e:
-            print(f"# streaming display-tier FAILED: {e}", file=sys.stderr)
-        try:
-            d = bench_display(nfft=4096)
-            print(f"# display refresh   float {d['float_bytes']/2**20:.2f} "
-                  f"MiB/{d['float_ms']:.1f} ms -> tile "
-                  f"{d['tile_bytes']/2**20:.2f} MiB/{d['tile_ms']:.1f} ms "
-                  f"({d['byte_reduction']}x bytes, {d['speedup']}x time)",
-                  file=sys.stderr)
-        except Exception as e:
-            print(f"# display FAILED: {e}", file=sys.stderr)
+        if args.check:
+            if not check_snapshot(rows, args.check, args.tolerance):
+                sys.exit(1)
 
     sps, p50, _ = bench_sti(nfft=args.nfft, nint=args.nint, ntime=args.ntime,
                             nsub=args.nsub, iters=args.iters,
