@@ -388,15 +388,19 @@ class StreamingSti:
             fn = self._put(self._tile_fns, crop, f, 16)
         return fn
 
-    def median_psd(self, state: StreamState,
-                   n_cols: Optional[int] = None) -> np.ndarray:
+    def median_psd(self, state: StreamState, n_cols: Optional[int] = None,
+                   total_cols: Optional[int] = None) -> np.ndarray:
         """Median dBFS PSD over the valid ring columns (median taken in
         linear power, like the batch path; reference: drfProc.py:401).
 
         ``n_cols`` restricts the median to the NEWEST n_cols columns (the
         live trailing-window semantics, reference: drfProc.py:291-293);
-        default is every valid column."""
-        n = self.valid_cols(state)
+        default is every valid column. ``total_cols`` lets a caller that
+        tracks the push count host-side (runtime.live) skip the device
+        scalar readback valid_cols() costs (~32 ms on tunneled
+        transports)."""
+        n = (min(int(total_cols), self.ring_len) if total_cols is not None
+             else self.valid_cols(state))
         if n == 0:
             raise ValueError("no columns pushed yet")
         if n_cols is not None:

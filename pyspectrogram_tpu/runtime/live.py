@@ -98,6 +98,15 @@ class LiveStreamEngine:
             precision=cfg.precision, mesh=mesh,
         )
         self.state = self.sti.init_state()
+        # host-side shadows of device state: the engine knows exactly how
+        # many columns it pushed, so no tick ever reads the total back
+        # from the device (a scalar readback is ~32 ms on the tunnel)
+        self.total_cols = 0
+        # per-column validity, same rotating storage as the device ring:
+        # a column computed over zero-filled gap samples is flagged, like
+        # the batch path's mask (SURVEY.md section 5 failure detection;
+        # the reference crashed on gaps)
+        self.col_mask = np.ones(ring_len, bool)
         # anchor at the current trailing window (cold start reads at most
         # one window, never the whole capture)
         self.start_sample = max(lo, hi + 1 - self.window_cols * self.hop)
@@ -119,13 +128,20 @@ class LiveStreamEngine:
             # saw it. Restart the ring at the new trailing window instead
             # of reading stale samples (keeps reads O(window) worst-case).
             self.state = self.sti.init_state()
+            self.total_cols = 0
+            self.col_mask[:] = True
             self.start_sample = hi + 1 - max_backlog
             self.next_sample = self.start_sample
         n_blocks = 0
         block_sh = self.sti.block_sharding()
         while hi + 1 - self.next_sample >= self.block_len:
-            raw = self.ds.reader.read_vector_raw(
-                self.next_sample, self.block_len, self.chan)
+            raw, mask = self.ds.reader.read_vector_raw(
+                self.next_sample, self.block_len, self.chan,
+                return_mask=True)
+            rows = (self.total_cols
+                    + np.arange(self.cols_per_block)) % self.sti.ring_len
+            self.col_mask[rows] = mask.reshape(
+                self.cols_per_block, self.hop).all(axis=1)
             self.samples_read += self.block_len
             if self.isub is not None:
                 raw = raw[:, self.isub : self.isub + 1]
@@ -137,6 +153,7 @@ class LiveStreamEngine:
 
                 blk = jax.device_put(blk, block_sh)
             self.state, _ = self.sti.push(self.state, blk)
+            self.total_cols += self.cols_per_block
             self.next_sample += self.block_len
             n_blocks += 1
         return n_blocks
@@ -147,7 +164,7 @@ class LiveStreamEngine:
         from the ring (no recompute of already-pushed columns). Returns
         None while the capture is still shorter than one column."""
         self._push_new()
-        total = int(self.state.total_cols)
+        total = self.total_cols            # host-tracked: no readback
         if total == 0:
             return None
         self._iteration += 1
@@ -156,7 +173,8 @@ class LiveStreamEngine:
         n_target = max(1, min(cfg.ntime, W))
         stride = -(-W // n_target)                       # ceil
         n_disp = -(-W // stride)
-        cols = self.sti.strided_cols(self.state, n_disp, stride)
+        cols = (total - 1) - stride * np.arange(n_disp - 1, -1, -1,
+                                                dtype=np.int64)
         keep = cols >= 0
 
         freqs = stft.shifted_freqs(cfg.nfft, self.sr)
@@ -175,7 +193,8 @@ class LiveStreamEngine:
             tile, plot_freqs = view, tile_freqs(spec, freqs)
         else:
             sxx_dbfs = stft.to_reference_layout(view)
-        med = self.sti.median_psd(self.state, n_cols=W)  # (nsub, nfft)
+        med = self.sti.median_psd(self.state, n_cols=W,
+                                  total_cols=total)      # (nsub, nfft)
         kept_cols = cols[keep]
         starts = self.start_sample + kept_cols * self.hop
         return StiResult(
@@ -186,6 +205,7 @@ class LiveStreamEngine:
             sxx_med_dbfs=np.moveaxis(med, -1, 0),
             sample_rate=self.sr,
             frame_starts=np.asarray(starts),
+            mask=self.col_mask[kept_cols % self.sti.ring_len],
             tile=tile,
             plot_freqs=plot_freqs,
         )

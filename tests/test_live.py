@@ -221,3 +221,28 @@ def test_processor_streaming_is_incremental(tone_capture):
     assert sum(spans) <= window_samples + proc._live.engine.block_len
     # all five refreshes still produced full payloads from the ring
     assert all(e.sxx_med_dbfs.shape == (128, 2) for e in events)
+
+
+def test_live_gap_columns_flagged(tmp_path):
+    """Columns computed over zero-filled gap samples carry mask=False
+    (the batch path's gap semantics; the reference crashed on gaps)."""
+    n0 = 20_000
+    w = _growing_writer(tmp_path, n0)
+    # leave a 4_000-sample hole, then continue (global_index > head)
+    gap, n1 = 4_000, 16_000
+    w.rf_write(tone_signal(n1, SR, [12_500.0],
+                           start_sample=n0 + gap).astype(np.complex64),
+               global_index=START + n0 + gap)
+    ds = RFDataset(tmp_path)
+    cfg = SpectrogramConfig(nfft=64, ntime=1000, stream_seconds=0.4,
+                            streaming=True)
+    eng = LiveStreamEngine(ds, cfg, target_block_samples=4096)
+    res = eng.tick(cfg)
+    assert res.mask is not None and res.mask.shape == res.times.shape
+    # window (40000 samples) covers the gap: some columns invalid
+    assert (~res.mask).any() and res.mask.any()
+    # flagged columns are exactly those whose frame touches the hole
+    hole_lo, hole_hi = START + n0, START + n0 + gap
+    overlaps = ((res.frame_starts < hole_hi)
+                & (res.frame_starts + 64 > hole_lo))
+    np.testing.assert_array_equal(~res.mask, overlaps)
