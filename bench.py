@@ -383,13 +383,22 @@ def run_all(args):
     return rows
 
 
-def check_snapshot(rows, path, tolerance):
+def check_snapshot(rows, path, tolerance, config=None):
     """Diff a fresh --all run against a pinned snapshot: every GS/s row
     must stay within ``tolerance`` (fraction) of its pinned value, rows
     may not disappear. Transfer-bound metrics (display tile ms) are
-    reported but not gated — the tunnel's rate swings run to run."""
+    reported but not gated — the tunnel's rate swings run to run.
+    Refuses outright if the run's shape knobs differ from the pin's —
+    the row keys don't encode them, so the numbers would be
+    incomparable."""
     with open(path) as f:
-        snap = {r["key"]: r for r in json.load(f)["rows"]}
+        pinned = json.load(f)
+    if config is not None and pinned.get("config") not in (None, config):
+        print(f"# CHECK REFUSED: run config {config} != pinned "
+              f"{pinned['config']} — rerun with the pin's knobs or "
+              f"re-snapshot", file=sys.stderr)
+        return False
+    snap = {r["key"]: r for r in pinned["rows"]}
     got = {r["key"]: r for r in rows}
     ok = True
     for key, want in sorted(snap.items()):
@@ -491,7 +500,10 @@ def main():
             print(f"# snapshot -> {args.snapshot} ({len(rows)} rows)",
                   file=sys.stderr)
         if args.check:
-            if not check_snapshot(rows, args.check, args.tolerance):
+            cfg = {"nint": args.nint, "ntime": args.ntime,
+                   "nsub": args.nsub}
+            if not check_snapshot(rows, args.check, args.tolerance,
+                                  config=cfg):
                 sys.exit(1)
 
     sps, p50, _ = bench_sti(nfft=args.nfft, nint=args.nint, ntime=args.ntime,

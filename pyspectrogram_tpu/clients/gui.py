@@ -723,7 +723,11 @@ class MainWindow(QtWidgets.QMainWindow):
         if st is None:
             return
         st.save_btn.setText("Save File(s)…")
-        st.save_btn.setEnabled(True)
+        # a new run may have started while the save worker was in
+        # flight — the button stays stop-gated like the reference's
+        # (drfview.py:1343), not re-armed mid-run
+        running = st.processor is not None and st.processor.is_running
+        st.save_btn.setEnabled(not running and st.last is not None)
         if err is not None:
             self._warn(f"Save failed: {err}")
 

@@ -322,31 +322,7 @@ def make_pallas_sti_psd(
         # "display" = raw single pass (~0.12 dB, fastest).
         out_ref, accum = rest[-2], rest[-1]
         twr, twi = rest[-4][...], rest[-3][...]
-        dref = rest[:-4]
-        if use_gauss:
-            load_d3, cdot_l, cdot_r = _complex_gemm_ops(precision)
-            d1 = load_d3(dref[0:3])
-            d2 = load_d3(dref[3:6])
-
-            def cprod_l(x):
-                return cdot_l(d1, x)
-
-            def cprod_r(z):
-                return cdot_r(z, d2)
-        else:
-            load_d, xsplit, mdot, mdot2 = _mm_ops(precision)
-            d1r, d1i = load_d(dref[0]), load_d(dref[1])
-            d2r, d2i = load_d(dref[2]), load_d(dref[3])
-
-            def cprod_l(x):
-                xr, xi = xsplit(x[0]), xsplit(x[1])
-                return (mdot(d1r, xr) - mdot(d1i, xi),
-                        mdot(d1r, xi) + mdot(d1i, xr))
-
-            def cprod_r(z):
-                zr, zi = xsplit(z[0]), xsplit(z[1])
-                return (mdot2(zr, d2r) - mdot2(zi, d2i),
-                        mdot2(zr, d2i) + mdot2(zi, d2r))
+        cprod_l, cprod_r = _stage_prods(rest[:-4], precision, use_gauss)
         win = win_ref[...]
         h = n2 // 2
 
@@ -578,9 +554,14 @@ def pallas_stream_supported(nfft: int, nint: int, hop: int, k: int,
         return False
     n1, n2 = lane_factors(nfft)
     buf_len = frame_len - hop + k * hop
-    const_bytes = (n1 * n1 + n2 * n2 + 3 * n1 * n2) * 4
-    if precision == "balanced":
-        const_bytes *= 2
+    # count the ACTUAL constant set the kernel ships: 3 stage matrices
+    # per stage under Gauss (dr, di, dr+di) else 2, each doubled by the
+    # balanced tier's hi/lo split; plus twiddle r/i + window
+    nseg = nint if mode == "welch" else 1
+    stage_mats = 3 if (precision == "exact" and nseg >= 2) else 2
+    split = 2 if precision == "balanced" else 1
+    const_bytes = (stage_mats * split * (n1 * n1 + n2 * n2)
+                   + 3 * n1 * n2) * 4
     need = (nsub * 2 * buf_len * 4        # resident buffer
             + nsub * nfft * 4             # one out column block
             + const_bytes + 4 * n1 * n2 * 4)  # consts + scratch/temps

@@ -154,7 +154,8 @@ def make_bigfft_sti_fn(
           device) — see frames_to_x2; the last (q) axis sharded with
           ``f.input_sharding``;
       qparams: display-tile color range operand (TileSpec.qparams);
-          accepted only with ``tile``.
+          REQUIRED with ``tile`` (the factory tile is crop_key-
+          canonicalized, so there is no meaningful default range).
     Without ``tile`` returns {"sxx_dbfs": (ntime, nsub, n1, n2) k-matrix
     dB, sharded over the n1 (k1) axis; "sxx_med_dbfs": (nsub, n1, n2)
     likewise} — convert assembled arrays with :func:`to_freq_order`.
@@ -265,18 +266,25 @@ def make_bigfft_sti_fn(
 
         flat_idx = jnp.asarray(
             _kmatrix_flat_indices(tile.plot_indices, n1, n2))
-        default_q = tile.qparams
 
-        @functools.partial(jax.jit, static_argnums=())
-        def sti(x2: jax.Array, qparams=None) -> dict:
-            if qparams is None:
-                qparams = default_q
+        @jax.jit
+        def _sti_tiled(x2: jax.Array, qparams) -> dict:
             sxx, med = fn(x2, win_j, twr_j, twi_j, *d_j)
             # gather the tile's natural-order bins out of the k-matrix on
             # device (plot_n <= 2^15 elements), quantize, read back uint8
             db = sxx.reshape(sxx.shape[:2] + (n1 * n2,))[..., flat_idx]
             return {"tile": quantize_db_tile(db, tile, qparams),
                     "sxx_med_dbfs": med}
+
+        def sti(x2: jax.Array, qparams=None) -> dict:
+            # the factory's tile is crop_key-canonicalized (cmin 0,
+            # cmax 1), so there is NO meaningful default color range —
+            # the real range always arrives as the runtime operand
+            if qparams is None:
+                raise ValueError(
+                    "tile mode requires the color-range operand: pass "
+                    "the display TileSpec's .qparams")
+            return _sti_tiled(x2, qparams)
 
     sti.input_sharding = NamedSharding(
         mesh, P(None, None, None, None, None, axis))

@@ -164,6 +164,7 @@ class SpectrogramProcessor:
                     sxx_med_dbfs=result.sxx_med_dbfs,
                     tile=result.tile,
                     plot_freqs=result.plot_freqs,
+                    mask=result.mask,
                 ))
                 if self.max_iterations is not None and i + 1 >= self.max_iterations:
                     self._terminate(TerminateReason.OK)

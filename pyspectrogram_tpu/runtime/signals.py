@@ -33,6 +33,9 @@ class Iterated:
     #: display-tile mode: uint8 levels (ntime, nsub, nplot) + plot axis
     tile: Optional[np.ndarray] = None
     plot_freqs: Optional[np.ndarray] = None
+    #: (ntime,) column validity — False where the column was computed
+    #: over zero-filled gap samples (the reference crashed on gaps)
+    mask: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass(frozen=True)

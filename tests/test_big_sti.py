@@ -219,6 +219,10 @@ def test_bigfft_device_tile_matches_host_quantize():
     out = tiled(x2, spec.qparams)
     want = tile_from_db(db, spec)
     np.testing.assert_array_equal(np.asarray(out["tile"]), want)
+    # the factory tile is crop_key-canonicalized: there is no meaningful
+    # default color range, so omitting qparams must refuse loudly
+    with pytest.raises(ValueError, match="qparams"):
+        tiled(x2)
     # median still emitted (k-matrix) and floats absent
     assert "sxx_dbfs" not in out
     assert to_freq_order(out["sxx_med_dbfs"]).shape == (nsub, nfft)

@@ -219,8 +219,10 @@ def test_processor_streaming_is_incremental(tone_capture):
     window_samples = proc._live.engine.window_cols * proc._live.engine.hop
     # static capture: everything after the initial fill reads nothing
     assert sum(spans) <= window_samples + proc._live.engine.block_len
-    # all five refreshes still produced full payloads from the ring
+    # all five refreshes still produced full payloads from the ring,
+    # including the column-validity mask (gap flags reach clients)
     assert all(e.sxx_med_dbfs.shape == (128, 2) for e in events)
+    assert all(e.mask is not None and e.mask.all() for e in events)
 
 
 def test_live_gap_columns_flagged(tmp_path):
