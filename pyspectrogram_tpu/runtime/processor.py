@@ -64,7 +64,13 @@ class SpectrogramProcessor:
         streaming_sleep: float = 0.08,
         max_iterations: Optional[int] = None,
         init_timeout_s: float = 10.0,
+        mesh=None,
     ):
+        """``mesh`` (a parallel.make_mesh Mesh) runs every iteration's
+        compute multi-chip: written mode dispatches through
+        StiPipeline(mesh=...) (column/chan sharding or the dist-FFT
+        tier), streaming mode chan-shards the live ring
+        (StreamingSti(mesh=...))."""
         self.tab_id = tab_id
         self.callbacks = callbacks or ProcessorCallbacks()
         self.written_sleep = written_sleep
@@ -90,7 +96,7 @@ class SpectrogramProcessor:
             return
         try:
             self.ds = RFDataset(drfdir)
-            self.pipeline = StiPipeline(self.ds, self._config)
+            self.pipeline = StiPipeline(self.ds, self._config, mesh=mesh)
         except Exception:
             self._terminate(TerminateReason.MISSING_PATH)
             return

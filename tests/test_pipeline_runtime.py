@@ -258,3 +258,37 @@ def test_processor_settings_hammer_threadsafe(tone_capture):
     # every result must be one of the coherent (nfft, ntime) pairs —
     # never a torn combination like (128, 6)
     assert set(results) <= {(64, 4), (128, 5), (256, 6)}
+
+
+def test_processor_runs_meshed(tone_capture):
+    """SpectrogramProcessor(mesh=...) routes every iteration through the
+    multi-chip dispatch — written mode via the sharded StiPipeline,
+    streaming mode via the chan-sharded live ring (CPU mesh)."""
+    from pyspectrogram_tpu.parallel import make_mesh
+
+    top, meta = tone_capture
+    mesh = make_mesh(time_parallel=4, chan_parallel=2)  # 2 subchannels
+    events, cb = _collector()
+    proc = SpectrogramProcessor(
+        "written", top, tab_id=11,
+        config=SpectrogramConfig(nfft=128, ntime=6),
+        callbacks=cb, written_sleep=0.0, max_iterations=2, mesh=mesh,
+    )
+    assert proc.pipeline.mesh is mesh
+    proc.run()
+    it = events["iterated"][-1]
+    assert it.sxx_dbfs.shape == (128, 6, 2)
+    assert np.isfinite(it.sxx_dbfs).all()
+
+    # streaming: the live engine inherits the mesh (chan-sharded ring)
+    events2, cb2 = _collector()
+    proc2 = SpectrogramProcessor(
+        "streaming", top, tab_id=12,
+        config=SpectrogramConfig(nfft=128, ntime=6, stream_seconds=0.005),
+        callbacks=cb2, streaming_sleep=0.0, max_iterations=2, mesh=mesh,
+    )
+    proc2.run()
+    assert proc2._live.engine.sti.mesh is mesh
+    it2 = events2["iterated"][-1]
+    assert it2.sxx_med_dbfs.shape == (128, 2)
+    assert np.isfinite(it2.sxx_med_dbfs).all()
