@@ -101,7 +101,8 @@ def pallas_auto_profitable(nfft: int, nint: int = 1, nsub: int = 1,
     """Where the fused kernel beats XLA (measured on v5e, amortized-loop
     timing). On the contiguous production layout the wide (lane-folded)
     column batching wins all the way down to the kernel's 256-pt floor
-    (256: 2.38 vs 1.67, 512: 4.08 vs 2.31, 1024: 7.05 vs 2.21 GS/s);
+    (round-4 deep-fold ladder, tb up to 128: 256-pt 4.2 vs 1.7,
+    512: 7.2 vs 2.3, 1024: 12.6 vs 2.2 GS/s);
     gathered (arbitrary-start) paths can't lane-fold, so below 1024 the
     per-column stage-1 matmuls underfeed the MXU and XLA wins there.
     From 65536 the Gauss'd 3-stage per-segment kernel sustains
@@ -404,15 +405,18 @@ def make_pallas_sti_psd(
 
     def _pick_tb(ntime: int, nsub: int) -> int:
         # batching several columns per grid step amortizes per-step
-        # overhead: a clear win at 1024 (2.15 -> 2.70 GS/s, tb=8) and
-        # neutral-to-positive at 4096-32768 under the raised VMEM cap
-        # (full-step 4096 holds ~7.0; psd-only 32768 12.1 -> 13.3 —
-        # the round-1 "4096 regressed" finding was an artifact of the
-        # old 6 MB block budget). Contiguous full-consumption only
-        # (parity would over-fetch).
+        # overhead AND (wide path) deepens the lane-folded GEMMs — the
+        # small-nfft stage-1 contraction depth is nfft/128, so folding
+        # more columns under the lanes is where the MXU fill comes from.
+        # Measured ladder (v5e, welch nint=4 ntime=128 nsub=2, round 4):
+        # 1024: tb=8 8.95 -> 16 10.3 -> 32 11.6 -> 64 12.1 -> 128 12.6
+        # GS/s; 4096: 8 12.9 -> 32 13.7 (display tier 21.8 -> 31.0);
+        # 256/512: 2.4/4.1 -> 4.2/7.2. tb=256 measured +3% over 128 at
+        # 256-pt and compiles materially slower — capped at 128.
+        # Contiguous full-consumption only (parity would over-fetch).
         if not contiguous or gather_len != nfft * nint:
             return 1
-        for tb in (8, 4, 2):
+        for tb in (128, 64, 32, 16, 8, 4, 2):
             if ntime % tb == 0 and nsub * 2 * tb * gather_len * 8 <= MAX_BLOCK_BYTES:
                 return tb
         return 1
