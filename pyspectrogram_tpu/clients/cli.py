@@ -297,10 +297,12 @@ def cmd_watch(args) -> int:
     def on_iter(e):
         peak = float(e.sxx_med_dbfs[:, args.subchannel].max())
         ncols = len(e.times)
+        ngap = int((~e.mask).sum()) if e.mask is not None else 0
         print(f"# iter {e.i}: {ncols} cols, "
               f"peak {peak:6.1f} dBFS, "
               f"span {np.datetime_as_string(e.times[0], unit='s')[11:]} .. "
-              f"{np.datetime_as_string(e.times[-1], unit='s')[11:]}",
+              f"{np.datetime_as_string(e.times[-1], unit='s')[11:]}"
+              + (f", {ngap} gap cols" if ngap else ""),
               file=_sys.stderr)
         last["e"] = e
 

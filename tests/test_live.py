@@ -248,3 +248,46 @@ def test_live_gap_columns_flagged(tmp_path):
     overlaps = ((res.frame_starts < hole_hi)
                 & (res.frame_starts + 64 > hole_lo))
     np.testing.assert_array_equal(~res.mask, overlaps)
+
+
+def test_live_ring_wrap_long_run(tmp_path):
+    """Many wraps of the ring: the col -> storage-row mapping (and the
+    host mask shadow) stay correct long after total_cols exceeds
+    ring_len (the rotating-storage arithmetic is the subtle part)."""
+    import jax.numpy as jnp
+
+    from pyspectrogram_tpu.models.sti import assemble_device_block
+    from pyspectrogram_tpu.ops import stft
+
+    n0 = 12_800
+    w = _growing_writer(tmp_path, n0)
+    ds = RFDataset(tmp_path)
+    # window 0.04 s -> 62.5 cols at nfft 64 -> W=63, ring 64; ntime >= W
+    cfg = SpectrogramConfig(nfft=64, ntime=64, stream_seconds=0.04,
+                            streaming=True)
+    eng = LiveStreamEngine(ds, cfg, target_block_samples=2048)
+    eng.tick(cfg)
+    total_written = n0
+    for _ in range(6):  # ~5x the ring length in total columns
+        delta = 3_200
+        w.rf_write(tone_signal(delta, SR, [12_500.0],
+                               start_sample=total_written)
+                   .astype(np.complex64))
+        total_written += delta
+        ds.bnds_update()
+        res = eng.tick(cfg)
+    assert eng.total_cols > 4 * eng.sti.ring_len  # wrapped repeatedly
+    assert res.mask.all()
+    assert np.all(np.diff(res.frame_starts) == eng.hop * 1)
+    # every displayed column equals a from-scratch recompute of the same
+    # frames — the mapping survived the wraps
+    chan = "live"
+    fn = stft.make_sti_fn_pm(nfft=64, nint=1, mode=cfg.mode,
+                             window=cfg.window, ref=ds.ref_dict[chan],
+                             contiguous=True)
+    pm, starts_rel, _ = assemble_device_block(
+        ds, chan, None, res.frame_starts, 64)
+    out = fn(jnp.asarray(pm), jnp.asarray(starts_rel))
+    want = stft.to_reference_layout(
+        np.asarray(out["sxx_dbfs"])[: len(res.frame_starts)])
+    np.testing.assert_allclose(res.sxx_dbfs, want, atol=1e-4)
