@@ -447,6 +447,65 @@ class StreamingSti:
         q = spec.qparams if spec is not None else np.zeros(2, np.float32)
         return np.asarray(fn(state.ring, state.total_cols, q))
 
+    def refresh_view(self, state: StreamState, n_disp: int, stride: int,
+                     spec=None, n_med: Optional[int] = None,
+                     total_cols: Optional[int] = None):
+        """One-program live refresh: the stride-decimated trailing-window
+        view AND the windowed median PSD from a single jitted call.
+        Measured on the tunneled v5e: steady-state tick latency is
+        UNCHANGED (~57 ms — the two separate readbacks already pipelined
+        behind one round-trip), but cold start compiles one fewer remote
+        program (2 instead of 3) and the tick makes one dispatch.
+
+        Returns (view, med_db): ``view`` as in :meth:`snapshot_strided`
+        (uint8 tile with ``spec``, float dBFS without); ``med_db``
+        (nsub, nfft) over the newest ``n_med`` valid columns.
+        Single-device only — with a mesh the median needs its shard_map,
+        so callers fall back to the two-call path there."""
+        if self.mesh is not None:
+            raise ValueError("refresh_view is single-device; use "
+                             "snapshot_strided + median_psd on a mesh")
+        if stride < 1 or n_disp < 1:
+            raise ValueError("n_disp and stride must be >= 1")
+        if stride * (n_disp - 1) >= self.ring_len:
+            raise ValueError(
+                f"window span {stride * (n_disp - 1) + 1} cols exceeds the "
+                f"ring ({self.ring_len}) — selected rows would alias")
+        total = (int(total_cols) if total_cols is not None
+                 else int(state.total_cols))
+        n = min(total, self.ring_len)
+        if n == 0:
+            raise ValueError("no columns pushed yet")
+        if n_med is not None:
+            n = min(n, int(n_med))
+        crop = None if spec is None else spec.crop_key()
+        key = ("refresh", n_disp, stride, crop, n)
+        fn = self._tile_fns.get(key)
+        if fn is None:
+            ring_len, eps = self.ring_len, self.eps
+            if crop is not None:
+                from pyspectrogram_tpu.display.tile import (
+                    quantize_tile_linear,
+                )
+
+            @jax.jit
+            def f(ring, total_cols, qparams):
+                cols = (total_cols - 1) - stride * jnp.arange(
+                    n_disp - 1, -1, -1, dtype=jnp.int32)
+                sel = jnp.take(ring, jnp.mod(cols, ring_len), axis=0)
+                view = (to_dbfs(sel, eps) if crop is None
+                        else quantize_tile_linear(sel, crop, eps, qparams))
+                # newest n columns, straight from rotated storage (no
+                # de-roll: row of column c is c % ring_len)
+                mcols = total_cols - n + jnp.arange(n, dtype=jnp.int32)
+                msel = jnp.take(ring, jnp.mod(mcols, ring_len), axis=0)
+                return view, to_dbfs(median_over_time(msel), eps)
+
+            fn = self._put(self._tile_fns, key, f, 16)
+        q = spec.qparams if spec is not None else np.zeros(2, np.float32)
+        view, med = fn(state.ring, state.total_cols, q)
+        return np.asarray(view), np.asarray(med)
+
     def _strided_fn(self, n_disp: int, stride: int, crop):
         key = ("strided", n_disp, stride, crop)
         fn = self._tile_fns.get(key)

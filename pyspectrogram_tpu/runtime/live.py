@@ -185,16 +185,26 @@ class LiveStreamEngine:
             spec = make_tile_spec(freqs, cfg.freq_window_khz,
                                   cfg.color_range_db)
         tile = plot_freqs = sxx_dbfs = None
-        view = self.sti.snapshot_strided(self.state, n_disp, stride,
-                                         spec=spec)[keep]
+        if self.mesh is None:
+            # one fused device program for view + median: one dispatch
+            # per refresh and one fewer remote compile at cold start
+            # (steady-state latency measured unchanged — the separate
+            # readbacks already pipelined behind one round-trip)
+            view, med = self.sti.refresh_view(
+                self.state, n_disp, stride, spec=spec, n_med=W,
+                total_cols=total)
+        else:
+            view = self.sti.snapshot_strided(self.state, n_disp, stride,
+                                             spec=spec)
+            med = self.sti.median_psd(self.state, n_cols=W,
+                                      total_cols=total)  # (nsub, nfft)
+        view = view[keep]
         if spec is not None:
             from pyspectrogram_tpu.display.tile import tile_freqs
 
             tile, plot_freqs = view, tile_freqs(spec, freqs)
         else:
             sxx_dbfs = stft.to_reference_layout(view)
-        med = self.sti.median_psd(self.state, n_cols=W,
-                                  total_cols=total)      # (nsub, nfft)
         kept_cols = cols[keep]
         starts = self.start_sample + kept_cols * self.hop
         return StiResult(

@@ -323,3 +323,33 @@ def test_streaming_per_sub_big_kernel_split(monkeypatch):
     st2, cols2 = s2.push(s2.init_state(), jnp.asarray(block))
     np.testing.assert_allclose(np.asarray(cols), np.asarray(cols2),
                                rtol=0, atol=2e-2)  # dB tolerance
+
+
+def test_refresh_view_matches_separate_calls():
+    """The fused live refresh (one program: strided view + windowed
+    median) equals snapshot_strided + median_psd, tile and float modes."""
+    from pyspectrogram_tpu.display import make_tile_spec
+    from pyspectrogram_tpu.ops import stft as _stft
+
+    rng = np.random.default_rng(44)
+    nfft, k, ring_len = 128, 4, 24
+    s = StreamingSti(nfft=nfft, nint=1, nsub=2, block_len=nfft * k,
+                     ring_len=ring_len, window="boxcar")
+    state = s.init_state()
+    total = 0
+    for _ in range(7):  # wraps
+        b = rng.standard_normal((4, nfft * k)).astype(np.float32)
+        state, _ = s.push(state, jnp.asarray(b))
+        total += k
+    view, med = s.refresh_view(state, 6, 3, n_med=20, total_cols=total)
+    np.testing.assert_allclose(view, s.snapshot_strided(state, 6, 3),
+                               atol=1e-5)
+    np.testing.assert_allclose(med, s.median_psd(state, n_cols=20),
+                               atol=1e-5)
+    spec = make_tile_spec(_stft.shifted_freqs(nfft, 100_000),
+                          (-40.0, 40.0), (-100.0, -30.0))
+    tview, tmed = s.refresh_view(state, 6, 3, spec=spec, n_med=20,
+                                 total_cols=total)
+    np.testing.assert_array_equal(
+        tview, s.snapshot_strided(state, 6, 3, spec=spec))
+    np.testing.assert_allclose(tmed, med, atol=1e-6)
