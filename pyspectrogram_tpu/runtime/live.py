@@ -173,6 +173,16 @@ class LiveStreamEngine:
         n_target = max(1, min(cfg.ntime, W))
         stride = -(-W // n_target)                       # ceil
         n_disp = -(-W // stride)
+        # Median span while the window is still FILLING: the device
+        # median programs are compiled per static column count, and on a
+        # young capture `total` grows every tick — asking for min(total,
+        # W) exactly would compile a fresh remote program (20-80 s on the
+        # tunnel) per tick and thrash the bounded program caches. Ride a
+        # geometric ladder instead: median over the newest floor-pow2
+        # columns until the window fills, then exactly W forever — at
+        # most log2(W)+1 programs per ring lifetime.
+        n_valid = min(total, W)
+        n_med = W if n_valid >= W else 1 << (n_valid.bit_length() - 1)
         cols = (total - 1) - stride * np.arange(n_disp - 1, -1, -1,
                                                 dtype=np.int64)
         keep = cols >= 0
@@ -191,12 +201,12 @@ class LiveStreamEngine:
             # (steady-state latency measured unchanged — the separate
             # readbacks already pipelined behind one round-trip)
             view, med = self.sti.refresh_view(
-                self.state, n_disp, stride, spec=spec, n_med=W,
+                self.state, n_disp, stride, spec=spec, n_med=n_med,
                 total_cols=total)
         else:
             view = self.sti.snapshot_strided(self.state, n_disp, stride,
                                              spec=spec)
-            med = self.sti.median_psd(self.state, n_cols=W,
+            med = self.sti.median_psd(self.state, n_cols=n_med,
                                       total_cols=total)  # (nsub, nfft)
         view = view[keep]
         if spec is not None:

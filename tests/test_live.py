@@ -291,3 +291,39 @@ def test_live_ring_wrap_long_run(tmp_path):
     want = stft.to_reference_layout(
         np.asarray(out["sxx_dbfs"])[: len(res.frame_starts)])
     np.testing.assert_allclose(res.sxx_dbfs, want, atol=1e-4)
+
+
+def test_fillup_median_span_rides_a_ladder(tmp_path):
+    """While the window FILLS on a young capture, every tick has a new
+    total column count — but the device median programs are compiled per
+    static count, and a remote TPU compile is 20-80 s. The engine must
+    quantize the fill-up median span to a geometric ladder (floor-pow2,
+    then exactly W) so the number of compiled refresh programs stays
+    O(log W), not O(ticks)."""
+    n0 = 8_192
+    w = _growing_writer(tmp_path, n0)
+    ds = RFDataset(tmp_path)
+    # window 0.5 s -> W = ceil(50000/64) = 782 cols; blocks of 64 cols
+    cfg = SpectrogramConfig(nfft=64, ntime=16, stream_seconds=0.5,
+                            streaming=True)
+    eng = LiveStreamEngine(ds, cfg, target_block_samples=4096)
+    total_written = n0
+    n_ticks = 0
+    while eng.total_cols < eng.window_cols + 2 * eng.cols_per_block:
+        eng.tick(cfg)
+        n_ticks += 1
+        delta = 4_096
+        w.rf_write(tone_signal(delta, SR, [12_500.0],
+                               start_sample=total_written)
+                   .astype(np.complex64))
+        total_written += delta
+        ds.bnds_update()
+    assert n_ticks >= 10  # the fill-up really spanned many distinct totals
+    meds = sorted(k[4] for k in eng.sti._tile_fns if k[0] == "refresh")
+    # floor-pow2 ladder during fill, exactly W once full — never one
+    # program per tick
+    W = eng.window_cols
+    assert len(meds) <= int(np.log2(W)) + 2
+    for n in meds:
+        assert n == W or (n & (n - 1)) == 0, meds
+    assert meds[-1] == W  # steady state reached: exact full-window median
