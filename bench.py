@@ -113,12 +113,14 @@ def bench_streaming(nfft=4096, nint=1, nsub=2, cols_per_block=8,
     (north-star target: < 5 ms, BASELINE.md). ``hop`` < nfft*nint
     measures the overlap-save configuration (columns overlap; the
     dedicated VMEM-resident kernel when supported)."""
-    # pushes are fast (~5-20 us with the rotating ring); amortize enough
+    # pushes are fast (~3-20 us with the rotating ring); amortize enough
     # of them that the measured total clears the ~+/-3 ms dispatch jitter.
-    # The floor scales down with nfft (per-push work scales up with it) so
-    # a large-nfft headline run does not burn its timeout on 4000 pushes;
-    # an explicit larger --iters still wins.
-    iters = max(iters, max(250, 4000 * 4096 // nfft))
+    # 16000 pushes at the 4 us display tier is ~64 ms of device work per
+    # reading (the round-4 gate caught 4000-push readings wobbling +/-20%
+    # — 13-16 ms totals inside the jitter). The floor scales down with
+    # nfft (per-push work scales up with it) so a large-nfft headline run
+    # does not burn its timeout; an explicit larger --iters still wins.
+    iters = max(iters, max(250, 16000 * 4096 // nfft))
     import jax
     import jax.numpy as jnp
     from pyspectrogram_tpu.models.streaming import StreamingSti
@@ -317,11 +319,15 @@ def run_all(args):
             for mode in ("welch", "parity"):
                 try:
                     # floor of 25: short loops at big nfft are
-                    # dominated by the ~+/-3 ms dispatch jitter
+                    # dominated by the ~+/-3 ms dispatch jitter; parity
+                    # steps run ~2x faster than welch (1/nint of the FFT
+                    # work), so double the loop to keep each reading at
+                    # ~60+ ms of device work
                     sps, p50, p99 = bench_sti(
                         nfft=nfft, nint=args.nint, ntime=args.ntime,
                         nsub=args.nsub, mode=mode, fft_impl=impl,
-                        iters=max(25, args.iters * 4096 // nfft),
+                        iters=max(25, args.iters * 4096 // nfft
+                                  * (2 if mode == "parity" else 1)),
                     )
                     print(
                         f"# nfft={nfft:6d} {impl:5s} {mode:6s} "
@@ -337,9 +343,11 @@ def run_all(args):
     for prec, note in (("balanced", "~7e-4 dB"),
                        ("display", "~0.12 dB, waterfall-grade")):
         try:
+            # 2x: the reduced-precision steps finish in ~0.16-0.27 ms, so
+            # the default loop would amortize only ~32-54 ms per reading
             dsps, dp50, _ = bench_sti(nfft=4096, nint=args.nint,
                                       ntime=args.ntime, nsub=args.nsub,
-                                      iters=args.iters, precision=prec)
+                                      iters=args.iters * 2, precision=prec)
             print(f"# nfft=  4096 pallas {prec}-precision "
                   f"{dsps/1e9:8.3f} GS/s  p50={dp50*1e3:7.3f} ms "
                   f"({note})", file=sys.stderr)

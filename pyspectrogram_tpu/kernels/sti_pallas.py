@@ -316,7 +316,8 @@ def make_pallas_sti_psd(
     consts = [win2] + d_consts + [plan["twr"], plan["twi"]]
 
     def kernel(frames_ref, win_ref, *rest, nsub: int, tb: int = 1,
-               wide: bool = False):
+               wide: bool = False, col_span: int = 0):
+        col_span = col_span or gather_len
         # MXU f32 matmuls default to single-pass bf16 (~3e-2 rel err on
         # the DFT). Tiers: "exact" = Precision.HIGHEST (bf16x6, ~1e-6);
         # "balanced" = manual 3-term hi/lo split (~1e-4 dB, ~2x faster);
@@ -340,7 +341,7 @@ def make_pallas_sti_psd(
                 def seg_body(seg, _, sub=sub):
                     cols_r, cols_i = [], []
                     for c in range(tb):
-                        off = pl.multiple_of(c * gather_len + seg * nfft,
+                        off = pl.multiple_of(c * col_span + seg * nfft,
                                              LANE)
                         xr = frames_ref[2 * sub, pl.ds(off, nfft)]
                         xi = frames_ref[2 * sub + 1, pl.ds(off, nfft)]
@@ -374,7 +375,7 @@ def make_pallas_sti_psd(
             accum[...] = jnp.zeros((n1, n2), jnp.float32)
 
             def seg_body(seg, _, c=c, sub=sub):
-                off = pl.multiple_of(c * gather_len + seg * nfft, LANE)
+                off = pl.multiple_of(c * col_span + seg * nfft, LANE)
                 if contiguous:
                     xr = frames_ref[2 * sub, pl.ds(off, nfft)]
                     xi = frames_ref[2 * sub + 1, pl.ds(off, nfft)]
@@ -413,11 +414,22 @@ def make_pallas_sti_psd(
         # GS/s; 4096: 8 12.9 -> 32 13.7 (display tier 21.8 -> 31.0);
         # 256/512: 2.4/4.1 -> 4.2/7.2. tb=256 measured +3% over 128 at
         # 256-pt and compiles materially slower — capped at 128.
-        # Contiguous full-consumption only (parity would over-fetch).
-        if not contiguous or gather_len != nfft * nint:
+        # Parity with nint > 1 folds too, by over-fetching whole
+        # frame_len strides (the unused nint-1 segments ride along in
+        # the block): small-transform parity is LAUNCH-bound (~17 GB/s
+        # effective at 1024-pt tb=1 vs ~820 GB/s HBM), so nint-x extra
+        # fetch for up-to-128x fewer grid steps + lane-folded GEMMs is
+        # the right trade at the wide sizes; above the wide cutoff the
+        # per-column GEMMs already feed the MXU and the over-fetch
+        # would only add traffic (kept at tb=1 there).
+        if not contiguous:
             return 1
+        over_fetch = gather_len != nfft * nint
+        if over_fetch and nfft > 16384:
+            return 1
+        span = nfft * nint if over_fetch else gather_len
         for tb in (128, 64, 32, 16, 8, 4, 2):
-            if ntime % tb == 0 and nsub * 2 * tb * gather_len * 8 <= MAX_BLOCK_BYTES:
+            if ntime % tb == 0 and nsub * 2 * tb * span * 8 <= MAX_BLOCK_BYTES:
                 return tb
         return 1
 
@@ -439,14 +451,18 @@ def make_pallas_sti_psd(
         else:
             consts_b = consts
             scratch = pltpu.VMEM((n1, n2), jnp.float32)
+        # per-column span inside a tb-wide block: whole frame_len strides
+        # when folding (parity over-fetches the unused segments, see
+        # _pick_tb); exactly what's consumed at tb == 1
+        col_span = nfft * nint if tb > 1 else gather_len
         if contiguous:
             # column t's samples live at [t*frame_len, ...): slice the
-            # buffer directly (block units: width tb*gather_len, so
+            # buffer directly (block units: width tb*col_span, so
             # frame_len offsets advance stride blocks per step in parity
-            # mode where gather_len < frame_len)
+            # mode at tb == 1 where gather_len < frame_len)
             stride_blocks = (nfft * nint) // gather_len if tb == 1 else 1
             frames_spec = pl.BlockSpec(
-                (nsub * 2, tb * gather_len),
+                (nsub * 2, tb * col_span),
                 lambda t: (0, t * stride_blocks),
                 memory_space=pltpu.VMEM,
             )
@@ -456,7 +472,8 @@ def make_pallas_sti_psd(
                 memory_space=pltpu.VMEM,
             )
         call = pl.pallas_call(
-            functools.partial(kernel, nsub=nsub, tb=tb, wide=wide),
+            functools.partial(kernel, nsub=nsub, tb=tb, wide=wide,
+                              col_span=col_span),
             grid=(ntime // tb,),
             in_specs=[frames_spec]
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(consts_b),
@@ -474,7 +491,10 @@ def make_pallas_sti_psd(
             ),
             cost_estimate=pl.CostEstimate(
                 flops=ntime * nsub * nseg * flops_seg,
-                bytes_accessed=ntime * nsub * nseg * nfft * 8
+                # input side counts what the blocks actually FETCH
+                # (col_span > consumed gather_len in the folded parity
+                # over-fetch case)
+                bytes_accessed=ntime * nsub * 2 * col_span * 4
                 + ntime * nsub * nfft * 4,
                 transcendentals=0,
             ),
