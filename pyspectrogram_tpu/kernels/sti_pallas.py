@@ -80,6 +80,40 @@ BIG_NFFT_MIN = 1 << 16
 BIG_VMEM_BUDGET = 90 * 1024 * 1024
 
 
+def pick_contiguous_tb(nfft: int, nint: int, gather_len: int,
+                       ntime: int, nsub: int) -> int:
+    """Columns batched per grid step on the contiguous small-column path.
+
+    Batching several columns per step amortizes per-step overhead AND
+    (wide path) deepens the lane-folded GEMMs — the small-nfft stage-1
+    contraction depth is nfft/128, so folding more columns under the
+    lanes is where the MXU fill comes from. Measured ladder (v5e, welch
+    nint=4 ntime=128 nsub=2, round 4):
+    1024: tb=8 8.95 -> 16 10.3 -> 32 11.6 -> 64 12.1 -> 128 12.6 GS/s;
+    4096: 8 12.9 -> 32 13.7 (display tier 21.8 -> 31.0);
+    256/512: 2.4/4.1 -> 4.2/7.2. tb=256 measured +3% over 128 at 256-pt
+    and compiles materially slower — capped at 128.
+
+    Parity with nint > 1 folds too, by over-fetching whole frame_len
+    strides (the unused nint-1 segments ride along in the block):
+    small-transform parity is LAUNCH-bound (~17 GB/s effective at
+    1024-pt tb=1 vs ~820 GB/s HBM), so nint-x extra fetch for
+    up-to-128x fewer grid steps + lane-folded GEMMs is the right trade
+    at the wide sizes (measured v5e: 1024-pt parity nint=2 8.7 -> 35.5
+    GS/s, 4096 19.7 -> 27.7); above the wide cutoff the per-column
+    GEMMs already feed the MXU and the over-fetch would only add
+    traffic (kept at tb=1 there).
+    """
+    over_fetch = gather_len != nfft * nint
+    if over_fetch and nfft > 16384:
+        return 1
+    span = nfft * nint if over_fetch else gather_len
+    for tb in (128, 64, 32, 16, 8, 4, 2):
+        if ntime % tb == 0 and nsub * 2 * tb * span * 8 <= MAX_BLOCK_BYTES:
+            return tb
+    return 1
+
+
 def pallas_supported(nfft: int, nint: int = 1, nsub: int = 1,
                      mode: str = "welch", precision: str = "exact") -> bool:
     if nfft < 256 or nfft % LANE or (nfft & (nfft - 1)):
@@ -405,33 +439,9 @@ def make_pallas_sti_psd(
             out_ref[c, sub, h:, :] = o[:h, :]
 
     def _pick_tb(ntime: int, nsub: int) -> int:
-        # batching several columns per grid step amortizes per-step
-        # overhead AND (wide path) deepens the lane-folded GEMMs — the
-        # small-nfft stage-1 contraction depth is nfft/128, so folding
-        # more columns under the lanes is where the MXU fill comes from.
-        # Measured ladder (v5e, welch nint=4 ntime=128 nsub=2, round 4):
-        # 1024: tb=8 8.95 -> 16 10.3 -> 32 11.6 -> 64 12.1 -> 128 12.6
-        # GS/s; 4096: 8 12.9 -> 32 13.7 (display tier 21.8 -> 31.0);
-        # 256/512: 2.4/4.1 -> 4.2/7.2. tb=256 measured +3% over 128 at
-        # 256-pt and compiles materially slower — capped at 128.
-        # Parity with nint > 1 folds too, by over-fetching whole
-        # frame_len strides (the unused nint-1 segments ride along in
-        # the block): small-transform parity is LAUNCH-bound (~17 GB/s
-        # effective at 1024-pt tb=1 vs ~820 GB/s HBM), so nint-x extra
-        # fetch for up-to-128x fewer grid steps + lane-folded GEMMs is
-        # the right trade at the wide sizes; above the wide cutoff the
-        # per-column GEMMs already feed the MXU and the over-fetch
-        # would only add traffic (kept at tb=1 there).
         if not contiguous:
             return 1
-        over_fetch = gather_len != nfft * nint
-        if over_fetch and nfft > 16384:
-            return 1
-        span = nfft * nint if over_fetch else gather_len
-        for tb in (128, 64, 32, 16, 8, 4, 2):
-            if ntime % tb == 0 and nsub * 2 * tb * span * 8 <= MAX_BLOCK_BYTES:
-                return tb
-        return 1
+        return pick_contiguous_tb(nfft, nint, gather_len, ntime, nsub)
 
     def build(ntime: int, nsub: int):
         flops_seg = 8 * 2 * (n1 * n1 * n2 + n1 * n2 * n2)

@@ -139,6 +139,69 @@ def test_pallas_contiguous_matches_gathered(mode, nint):
     )
 
 
+@pytest.mark.parametrize("nfft,nint,ntime", [
+    (256, 3, 16),    # fold active: tb=16, col_span=768, consumes 256
+    (512, 2, 32),    # fold active: tb=32
+    (1024, 4, 8),    # fold active: tb=8, 3 unused segments ride along
+])
+def test_pallas_contiguous_parity_fold_matches_gathered(nfft, nint, ntime):
+    """Folded parity (tb > 1 over-fetching whole frame_len strides; the
+    round-4 launch-bound fix) must equal the gathered tb=1 path — the
+    kernel must consume only the FIRST nfft samples of each over-fetched
+    frame_len span."""
+    from pyspectrogram_tpu.kernels.sti_pallas import pick_contiguous_tb
+
+    nsub = 2
+    assert pick_contiguous_tb(nfft, nint, nfft, ntime, nsub) > 1
+    rng = np.random.default_rng(13)
+    nsamp = nfft * nint * ntime
+    packed = rng.standard_normal((nsamp, nsub, 2)).astype(np.float32)
+    starts = (np.arange(ntime) * nfft * nint).astype(np.int32)
+    pm = to_plane_major(packed)
+    folded = make_pallas_sti_psd(nfft=nfft, nint=nint, mode="parity",
+                                 interpret=True, contiguous=True)
+    plain = make_pallas_sti_psd(nfft=nfft, nint=nint, mode="parity",
+                                interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(folded(jnp.asarray(pm), jnp.asarray(starts))),
+        np.asarray(plain(jnp.asarray(pm), jnp.asarray(starts))),
+        rtol=1e-5,
+    )
+
+
+def test_pick_contiguous_tb_policy():
+    """The fold policy: widest divisor of ntime whose block fits
+    MAX_BLOCK_BYTES; parity (gather_len < frame_len) budgets the FULL
+    over-fetched frame stride and never folds above the 16384 wide
+    cutoff (the over-fetch would only add HBM traffic there)."""
+    from pyspectrogram_tpu.kernels.sti_pallas import (
+        MAX_BLOCK_BYTES,
+        pick_contiguous_tb,
+    )
+
+    # welch consumes the whole frame: span = gather_len
+    assert pick_contiguous_tb(1024, 4, 4096, 128, 2) == 128
+    # parity over-fetch: span nfft*nint, still folds below the cutoff
+    assert pick_contiguous_tb(1024, 4, 1024, 128, 2) == 128
+    assert pick_contiguous_tb(4096, 2, 4096, 128, 2) > 1
+    # above the wide cutoff parity stays unbatched
+    assert pick_contiguous_tb(32768, 2, 32768, 128, 2) == 1
+    # welch above the cutoff may still batch (no over-fetch penalty)
+    assert pick_contiguous_tb(32768, 1, 32768, 8, 1) >= 1
+    # block budget honored: the picked tb's block fits, the next rung up
+    # either overflows or does not divide ntime
+    for nfft, nint, gl, ntime, nsub in ((4096, 2, 8192, 128, 2),
+                                        (1024, 2, 1024, 96, 4)):
+        tb = pick_contiguous_tb(nfft, nint, gl, ntime, nsub)
+        span = nfft * nint if gl != nfft * nint else gl
+        assert nsub * 2 * tb * span * 8 <= MAX_BLOCK_BYTES
+        bigger = [t for t in (128, 64, 32, 16, 8, 4, 2) if t > tb]
+        assert all(ntime % t or nsub * 2 * t * span * 8 > MAX_BLOCK_BYTES
+                   for t in bigger)
+    # ntime not divisible by any rung -> tb=1
+    assert pick_contiguous_tb(256, 2, 256, 5, 1) == 1
+
+
 def test_make_sti_fn_pm_minmax_summary():
     rng = np.random.default_rng(8)
     nfft, ntime = 128, 6
