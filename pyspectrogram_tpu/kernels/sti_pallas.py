@@ -649,13 +649,58 @@ def make_pallas_stream_psd(
         d_consts = [plan[k] for k in ("d1r", "d1i", "d2r", "d2i")]
     consts = [win2] + d_consts + [plan["twr"], plan["twi"]]
 
-    def kernel(frames_ref, win_ref, *rest, nsub: int):
+    def kernel(frames_ref, win_ref, *rest, nsub: int, tb: int = 1,
+               wide: bool = False):
         out_ref, accum = rest[-2], rest[-1]
         twr, twi = rest[-4][...], rest[-3][...]
         cprod_l, cprod_r = _stage_prods(rest[:-4], precision, use_gauss)
         win = win_ref[...]
         h = n2 // 2
         t = pl.program_id(0)
+
+        if wide:
+            # WIDE path (mirrors the batch kernel's lane fold): tb
+            # overlapping columns fold under the lanes in one grid step
+            # — stage 1 one (n1, n1) @ (n1, tb*n2) GEMM, stage 2 one
+            # (tb*n1, n2) @ (n2, n2) GEMM per segment. Per-column
+            # offsets (t*tb + c)*hop are lane-aligned because the gate
+            # requires hop % 128 == 0; the overlapping reads are
+            # VMEM-resident slices, so the fold adds no HBM traffic.
+            for sub in range(nsub):
+                accum[...] = jnp.zeros((tb, n1, n2), jnp.float32)
+
+                def seg_body(seg, _, sub=sub):
+                    cols_r, cols_i = [], []
+                    for c in range(tb):
+                        off = pl.multiple_of(
+                            (t * tb + c) * hop + seg * nfft, LANE)
+                        xr = frames_ref[2 * sub, pl.ds(off, nfft)]
+                        xi = frames_ref[2 * sub + 1, pl.ds(off, nfft)]
+                        cols_r.append(
+                            xr.astype(jnp.float32).reshape(n1, n2))
+                        cols_i.append(
+                            xi.astype(jnp.float32).reshape(n1, n2))
+                    xwr = jnp.concatenate(cols_r, axis=1) * win
+                    xwi = jnp.concatenate(cols_i, axis=1) * win
+                    yr, yi = cprod_l((xwr, xwi))      # (n1, tb*n2)
+                    zr = yr * twr - yi * twi
+                    zi = yr * twi + yi * twr
+                    zr = zr.reshape(n1, tb, n2).swapaxes(0, 1).reshape(
+                        tb * n1, n2)
+                    zi = zi.reshape(n1, tb, n2).swapaxes(0, 1).reshape(
+                        tb * n1, n2)
+                    xmr, xmi = cprod_r((zr, zi))      # (tb*n1, n2)
+                    accum[...] += (xmr * xmr + xmi * xmi).reshape(
+                        tb, n1, n2)
+                    return 0
+
+                jax.lax.fori_loop(0, nseg, seg_body, 0)
+                for c in range(tb):
+                    o = (accum[c, :, :] * inv_scale).T    # (n2, n1)
+                    out_ref[c, sub, :h, :] = o[h:, :]
+                    out_ref[c, sub, h:, :] = o[:h, :]
+            return
+
         for sub in range(nsub):
             accum[...] = jnp.zeros((n1, n2), jnp.float32)
 
@@ -678,19 +723,42 @@ def make_pallas_stream_psd(
             out_ref[0, sub, :h, :] = o[h:, :]
             out_ref[0, sub, h:, :] = o[:h, :]
 
+    def _pick_stream_tb(k: int, nsub: int) -> int:
+        # same rationale as pick_contiguous_tb: per-column tiny GEMMs
+        # are launch-bound at small nfft. The buffer already rides VMEM
+        # whole, so the fold's only VMEM premium is the folded temps
+        # (~6 live (n1, tb*n2) f32 intermediates + the (tb, n1, n2)
+        # accum); keep them within a quarter of the block budget.
+        if nfft > 16384:
+            return 1
+        for tb in (128, 64, 32, 16, 8, 4, 2):
+            if k % tb == 0 and 8 * tb * nfft * 4 <= MAX_BLOCK_BYTES // 4:
+                return tb
+        return 1
+
     @functools.lru_cache(maxsize=8)
     def build(k: int, nsub: int):
         flops_seg = 8 * 2 * (n1 * n1 * n2 + n1 * n2 * n2)
-        return pl.pallas_call(
-            functools.partial(kernel, nsub=nsub),
-            grid=(k,),
+        tb = _pick_stream_tb(k, nsub)
+        wide = tb > 1
+        if wide:
+            consts_b = ([np.tile(win2, (1, tb))] + d_consts
+                        + [np.tile(plan["twr"], (1, tb)),
+                           np.tile(plan["twi"], (1, tb))])
+            scratch = pltpu.VMEM((tb, n1, n2), jnp.float32)
+        else:
+            consts_b = consts
+            scratch = pltpu.VMEM((n1, n2), jnp.float32)
+        call = pl.pallas_call(
+            functools.partial(kernel, nsub=nsub, tb=tb, wide=wide),
+            grid=(k // tb,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
-            * (1 + len(consts)),
-            out_specs=pl.BlockSpec((1, nsub, n2, n1),
+            * (1 + len(consts_b)),
+            out_specs=pl.BlockSpec((tb, nsub, n2, n1),
                                    lambda t: (t, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((k, nsub, n2, n1), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((n1, n2), jnp.float32)],
+            scratch_shapes=[scratch],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=2 * MAX_BLOCK_BYTES + 16 * 1024 * 1024,
@@ -702,6 +770,7 @@ def make_pallas_stream_psd(
                 transcendentals=0,
             ),
         )
+        return call, consts_b
 
     @jax.jit
     def psd(buf_pm: jax.Array) -> jax.Array:
@@ -711,7 +780,8 @@ def make_pallas_stream_psd(
             raise ValueError(
                 f"buffer width {buf_pm.shape[1]} is not carry + k*hop "
                 f"(frame_len={frame_len}, hop={hop})")
-        out = build(k, nsub)(buf_pm, *[jnp.asarray(c) for c in consts])
+        call, consts_b = build(k, nsub)
+        out = call(buf_pm, *[jnp.asarray(c) for c in consts_b])
         return out.reshape(k, nsub, nfft)
 
     return psd

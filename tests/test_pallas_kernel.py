@@ -428,13 +428,15 @@ def _overlap_oracle(buf, nfft, nint, hop, k, mode="welch", beta=1.7):
     return cols
 
 
-@pytest.mark.parametrize("nfft,nint,hop,mode", [
-    (1024, 1, 512, "welch"),       # classic 50% overlap
-    (1024, 2, 1024, "welch"),      # hop = nfft, frame 2*nfft (welch)
-    (1024, 1, 384, "welch"),       # lane-aligned but not nfft-divisible
-    (2048, 2, 2048, "parity"),     # parity consumes first nfft only
+@pytest.mark.parametrize("nfft,nint,hop,mode,k", [
+    (1024, 1, 512, "welch", 4),    # classic 50% overlap (wide tb=4)
+    (1024, 2, 1024, "welch", 4),   # hop = nfft, frame 2*nfft (welch)
+    (1024, 1, 384, "welch", 4),    # lane-aligned but not nfft-divisible
+    (2048, 2, 2048, "parity", 4),  # parity consumes first nfft only
+    (1024, 1, 512, "welch", 16),   # deeper fold in one grid step
+    (1024, 1, 512, "welch", 5),    # k divisible by no rung -> tb=1
 ])
-def test_stream_kernel_overlap_hop_matches_oracle(nfft, nint, hop, mode):
+def test_stream_kernel_overlap_hop_matches_oracle(nfft, nint, hop, mode, k):
     """The overlap-hop streaming kernel (r3 weak #4): VMEM-resident
     element-offset slicing equals the windowed-FFT oracle for hops the
     block-granular batch kernel cannot express."""
@@ -443,7 +445,7 @@ def test_stream_kernel_overlap_hop_matches_oracle(nfft, nint, hop, mode):
         pallas_stream_supported,
     )
 
-    k, nsub = 4, 2
+    nsub = 2
     frame_len = nfft * nint
     assert pallas_stream_supported(nfft, nint, hop, k, nsub, mode)
     rng = np.random.default_rng(5)
