@@ -194,7 +194,8 @@ class StiPipeline:
                 cfg, samples_pm.shape[0] // 2):
             out = self._compute_bigfft(cfg, ref, samples_pm, spec)
         elif self.mesh is not None:
-            out = self._compute_sharded(cfg, ref, samples_pm, starts_rel)
+            out = self._compute_sharded(cfg, ref, samples_pm, starts_rel,
+                                        spec)
         else:
             fn = stft.make_sti_fn_pm(
                 nfft=cfg.nfft, nint=cfg.nint, mode=cfg.mode,
@@ -310,28 +311,46 @@ class StiPipeline:
         }
 
     def _compute_sharded(self, cfg: SpectrogramConfig, ref: float,
-                         samples_pm: np.ndarray, starts_rel: np.ndarray):
+                         samples_pm: np.ndarray, starts_rel: np.ndarray,
+                         spec=None):
         """Multi-device request: shard columns over 'time', subchannels
-        over 'chan' (see parallel.sharded for the layout)."""
+        over 'chan' (see parallel.sharded for the layout).
+
+        assemble_device_block always packs column t's frame at
+        t*frame_len, so this path runs the CONTIGUOUS sharded tier: the
+        sample buffer itself shards over the time axis (each device
+        stores and receives only its own span — no replica per time-axis
+        row) and every shard runs the gather-free lane-folded kernel.
+        With a display ``spec``, the uint8 quantization is fused into the
+        sharded program per shard (the color range is a runtime operand,
+        so a re-clim re-runs the same compiled program)."""
         import jax
         import jax.numpy as jnp
 
-        from pyspectrogram_tpu.parallel.mesh import TIME_AXIS, pad_starts
+        from pyspectrogram_tpu.parallel.mesh import (
+            TIME_AXIS, pad_contiguous_block)
         from pyspectrogram_tpu.parallel.sharded import make_sharded_sti_fn
 
-        padded, nvalid = pad_starts(
-            np.asarray(starts_rel, np.int32), self.mesh.shape[TIME_AXIS]
+        frame_len = cfg.nfft * cfg.nint
+        samples_pm, padded, nvalid = pad_contiguous_block(
+            samples_pm, len(starts_rel), frame_len,
+            self.mesh.shape[TIME_AXIS],
         )
         fn = make_sharded_sti_fn(
             self.mesh, nfft=cfg.nfft, nint=cfg.nint, ntime_valid=nvalid,
             mode=cfg.mode, window=cfg.window, ref=ref, eps=cfg.eps,
-            precision=cfg.precision,
+            precision=cfg.precision, contiguous=True,
+            tile=spec.crop_key() if spec is not None else None,
         )
-        s_sh, st_sh = fn.input_shardings()
+        shardings = fn.input_shardings()
         # samples_pm ships in its storage dtype: raw int16 planes cross
-        # the host link at half the float bytes (times one copy per device
-        # on the replicated axis) and widen per shard on device
-        return fn(
-            jax.device_put(jnp.asarray(samples_pm), s_sh),
-            jax.device_put(jnp.asarray(padded), st_sh),
-        )
+        # the host link at half the float bytes and widen per shard on
+        # device; each device receives only its own column span
+        args = [
+            jax.device_put(jnp.asarray(samples_pm), shardings[0]),
+            jax.device_put(jnp.asarray(padded), shardings[1]),
+        ]
+        if spec is not None:
+            args.append(jax.device_put(jnp.asarray(spec.qparams),
+                                       shardings[2]))
+        return fn(*args)

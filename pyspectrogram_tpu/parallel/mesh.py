@@ -66,3 +66,33 @@ def pad_starts(starts: np.ndarray, multiple: int) -> Tuple[np.ndarray, int]:
         return starts, n
     pad = np.full(target - n, starts[-1], dtype=starts.dtype)
     return np.concatenate([starts, pad]), n
+
+
+def pad_contiguous_block(
+    samples_pm: np.ndarray, ntime: int, frame_len: int, multiple: int
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Pad a PACKED contiguous frame block (column t's frame at
+    t*frame_len — the layout models.sti.assemble_device_block always
+    produces) to a column count divisible by the time-axis size.
+
+    Unlike :func:`pad_starts` (which repeats the last start and therefore
+    needs the sample buffer replicated across the time axis so every
+    device can reach it), the padded columns here EXTEND the ladder into
+    appended zero samples, keeping column t's frame at t*frame_len
+    everywhere — so the buffer itself shards over ``time``: each device
+    stores and receives only its own span (1/time_axis of the bytes) and
+    the per-shard kernel keeps the gather-free contiguous layout.
+
+    Returns (samples_padded, starts_padded, original_ntime); padded
+    columns are excluded from the median via ntime_valid and dropped on
+    the host.
+    """
+    target = pad_to_multiple(ntime, multiple)
+    starts = np.arange(target, dtype=np.int32) * frame_len
+    if target != ntime:
+        pad = np.zeros(
+            (samples_pm.shape[0], (target - ntime) * frame_len),
+            samples_pm.dtype,
+        )
+        samples_pm = np.concatenate([samples_pm, pad], axis=1)
+    return samples_pm, starts, ntime

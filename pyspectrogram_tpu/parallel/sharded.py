@@ -3,7 +3,9 @@
 Sharding layout (SURVEY.md section 2.3):
 * sample buffer:  plane-major (nsub*2, nsamp), sharded over ``chan`` rows
   (r/i plane pairs stay on one device: nsub must divide by the chan-axis
-  size), replicated over ``time``;
+  size); replicated over ``time`` for arbitrary frame starts, but sharded
+  over ``time`` too when the block is packed contiguously
+  (``contiguous=True`` — each device stores only its own column span);
 * frame starts:   sharded over ``time`` — each device computes a disjoint
   block of STI columns (independent frame starts,
   reference: drfProc.py:159);
@@ -107,39 +109,73 @@ def make_sharded_sti_fn(
     eps: float = 1e-15,
     fft_impl: str = "auto",
     precision: str = "exact",
+    contiguous: bool = False,
+    tile=None,
 ):
     """Jitted multi-device STI.
 
-    Returned ``f(samples_pm, starts)``:
+    Returned ``f(samples_pm, starts)`` (``f(samples_pm, starts, qparams)``
+    when ``tile`` is set):
       samples_pm: (nsub*2, nsamp) float32 plane-major — nsub divisible by
                   the chan-axis size;
       starts:     (ntime_padded,) int32 — divisible by the time-axis size;
                   only the first ``ntime_valid`` columns count for the
-                  median (padding repeats the last start, see
-                  mesh.pad_starts).
+                  median.
     Returns {"sxx_dbfs": (ntime_padded, nsub, nfft) sharded (time, chan),
              "sxx_med_dbfs": (nsub, nfft) sharded (chan,)}.
+
+    ``contiguous=True`` asserts the PACKED layout (column t's frame at
+    t*frame_len — what models.sti.assemble_device_block produces, padded
+    via mesh.pad_contiguous_block). The sample buffer then shards over
+    BOTH mesh axes — each device stores only its own column span instead
+    of a full replica per time-axis row — and each shard runs the
+    gather-free contiguous kernel (the lane-folded wide path at small
+    nfft), with starts rebased to the shard base in-shard. The gathered
+    default keeps replication because arbitrary starts may read anywhere
+    in the buffer (pad_starts' repeated-last-start columns included).
+
+    ``tile`` (a display.TileSpec — pass ``spec.crop_key()`` so compiled
+    programs key only on the crop plan) fuses the display epilogue into
+    the sharded program: each device crops, decimates, and quantizes ITS
+    OWN columns to uint8 before anything leaves the shard, with the color
+    range riding in as the ``qparams`` runtime operand (a re-clim re-runs
+    the same program). The float spectra are then dropped on device —
+    the return carries ``"tile"`` instead of ``"sxx_dbfs"`` — matching
+    the single-chip fused program's contract (ops.stft.make_sti_fn_pm).
     """
     local_sti = make_local_sti(
         nfft=nfft, nint=nint, mode=mode, window=window, ref=ref,
-        fft_impl=fft_impl, precision=precision,
+        fft_impl=fft_impl, precision=precision, contiguous=contiguous,
     )
 
-    def sharded(samples_pm, starts):
+    def sharded(samples_pm, starts, qparams=None):
+        if contiguous:
+            # global ladder starts (t*frame_len) -> this shard's local
+            # ladder; the shard's buffer begins at its first column
+            starts = starts - starts[0]
         p_local = local_sti(samples_pm, starts)
         # gather all columns of my channel shard for the time median
         p_all = jax.lax.all_gather(p_local, TIME_AXIS, axis=0, tiled=True)
         p_med = median_over_time(p_all, ntime_valid)  # (nsub_l, nfft)
-        return {
-            "sxx_dbfs": to_dbfs(p_local, eps),
-            "sxx_med_dbfs": to_dbfs(p_med, eps),
-        }
+        out = {"sxx_med_dbfs": to_dbfs(p_med, eps)}
+        if tile is not None:
+            from pyspectrogram_tpu.display.tile import quantize_tile_linear
 
-    in_specs = (P(CHAN_AXIS, None), P(TIME_AXIS))
-    out_specs = {
-        "sxx_dbfs": P(TIME_AXIS, CHAN_AXIS, None),
-        "sxx_med_dbfs": P(CHAN_AXIS, None),
-    }
+            out["tile"] = quantize_tile_linear(p_local, tile, eps, qparams)
+        else:
+            out["sxx_dbfs"] = to_dbfs(p_local, eps)
+        return out
+
+    samples_spec = (
+        P(CHAN_AXIS, TIME_AXIS) if contiguous else P(CHAN_AXIS, None)
+    )
+    in_specs = (samples_spec, P(TIME_AXIS))
+    out_specs = {"sxx_med_dbfs": P(CHAN_AXIS, None)}
+    if tile is not None:
+        in_specs = in_specs + (P(None),)  # qparams: replicated (2,)
+        out_specs["tile"] = P(TIME_AXIS, CHAN_AXIS, None)
+    else:
+        out_specs["sxx_dbfs"] = P(TIME_AXIS, CHAN_AXIS, None)
     fn = jax.jit(shard_map(sharded, mesh=mesh, in_specs=in_specs,
                            out_specs=out_specs, check_vma=False))
 

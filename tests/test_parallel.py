@@ -174,3 +174,119 @@ def test_pipeline_sharded_int16_capture_matches_single_device(
     np.testing.assert_allclose(got.sxx_dbfs, want.sxx_dbfs, atol=2e-3)
     np.testing.assert_allclose(got.sxx_med_dbfs, want.sxx_med_dbfs,
                                atol=2e-3)
+
+
+@pytest.mark.parametrize("tp,cp", [(8, 1), (4, 2)])
+@pytest.mark.parametrize("mode", ["welch", "parity"])
+def test_contiguous_sharded_matches_gathered(tp, cp, mode):
+    """contiguous=True (buffer sharded over BOTH axes, gather-free kernel
+    per shard) equals the replicated gathered tier on the packed layout."""
+    nfft, nint, ntime, nsub = 64, 2, 16, 4
+    frame_len = nfft * nint
+    nsamp = frame_len * ntime
+    packed, pm = _buffer(nsamp, nsub, seed=11)
+    starts = (np.arange(ntime) * frame_len).astype(np.int32)
+    mesh = make_mesh(time_parallel=tp, chan_parallel=cp)
+
+    gathered = make_sharded_sti_fn(
+        mesh, nfft=nfft, nint=nint, ntime_valid=ntime, mode=mode)
+    cont = make_sharded_sti_fn(
+        mesh, nfft=nfft, nint=nint, ntime_valid=ntime, mode=mode,
+        contiguous=True)
+    # the buffer itself shards over time — no replica per time-axis row
+    assert cont.input_shardings()[0].spec == P("chan", "time")
+
+    want = gathered(jnp.asarray(pm), jnp.asarray(starts))
+    got = cont(jax.device_put(jnp.asarray(pm), cont.input_shardings()[0]),
+               jnp.asarray(starts))
+    np.testing.assert_allclose(np.asarray(got["sxx_dbfs"]),
+                               np.asarray(want["sxx_dbfs"]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got["sxx_med_dbfs"]),
+                               np.asarray(want["sxx_med_dbfs"]), atol=2e-3)
+
+
+def test_contiguous_sharded_pad_block():
+    """pad_contiguous_block extends the ladder into zero samples; padded
+    columns shard cleanly and stay out of the median."""
+    from pyspectrogram_tpu.parallel.mesh import pad_contiguous_block
+
+    nfft, ntime, nsub = 64, 13, 2
+    nsamp = nfft * ntime
+    packed, pm = _buffer(nsamp, nsub, seed=12)
+    starts = (np.arange(ntime) * nfft).astype(np.int32)
+
+    single = stft.make_sti_fn(nfft=nfft)
+    want = single(jnp.asarray(packed), jnp.asarray(starts))
+
+    pm_p, starts_p, nvalid = pad_contiguous_block(pm, ntime, nfft, 8)
+    assert nvalid == 13 and len(starts_p) == 16
+    assert pm_p.shape == (nsub * 2, 16 * nfft)
+
+    mesh = make_mesh()
+    f = make_sharded_sti_fn(mesh, nfft=nfft, ntime_valid=nvalid,
+                            contiguous=True)
+    got = f(jax.device_put(jnp.asarray(pm_p), f.input_shardings()[0]),
+            jnp.asarray(starts_p))
+    np.testing.assert_allclose(
+        np.asarray(got["sxx_dbfs"])[:nvalid], np.asarray(want["sxx_dbfs"]),
+        atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got["sxx_med_dbfs"]),
+                               np.asarray(want["sxx_med_dbfs"]), atol=2e-3)
+
+
+def test_contiguous_sharded_pallas_matches_xla():
+    """The lane-foldable contiguous kernel inside shard_map (interpret
+    mode on the CPU mesh) equals the XLA shard body."""
+    nfft, ntime, nsub = 256, 16, 2
+    nsamp = nfft * ntime
+    packed, pm = _buffer(nsamp, nsub, seed=13)
+    starts = (np.arange(ntime) * nfft).astype(np.int32)
+    mesh = make_mesh(time_parallel=8, chan_parallel=1)
+    a = make_sharded_sti_fn(mesh, nfft=nfft, ntime_valid=ntime,
+                            fft_impl="pallas", contiguous=True)
+    b = make_sharded_sti_fn(mesh, nfft=nfft, ntime_valid=ntime,
+                            fft_impl="xla", contiguous=True)
+    sh = a.input_shardings()[0]
+    out_a = a(jax.device_put(jnp.asarray(pm), sh), jnp.asarray(starts))
+    out_b = b(jax.device_put(jnp.asarray(pm), sh), jnp.asarray(starts))
+    np.testing.assert_allclose(np.asarray(out_a["sxx_dbfs"]),
+                               np.asarray(out_b["sxx_dbfs"]), atol=1e-3)
+
+
+def test_sharded_tile_epilogue_matches_host():
+    """tile= fuses the per-shard uint8 quantization into the sharded
+    program; the color range is a runtime operand (re-clim == same
+    program, different qparams)."""
+    from pyspectrogram_tpu.display.render import quantize_on_device
+    from pyspectrogram_tpu.display.tile import make_tile_spec
+
+    nfft, ntime, nsub = 64, 16, 2
+    nsamp = nfft * ntime
+    packed, pm = _buffer(nsamp, nsub, seed=14)
+    starts = (np.arange(ntime) * nfft).astype(np.int32)
+    freqs = stft.shifted_freqs(nfft, 100_000)
+    crange = (-110.0, -40.0)
+    spec = make_tile_spec(freqs, (-30.0, 30.0), crange, max_nfreqs=23)
+
+    single = stft.make_sti_fn(nfft=nfft)
+    want_db = np.asarray(
+        single(jnp.asarray(packed), jnp.asarray(starts))["sxx_dbfs"])
+    # (ntime, nsub, nfft) -> tile layout (ntime, nsub, plot_n)
+    want_tm = want_db[..., spec.plot_indices]
+
+    mesh = make_mesh(time_parallel=4, chan_parallel=2)
+    f = make_sharded_sti_fn(mesh, nfft=nfft, ntime_valid=ntime,
+                            contiguous=True, tile=spec.crop_key())
+    sh = f.input_shardings()
+    assert len(sh) == 3  # samples, starts, qparams
+    args = (jax.device_put(jnp.asarray(pm), sh[0]), jnp.asarray(starts))
+    out = f(*args, jax.device_put(jnp.asarray(spec.qparams), sh[2]))
+    assert "sxx_dbfs" not in out  # floats never leave the shards
+    np.testing.assert_array_equal(
+        np.asarray(out["tile"]), quantize_on_device(want_tm, crange, 256))
+    # re-clim through the SAME compiled fn: only the operand changes
+    crange2 = (-90.0, -10.0)
+    spec2 = make_tile_spec(freqs, (-30.0, 30.0), crange2, max_nfreqs=23)
+    out2 = f(*args, jax.device_put(jnp.asarray(spec2.qparams), sh[2]))
+    np.testing.assert_array_equal(
+        np.asarray(out2["tile"]), quantize_on_device(want_tm, crange2, 256))

@@ -128,7 +128,11 @@ def test_pipeline_display_tile_mode(tone_capture):
 
 
 def test_pipeline_display_tile_sharded_mesh(tone_capture):
-    """Mesh tier: crops+quantizes the sharded dB spectra before readback."""
+    """Mesh tier: the uint8 quantization is fused into the sharded
+    program per shard (parallel.sharded tile=), so the mesh tile is
+    bit-identical to the single-chip fused program's tile — the
+    elementwise epilogue (display.tile.quantize_tile_linear) is the same
+    traced code in both."""
     from pyspectrogram_tpu.parallel import make_mesh
 
     top, meta = tone_capture
@@ -138,11 +142,7 @@ def test_pipeline_display_tile_sharded_mesh(tone_capture):
     res = StiPipeline(RFDataset(top), cfg, mesh=mesh).compute()
     want = StiPipeline(RFDataset(top), cfg).compute()
     assert res.sxx_dbfs is None and res.tile.dtype == np.uint8
-    # mesh and single-device tiers may differ by float rounding at level
-    # boundaries; allow <=1 level on <1% of pixels
-    diff = np.abs(res.tile.astype(int) - want.tile.astype(int))
-    assert diff.max() <= 1
-    assert (diff > 0).mean() < 0.01
+    np.testing.assert_array_equal(res.tile, want.tile)
 
 
 def test_streaming_snapshot_quantized_matches_float_snapshot():
