@@ -439,6 +439,10 @@ class MainWindow(QtWidgets.QMainWindow):
         st.start_btn.setEnabled(False)
         st.stop_btn.setEnabled(True)
         st.save_btn.setEnabled(False)
+        # a pinned End time is a per-run decision: a NEW run's span has
+        # nothing to do with the previous run's pin, so re-engage
+        # follow-the-newest until the user edits it again this run
+        st.save_t1_user = False
         # mode is per-run: the incremental ring's lifecycle is the
         # processor's (a stop releases it; a new start builds a fresh one)
         st.live_check.setEnabled(False)
@@ -660,6 +664,14 @@ class MainWindow(QtWidgets.QMainWindow):
 
         def work():
             try:
+                if processor is not None:
+                    # is_running flips False at stop time, but the worker
+                    # loop may still be finishing an in-flight compute
+                    # (a remote compile holds an iteration 20-80 s);
+                    # wait it out HERE — off the GUI thread — so the
+                    # tile-mode recompute below never runs concurrently
+                    # with it
+                    processor.join()
                 self._write_artifacts(names, last, processor, subset,
                                       t0_s, t1_s, crange, frange, subchan)
             except Exception as e:  # surfaced via the bridge

@@ -142,12 +142,14 @@ def save_sti_png(
             renderer = "pixels"
 
     if renderer == "matplotlib":
-        import matplotlib
+        # Object-oriented Agg path, no pyplot: pyplot's global figure
+        # manager is not thread-safe, and the GUI runs saves on a worker
+        # thread concurrently with GUI-thread canvas drawing.
+        from matplotlib.backends.backend_agg import FigureCanvasAgg
+        from matplotlib.figure import Figure
 
-        matplotlib.use("Agg", force=False)
-        import matplotlib.pyplot as plt
-
-        fig = plt.figure()
+        fig = Figure()
+        FigureCanvasAgg(fig)
         fig.set_size_inches(8, 4)
         ax = fig.add_axes([0.1, 0.15, 0.8, 0.80])
         levels = np.linspace(colorrange[0], colorrange[1], len(cdata))
@@ -155,7 +157,6 @@ def save_sti_png(
         ax.set_ylabel("Time")
         ax.set_xlabel("Frequency (kHz)")
         fig.savefig(filename, format="png", dpi=300)
-        plt.close(fig)
     else:
         from PIL import Image
 

@@ -410,13 +410,47 @@ class StreamingSti:
 
     # ------------------------------------------------- trailing-window view
     def strided_cols(self, state: StreamState, n_disp: int,
-                     stride: int) -> np.ndarray:
+                     stride: int, total_cols=None) -> np.ndarray:
         """(n_disp,) absolute column indices snapshot_strided selects,
         oldest first; entries < 0 are unfilled rows (quantize/read as the
-        eps floor) — trim them on the host."""
-        newest = int(state.total_cols) - 1
+        eps floor) — trim them on the host. Pass ``total_cols`` when the
+        caller host-tracks the push count (live engine) so this never
+        forces a device scalar readback (~32 ms on the tunnel)."""
+        newest = (int(total_cols) if total_cols is not None
+                  else int(state.total_cols)) - 1
         return newest - stride * np.arange(n_disp - 1, -1, -1,
                                            dtype=np.int64)
+
+    def _check_span(self, n_disp: int, stride: int) -> None:
+        if stride < 1 or n_disp < 1:
+            raise ValueError("n_disp and stride must be >= 1")
+        if stride * (n_disp - 1) >= self.ring_len:
+            raise ValueError(
+                f"window span {stride * (n_disp - 1) + 1} cols exceeds the "
+                f"ring ({self.ring_len}) — selected rows would alias")
+
+    def _trailing_view_body(self, n_disp: int, stride: int, crop):
+        """Traced body shared by _strided_fn and refresh_view: gather the
+        stride-decimated trailing window out of rotated storage and format
+        it for display (dBFS floats; a uint8 tile with a crop plan)."""
+        ring_len, eps = self.ring_len, self.eps
+        if crop is not None:
+            from pyspectrogram_tpu.display.tile import quantize_tile_linear
+
+        def body(ring, total_cols, qparams):
+            # column c lives at storage row c % ring_len (the push
+            # writes at total_cols % ring_len), so the trailing-window
+            # gather needs no de-roll; negative columns wrap onto rows
+            # at/above total_cols, which are provably unwritten while
+            # any selected column is negative (span < ring_len)
+            cols = (total_cols - 1) - stride * jnp.arange(
+                n_disp - 1, -1, -1, dtype=jnp.int32)
+            sel = jnp.take(ring, jnp.mod(cols, ring_len), axis=0)
+            if crop is None:
+                return to_dbfs(sel, eps)
+            return quantize_tile_linear(sel, crop, eps, qparams)
+
+        return body
 
     def snapshot_strided(self, state: StreamState, n_disp: int, stride: int,
                          spec=None) -> np.ndarray:
@@ -436,12 +470,7 @@ class StreamingSti:
         EVERY column, the display edge strides over them. Rows whose
         column index is negative (see strided_cols) read unwritten slots.
         """
-        if stride < 1 or n_disp < 1:
-            raise ValueError("n_disp and stride must be >= 1")
-        if stride * (n_disp - 1) >= self.ring_len:
-            raise ValueError(
-                f"window span {stride * (n_disp - 1) + 1} cols exceeds the "
-                f"ring ({self.ring_len}) — selected rows would alias")
+        self._check_span(n_disp, stride)
         crop = None if spec is None else spec.crop_key()
         fn = self._strided_fn(n_disp, stride, crop)
         q = spec.qparams if spec is not None else np.zeros(2, np.float32)
@@ -465,12 +494,7 @@ class StreamingSti:
         if self.mesh is not None:
             raise ValueError("refresh_view is single-device; use "
                              "snapshot_strided + median_psd on a mesh")
-        if stride < 1 or n_disp < 1:
-            raise ValueError("n_disp and stride must be >= 1")
-        if stride * (n_disp - 1) >= self.ring_len:
-            raise ValueError(
-                f"window span {stride * (n_disp - 1) + 1} cols exceeds the "
-                f"ring ({self.ring_len}) — selected rows would alias")
+        self._check_span(n_disp, stride)
         total = (int(total_cols) if total_cols is not None
                  else int(state.total_cols))
         n = min(total, self.ring_len)
@@ -483,18 +507,11 @@ class StreamingSti:
         fn = self._tile_fns.get(key)
         if fn is None:
             ring_len, eps = self.ring_len, self.eps
-            if crop is not None:
-                from pyspectrogram_tpu.display.tile import (
-                    quantize_tile_linear,
-                )
+            view_body = self._trailing_view_body(n_disp, stride, crop)
 
             @jax.jit
             def f(ring, total_cols, qparams):
-                cols = (total_cols - 1) - stride * jnp.arange(
-                    n_disp - 1, -1, -1, dtype=jnp.int32)
-                sel = jnp.take(ring, jnp.mod(cols, ring_len), axis=0)
-                view = (to_dbfs(sel, eps) if crop is None
-                        else quantize_tile_linear(sel, crop, eps, qparams))
+                view = view_body(ring, total_cols, qparams)
                 # newest n columns, straight from rotated storage (no
                 # de-roll: row of column c is c % ring_len)
                 mcols = total_cols - n + jnp.arange(n, dtype=jnp.int32)
@@ -510,27 +527,9 @@ class StreamingSti:
         key = ("strided", n_disp, stride, crop)
         fn = self._tile_fns.get(key)
         if fn is None:
-            ring_len, eps = self.ring_len, self.eps
-            if crop is not None:
-                from pyspectrogram_tpu.display.tile import (
-                    quantize_tile_linear,
-                )
-
-            @jax.jit
-            def f(ring, total_cols, qparams):
-                # column c lives at storage row c % ring_len (the push
-                # writes at total_cols % ring_len), so the trailing-window
-                # gather needs no de-roll; negative columns wrap onto rows
-                # at/above total_cols, which are provably unwritten while
-                # any selected column is negative (span < ring_len)
-                cols = (total_cols - 1) - stride * jnp.arange(
-                    n_disp - 1, -1, -1, dtype=jnp.int32)
-                sel = jnp.take(ring, jnp.mod(cols, ring_len), axis=0)
-                if crop is None:
-                    return to_dbfs(sel, eps)
-                return quantize_tile_linear(sel, crop, eps, qparams)
-
-            fn = self._put(self._tile_fns, key, f, 16)
+            fn = self._put(self._tile_fns, key,
+                           jax.jit(self._trailing_view_body(n_disp, stride,
+                                                            crop)), 16)
         return fn
 
     def _median_fn(self, n: int):

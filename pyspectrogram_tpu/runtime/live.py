@@ -183,8 +183,8 @@ class LiveStreamEngine:
         # most log2(W)+1 programs per ring lifetime.
         n_valid = min(total, W)
         n_med = W if n_valid >= W else 1 << (n_valid.bit_length() - 1)
-        cols = (total - 1) - stride * np.arange(n_disp - 1, -1, -1,
-                                                dtype=np.int64)
+        cols = self.sti.strided_cols(self.state, n_disp, stride,
+                                     total_cols=total)
         keep = cols >= 0
 
         freqs = stft.shifted_freqs(cfg.nfft, self.sr)

@@ -152,6 +152,14 @@ class SpectrogramProcessor:
                 else:
                     result = self.pipeline.compute(cfg)
                 self.latencies_s.append(time.perf_counter() - t0)
+                if self._stop.is_set():
+                    # Stop arrived while compute was in flight (a remote
+                    # compile can hold this iteration for 20-80 s) —
+                    # Terminated has already been emitted, so delivering
+                    # this stale Iterated would overwrite state the
+                    # consumer captured at stop time and race any save
+                    # the client started after the stop.
+                    return
                 if result is None:
                     # capture still shorter than one STI column — keep
                     # chasing bounds until data appears
