@@ -319,10 +319,18 @@ def cmd_watch(args) -> int:
     if not proc.is_running:
         print(json.dumps({"error": proc.reason.describe()}))
         return 1
+    if args.resume:
+        proc.preload_live_state(args.resume)
     try:
         proc.run()
     except KeyboardInterrupt:
         proc.abort()
+    ckpt = None
+    if args.checkpoint:
+        try:
+            ckpt = str(proc.save_live_state(args.checkpoint))
+        except ValueError as err:  # e.g. zero completed iterations
+            print(f"# checkpoint not written: {err}", file=_sys.stderr)
     e = last.get("e")
     if e is None:
         print(json.dumps({"error": "no iterations completed"}))
@@ -339,6 +347,7 @@ def cmd_watch(args) -> int:
     print(json.dumps({
         "png": out, "iterations": e.i + 1,
         "latency": proc.latency_stats(),
+        **({"checkpoint": ckpt} if ckpt else {}),
     }))
     return 0
 
@@ -485,6 +494,12 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("--renderer", default="auto",
                    choices=["auto", "matplotlib", "pixels"])
+    p.add_argument("--checkpoint", default=None, metavar="PATH",
+                   help="write the mid-stream state (ring + read cursor) "
+                        "here when the loop ends")
+    p.add_argument("--resume", default=None, metavar="PATH",
+                   help="continue a previous --checkpoint stream instead "
+                        "of cold-starting the trailing window")
     p.set_defaults(fn=cmd_watch)
 
     p = sub.add_parser("synth", help="write a synthetic capture")

@@ -85,12 +85,18 @@ def load_session(path: Union[str, Path]) -> dict:
     return header
 
 
-def save_stream_state(path: Union[str, Path], state, meta: dict) -> Path:
+def save_stream_state(path: Union[str, Path], state, meta: dict,
+                      extra_arrays: Optional[dict] = None) -> Path:
     """Persist a models.streaming.StreamState + its StreamingSti params.
 
     The ring is stored in the rotated storage layout every StreamingSti
     uses (oldest column at ``total_cols % ring_len``); the header records
     that so older/newer readers can convert instead of misinterpreting.
+
+    ``extra_arrays`` (name -> array) rides along for callers with
+    array-valued side state (e.g. the live engine's per-column gap mask);
+    readers that don't know a name simply ignore it, so the format stays
+    version-compatible in both directions.
     """
     path = _npz_path(path)
     header = {"format_version": FORMAT_VERSION, "meta": meta,
@@ -101,12 +107,15 @@ def save_stream_state(path: Union[str, Path], state, meta: dict) -> Path:
         carry=np.asarray(state.carry),
         ring=np.asarray(state.ring),
         total_cols=np.asarray(state.total_cols),
+        **{f"x_{k}": np.asarray(v)
+           for k, v in (extra_arrays or {}).items()},
     )
     return path
 
 
 def load_stream_state(path: Union[str, Path]):
-    """Returns (StreamState-on-device, meta dict)."""
+    """Returns (StreamState-on-device, meta dict). Arrays saved via
+    ``extra_arrays`` come back under ``meta["arrays"]`` (host numpy)."""
     import jax.numpy as jnp
 
     from pyspectrogram_tpu.models.streaming import StreamState
@@ -146,7 +155,12 @@ def load_stream_state(path: Union[str, Path]):
             ring=jnp.asarray(ring),
             total_cols=jnp.asarray(z["total_cols"]),
         )
-    return state, header["meta"]
+        meta = dict(header["meta"])
+        extras = {k[2:]: np.asarray(z[k]) for k in z.files
+                  if k.startswith("x_")}
+        if extras:
+            meta["arrays"] = extras
+    return state, meta
 
 
 def _config_to_dict(cfg: SpectrogramConfig) -> dict:

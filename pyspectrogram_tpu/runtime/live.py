@@ -60,7 +60,12 @@ class LiveStreamEngine:
     """
 
     def __init__(self, ds: RFDataset, cfg: SpectrogramConfig, mesh=None,
-                 target_block_samples: int = TARGET_BLOCK_SAMPLES):
+                 target_block_samples: int = TARGET_BLOCK_SAMPLES,
+                 cols_per_block: Optional[int] = None):
+        """``cols_per_block`` pins the push-block geometry explicitly
+        (resume() passes the checkpointed value so the rebuilt ring has
+        the same shape); by default it is derived from
+        ``target_block_samples`` and the data available right now."""
         self.ds = ds
         self.mesh = mesh
         self.sig = _signature(cfg)
@@ -83,9 +88,12 @@ class LiveStreamEngine:
         # than the initially-available data so short/young captures still
         # surface columns block by block
         lo, hi = ds.bnds[chan]
-        avail_cols = max(1, (hi - lo + 1) // self.hop)
-        k = max(1, min(target_block_samples // self.hop,
-                       avail_cols, self.window_cols))
+        if cols_per_block is not None:
+            k = int(cols_per_block)
+        else:
+            avail_cols = max(1, (hi - lo + 1) // self.hop)
+            k = max(1, min(target_block_samples // self.hop,
+                           avail_cols, self.window_cols))
         self.cols_per_block = k
         self.block_len = k * self.hop
         # round the ring up to whole blocks: stores stay wrap-free
@@ -111,6 +119,76 @@ class LiveStreamEngine:
         # one window, never the whole capture)
         self.start_sample = max(lo, hi + 1 - self.window_cols * self.hop)
         self.next_sample = self.start_sample
+
+    # ----------------------------------------------------------- checkpoint
+    def save(self, path):
+        """Checkpoint the live session mid-stream: the device ring + carry
+        plus the host read cursor, so :meth:`resume` continues reading at
+        the exact next sample with no recompute. Call between ticks (the
+        CLI/GUI call it after the loop stops) — not concurrently with one.
+
+        The reference's data model makes any *request* reproducible
+        (absolute sample indexing, reference: drfProc.py:132-167); this
+        makes the live *stream* itself resumable, which the reference's
+        recompute-the-window loop cannot be.
+        """
+        import json
+
+        from pyspectrogram_tpu.runtime import checkpoint
+
+        meta = {
+            "kind": "live_stream",
+            # json round-trip now so resume() compares like with like
+            # (tuples inside the signature become lists either way)
+            "signature": json.loads(json.dumps(self.sig)),
+            "next_sample": int(self.next_sample),
+            "start_sample": int(self.start_sample),
+            "total_cols": int(self.total_cols),
+            "samples_read": int(self.samples_read),
+            "cols_per_block": int(self.cols_per_block),
+        }
+        return checkpoint.save_stream_state(
+            path, self.state, meta, extra_arrays={"col_mask": self.col_mask})
+
+    @classmethod
+    def resume(cls, ds: RFDataset, cfg: SpectrogramConfig, path,
+               mesh=None) -> "LiveStreamEngine":
+        """Rebuild an engine from a :meth:`save` checkpoint and continue
+        the stream: the next tick reads from the saved cursor (O(delta)
+        from where the old session stopped; the backlog-skip logic
+        handles a producer that ran far ahead meanwhile)."""
+        import json
+
+        from pyspectrogram_tpu.runtime import checkpoint
+
+        if mesh is not None:
+            raise NotImplementedError(
+                "live checkpoint resume is single-device (a sharded ring "
+                "would need a device_put per shard spec on load)")
+        state, meta = checkpoint.load_stream_state(path)
+        if meta.get("kind") != "live_stream":
+            raise ValueError(
+                f"{path} is not a live-stream checkpoint "
+                f"(kind={meta.get('kind')!r})")
+        eng = cls(ds, cfg, cols_per_block=int(meta["cols_per_block"]))
+        if json.loads(json.dumps(eng.sig)) != meta["signature"]:
+            raise ValueError(
+                f"checkpoint was written with different shape knobs "
+                f"({meta['signature']} vs {list(eng.sig)}); pass the "
+                f"config the stream was started with")
+        if eng.sti.ring_len != int(state.ring.shape[0]):
+            raise ValueError(
+                f"ring length mismatch: checkpoint {state.ring.shape[0]} "
+                f"vs rebuilt {eng.sti.ring_len}")
+        eng.state = state
+        eng.total_cols = int(meta["total_cols"])
+        eng.start_sample = int(meta["start_sample"])
+        eng.next_sample = int(meta["next_sample"])
+        eng.samples_read = int(meta["samples_read"])
+        mask = meta.get("arrays", {}).get("col_mask")
+        if mask is not None:
+            eng.col_mask = np.asarray(mask).astype(bool)
+        return eng
 
     # ---------------------------------------------------------------- ingest
     def _push_new(self) -> int:

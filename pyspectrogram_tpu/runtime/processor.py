@@ -230,6 +230,29 @@ class SpectrogramProcessor:
         """User stop (reference: drfProc.py:347-352)."""
         self._terminate(TerminateReason.OK)
 
+    # --------------------------------------------------- live checkpointing
+    def save_live_state(self, path):
+        """Persist streaming mode's mid-stream state (ring + carry + read
+        cursor) so a later run resumes with runtime.live's
+        LiveStreamEngine.resume — no recompute of already-seen samples.
+        Call after the loop has stopped (join() first when threaded)."""
+        if self._live is None or self._live.engine is None:
+            raise ValueError(
+                "no live engine to checkpoint (requires streaming mode "
+                "and at least one completed iteration)")
+        return self._live.engine.save(path)
+
+    def preload_live_state(self, path) -> None:
+        """Seed streaming mode from a save_live_state checkpoint BEFORE
+        run(): the first tick continues the saved stream instead of
+        re-reading a cold trailing window."""
+        from pyspectrogram_tpu.runtime.live import LiveStreamEngine
+
+        if self._live is None:
+            raise ValueError("preload_live_state requires streaming mode")
+        self._live.engine = LiveStreamEngine.resume(
+            self.ds, self.config, path, mesh=self.pipeline.mesh)
+
     def join(self, timeout: Optional[float] = None) -> None:
         if self._thread is not None:
             self._thread.join(timeout)

@@ -222,3 +222,27 @@ def test_cli_sti_batch_colliding_basenames(tmp_path, capsys):
     assert len(pngs) == 2  # distinct files
     for p in pngs:
         assert Path(p).exists()
+
+
+def test_watch_checkpoint_resume(tmp_path, capsys):
+    """watch --checkpoint persists the mid-stream state; --resume picks
+    the stream up from the saved cursor instead of a cold window fill."""
+    drf = tmp_path / "cap7"
+    _run(capsys, "synth", "--out", str(drf), "--kind", "tone",
+         "--n-samples", "131072", "--sample-rate", "1000000",
+         "--freqs", "50000")
+    ck = tmp_path / "live.ckpt"
+    rc, res = _run(capsys, "watch", str(drf), "--out",
+                   str(tmp_path / "w1.png"), "--nfft", "256", "--ntime",
+                   "8", "--window-s", "0.05", "--refresh-s", "0.0",
+                   "--iterations", "2", "--renderer", "pixels",
+                   "--checkpoint", str(ck))
+    assert rc == 0 and res["checkpoint"].endswith(".npz")
+
+    rc, res2 = _run(capsys, "watch", str(drf), "--out",
+                    str(tmp_path / "w2.png"), "--nfft", "256", "--ntime",
+                    "8", "--window-s", "0.05", "--refresh-s", "0.0",
+                    "--iterations", "2", "--renderer", "pixels",
+                    "--resume", res["checkpoint"])
+    assert rc == 0 and (tmp_path / "w2.png").exists()
+    assert res2["iterations"] == 2

@@ -145,8 +145,8 @@ def test_live_session_settings_roundtrip_and_save(tone_capture, tmp_path):
     out = tmp_path / "gui_save.png"
     QFileDialog.save_file_name = (str(out), "PNG (*.png)")
     st.save_btn.click()
-    st.save_thread.join(timeout=30)   # writes happen off the GUI thread
-    assert _wait(lambda: st.save_btn.isEnabled())
+    st.save_thread.join(timeout=120)  # writes happen off the GUI thread
+    assert _wait(lambda: st.save_btn.isEnabled(), timeout=60)
     assert out.exists() and out.stat().st_size > 1000
 
     # last-used directory persisted (reference drfview.py:1113-1125)
@@ -307,8 +307,11 @@ def test_save_subtab_subset_and_artifacts(tone_capture, tmp_path):
     # the write runs on a worker thread (progress = disabled "Saving…"
     # button, NOT a blocked event loop); completion re-enables it
     assert st.save_thread is not None
-    st.save_thread.join(timeout=30)
-    assert _wait(lambda: st.save_btn.isEnabled())
+    # generous budget: the worker first waits out any in-flight
+    # iteration, then (tile mode) compiles the full-res program —
+    # two fresh XLA compiles on a loaded single-vCPU box
+    st.save_thread.join(timeout=120)
+    assert _wait(lambda: st.save_btn.isEnabled(), timeout=60)
     assert st.save_btn.text() == "Save File(s)…"
     assert png.exists() and png.stat().st_size > 1000
     assert npz.exists() and csv.exists()
@@ -379,8 +382,8 @@ def test_live_streaming_tab(tmp_path):
     QFileDialog.save_file_queue = [(str(png), "")]
     st.save_btn.click()
     assert st.save_thread is not None
-    st.save_thread.join(timeout=60)
-    assert _wait(lambda: st.save_btn.isEnabled())
+    st.save_thread.join(timeout=120)
+    assert _wait(lambda: st.save_btn.isEnabled(), timeout=60)
     assert png.exists() and png.stat().st_size > 1000
     assert win.close()
 

@@ -327,3 +327,59 @@ def test_fillup_median_span_rides_a_ladder(tmp_path):
     for n in meds:
         assert n == W or (n & (n - 1)) == 0, meds
     assert meds[-1] == W  # steady state reached: exact full-window median
+
+
+def test_checkpoint_resume_continues_stream(tmp_path):
+    """A saved live session resumes mid-stream: the rebuilt engine reads
+    only the samples appended after the checkpoint, and its view stays
+    bit-identical to an engine that was never interrupted."""
+    n0 = 60_000
+    cap = tmp_path / "cap"
+    w = _growing_writer(cap, n0)
+    cfg = SpectrogramConfig(nfft=64, ntime=16, stream_seconds=0.5,
+                            streaming=True)
+    ds_a = RFDataset(cap)
+    eng_a = LiveStreamEngine(ds_a, cfg, target_block_samples=4096)
+    eng_a.tick(cfg)
+    ck = eng_a.save(tmp_path / "live.ckpt")
+
+    delta = 9_000
+    w.rf_write(tone_signal(delta, SR, [12_500.0],
+                           start_sample=n0).astype(np.complex64))
+    ds_a.bnds_update()
+
+    ds_b = RFDataset(cap)
+    eng_b = LiveStreamEngine.resume(ds_b, cfg, ck)
+    assert eng_b.total_cols == eng_a.total_cols
+    assert eng_b.next_sample == eng_a.next_sample
+    assert eng_b.cols_per_block == eng_a.cols_per_block
+    spans = _count_reads(ds_b)
+    res_b = eng_b.tick(cfg)
+    res_a = eng_a.tick(cfg)
+    # O(delta) from the saved cursor: pre-checkpoint samples never re-read
+    assert sum(spans) <= delta + eng_b.block_len
+    np.testing.assert_array_equal(res_b.sxx_dbfs, res_a.sxx_dbfs)
+    np.testing.assert_array_equal(res_b.sxx_med_dbfs, res_a.sxx_med_dbfs)
+    np.testing.assert_array_equal(res_b.frame_starts, res_a.frame_starts)
+    np.testing.assert_array_equal(res_b.mask, res_a.mask)
+
+
+def test_checkpoint_resume_refuses_shape_change(tmp_path):
+    """Resuming under different shape knobs must fail loudly — the ring's
+    compiled programs and geometry are keyed to the saved signature."""
+    cap = tmp_path / "cap"
+    _growing_writer(cap, 60_000)
+    ds = RFDataset(cap)
+    cfg = SpectrogramConfig(nfft=64, ntime=16, stream_seconds=0.5,
+                            streaming=True)
+    eng = LiveStreamEngine(ds, cfg, target_block_samples=4096)
+    eng.tick(cfg)
+    ck = eng.save(tmp_path / "live.ckpt")
+    with pytest.raises(ValueError, match="shape knobs"):
+        LiveStreamEngine.resume(ds, cfg.replace(nfft=128), ck)
+    # a session checkpoint is not a live-stream checkpoint
+    from pyspectrogram_tpu.runtime import checkpoint
+
+    p = checkpoint.save_session(tmp_path / "sess.npz", cap, cfg)
+    with pytest.raises((KeyError, ValueError)):
+        LiveStreamEngine.resume(ds, cfg, p)  # no ring payload in a session
