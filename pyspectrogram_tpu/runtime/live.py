@@ -156,21 +156,20 @@ class LiveStreamEngine:
         """Rebuild an engine from a :meth:`save` checkpoint and continue
         the stream: the next tick reads from the saved cursor (O(delta)
         from where the old session stopped; the backlog-skip logic
-        handles a producer that ran far ahead meanwhile)."""
+        handles a producer that ran far ahead meanwhile). With ``mesh``
+        the restored ring/carry are re-placed under the chan-sharded
+        layout, so a sharded live session resumes sharded."""
         import json
 
         from pyspectrogram_tpu.runtime import checkpoint
 
-        if mesh is not None:
-            raise NotImplementedError(
-                "live checkpoint resume is single-device (a sharded ring "
-                "would need a device_put per shard spec on load)")
         state, meta = checkpoint.load_stream_state(path)
         if meta.get("kind") != "live_stream":
             raise ValueError(
                 f"{path} is not a live-stream checkpoint "
                 f"(kind={meta.get('kind')!r})")
-        eng = cls(ds, cfg, cols_per_block=int(meta["cols_per_block"]))
+        eng = cls(ds, cfg, mesh=mesh,
+                  cols_per_block=int(meta["cols_per_block"]))
         if json.loads(json.dumps(eng.sig)) != meta["signature"]:
             raise ValueError(
                 f"checkpoint was written with different shape knobs "
@@ -180,6 +179,17 @@ class LiveStreamEngine:
             raise ValueError(
                 f"ring length mismatch: checkpoint {state.ring.shape[0]} "
                 f"vs rebuilt {eng.sti.ring_len}")
+        if mesh is not None:
+            import jax
+
+            from pyspectrogram_tpu.models.streaming import StreamState
+
+            carry_sh, ring_sh, _ = eng.sti._shardings()
+            state = StreamState(
+                carry=jax.device_put(np.asarray(state.carry), carry_sh),
+                ring=jax.device_put(np.asarray(state.ring), ring_sh),
+                total_cols=state.total_cols,
+            )
         eng.state = state
         eng.total_cols = int(meta["total_cols"])
         eng.start_sample = int(meta["start_sample"])

@@ -383,3 +383,34 @@ def test_checkpoint_resume_refuses_shape_change(tmp_path):
     p = checkpoint.save_session(tmp_path / "sess.npz", cap, cfg)
     with pytest.raises((KeyError, ValueError)):
         LiveStreamEngine.resume(ds, cfg, p)  # no ring payload in a session
+
+
+def test_checkpoint_resume_on_mesh(tmp_path):
+    """A chan-sharded live session resumes sharded: the restored
+    ring/carry are re-placed under the mesh layout, and the resumed view
+    equals the pre-checkpoint one."""
+    from pyspectrogram_tpu.io.synthetic import write_capture
+    from pyspectrogram_tpu.parallel import make_mesh
+
+    cap = tmp_path / "cap"
+    write_capture(cap, channel="m", kind="tone", n_samples=40_000,
+                  sample_rate_numerator=SR, num_subchannels=4)
+    cfg = SpectrogramConfig(nfft=64, ntime=16, stream_seconds=0.2,
+                            streaming=True)
+    mesh = make_mesh(time_parallel=2, chan_parallel=4)
+    ds = RFDataset(cap)
+    eng = LiveStreamEngine(ds, cfg, mesh=mesh, target_block_samples=4096)
+    res0 = eng.tick(cfg)
+    assert res0 is not None
+    ck = eng.save(tmp_path / "live.ckpt")
+
+    eng2 = LiveStreamEngine.resume(RFDataset(cap), cfg, ck, mesh=mesh)
+    assert eng2.next_sample == eng.next_sample
+    carry_sh, ring_sh, _ = eng2.sti._shardings()
+    assert eng2.state.ring.sharding == ring_sh
+    assert eng2.state.carry.sharding == carry_sh
+    res1 = eng2.tick(cfg)  # no new data: the view must be unchanged
+    np.testing.assert_allclose(res1.sxx_dbfs, res0.sxx_dbfs, atol=1e-5)
+    np.testing.assert_allclose(res1.sxx_med_dbfs, res0.sxx_med_dbfs,
+                               atol=1e-5)
+    np.testing.assert_array_equal(res1.frame_starts, res0.frame_starts)
