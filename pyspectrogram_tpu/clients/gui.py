@@ -306,9 +306,14 @@ class MainWindow(QtWidgets.QMainWindow):
         st.save_spectro = QtWidgets.QCheckBox("Save spectrogram (PNG)")
         st.save_npz = QtWidgets.QCheckBox("Save arrays (.npz)")
         st.save_csv = QtWidgets.QCheckBox("Save median PSD (CSV)")
+        # live runs only: persist the ring + read cursor so `pstpu watch
+        # --resume` (or a later live tab) continues this exact stream
+        st.save_state = QtWidgets.QCheckBox("Save stream state (live resume)")
+        st.save_state.setEnabled(False)
         sv.addRow(st.save_spectro)
         sv.addRow(st.save_npz)
         sv.addRow(st.save_csv)
+        sv.addRow(st.save_state)
 
         st.save_subset = QtWidgets.QCheckBox("Save subset")
         sv.addRow(st.save_subset)
@@ -569,6 +574,8 @@ class MainWindow(QtWidgets.QMainWindow):
         st.stop_btn.setEnabled(False)
         st.save_btn.setEnabled(st.last is not None)
         st.live_check.setEnabled(True)
+        st.save_state.setEnabled(
+            st.processor is not None and st.processor.has_live_state)
         if p.reason != TerminateReason.OK:
             self._warn(p.reason.describe())
 
@@ -630,7 +637,9 @@ class MainWindow(QtWidgets.QMainWindow):
         want_png = st.save_spectro.isChecked()
         want_npz = st.save_npz.isChecked()
         want_csv = st.save_csv.isChecked()
-        if not (want_png or want_npz or want_csv):
+        want_state = (st.save_state.isChecked()
+                      and st.save_state.isEnabled())
+        if not (want_png or want_npz or want_csv or want_state):
             self._warn("Select at least one artifact to save.")
             return
         names = {}
@@ -638,6 +647,8 @@ class MainWindow(QtWidgets.QMainWindow):
             ("png", want_png, "Save Spectrogram", "Image (*.png)"),
             ("npz", want_npz, "Save Arrays", "NumPy archive (*.npz)"),
             ("csv", want_csv, "Save Median PSD", "CSV (*.csv)"),
+            ("state", want_state, "Save Stream State",
+             "NumPy archive (*.npz)"),
         ]:
             if not on:
                 continue
@@ -688,8 +699,15 @@ class MainWindow(QtWidgets.QMainWindow):
     def _write_artifacts(names, last, processor, subset, t0_s, t1_s,
                          crange, frange, subchan):
         """Worker-thread body: (re)compute if needed + write artifacts."""
+        if "state" in names:
+            # ring + read cursor of the live run (LiveStreamEngine.save);
+            # resumable via `pstpu watch --resume` / preload_live_state
+            processor.save_live_state(names["state"])
+        array_artifacts = set(names) - {"state"}
         freqs, times, sxx = last.freqs, last.times, last.sxx_dbfs
         med = last.sxx_med_dbfs
+        if sxx is None and not array_artifacts:
+            return  # stream-state-only save: no recompute needed
         if sxx is None:
             # live view runs in display-tile mode (floats never left the
             # device); the save pipeline wants full-resolution spectra,

@@ -231,6 +231,13 @@ class SpectrogramProcessor:
         self._terminate(TerminateReason.OK)
 
     # --------------------------------------------------- live checkpointing
+    @property
+    def has_live_state(self) -> bool:
+        """True when a streaming run has a ring to checkpoint (clients use
+        this to enable their save-stream-state affordance)."""
+        return (getattr(self, "_live", None) is not None
+                and self._live.engine is not None)
+
     def save_live_state(self, path):
         """Persist streaming mode's mid-stream state (ring + carry + read
         cursor) so a later run resumes with runtime.live's

@@ -375,16 +375,27 @@ def test_live_streaming_tab(tmp_path):
     assert _wait(lambda: not st.processor.is_running)
     st.processor.join(10)
     assert st.live_check.isEnabled() and st.save_btn.isEnabled()
+    assert st.save_state.isEnabled()  # live run: stream state saveable
 
     # tile-mode save: full-resolution recompute happens OFF the GUI
-    # thread; button shows progress state meanwhile
+    # thread; button shows progress state meanwhile. Also save the stream
+    # state (4th artifact, live runs only).
+    st.save_state.setChecked(True)
     png = tmp_path / "live.png"
-    QFileDialog.save_file_queue = [(str(png), "")]
+    ck = tmp_path / "live_state.npz"
+    QFileDialog.save_file_queue = [(str(png), ""), (str(ck), "")]
     st.save_btn.click()
     assert st.save_thread is not None
     st.save_thread.join(timeout=120)
     assert _wait(lambda: st.save_btn.isEnabled(), timeout=60)
     assert png.exists() and png.stat().st_size > 1000
+    # the saved state resumes the exact stream (same cursor)
+    from pyspectrogram_tpu.io.reader import RFDataset
+    from pyspectrogram_tpu.runtime.live import LiveStreamEngine
+
+    eng = LiveStreamEngine.resume(RFDataset(tmp_path / "cap"),
+                                  st.processor.config, ck)
+    assert eng.next_sample == st.processor._live.engine.next_sample
     assert win.close()
 
 
