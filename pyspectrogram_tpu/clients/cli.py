@@ -320,7 +320,13 @@ def cmd_watch(args) -> int:
         print(json.dumps({"error": proc.reason.describe()}))
         return 1
     if args.resume:
-        proc.preload_live_state(args.resume)
+        try:
+            proc.preload_live_state(args.resume)
+        except (ValueError, KeyError, OSError) as err:
+            # same machine-readable contract as the other failure paths
+            print(json.dumps({"error": f"cannot resume {args.resume}: "
+                                       f"{err}"}))
+            return 1
     try:
         proc.run()
     except KeyboardInterrupt:

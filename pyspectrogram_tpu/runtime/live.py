@@ -61,11 +61,15 @@ class LiveStreamEngine:
 
     def __init__(self, ds: RFDataset, cfg: SpectrogramConfig, mesh=None,
                  target_block_samples: int = TARGET_BLOCK_SAMPLES,
-                 cols_per_block: Optional[int] = None):
+                 cols_per_block: Optional[int] = None,
+                 init_device_state: bool = True):
         """``cols_per_block`` pins the push-block geometry explicitly
         (resume() passes the checkpointed value so the rebuilt ring has
         the same shape); by default it is derived from
-        ``target_block_samples`` and the data available right now."""
+        ``target_block_samples`` and the data available right now.
+        ``init_device_state=False`` skips allocating the zeroed device
+        ring (resume() installs a restored one instead — avoids holding
+        two full rings in HBM during a large-window resume)."""
         self.ds = ds
         self.mesh = mesh
         self.sig = _signature(cfg)
@@ -105,7 +109,7 @@ class LiveStreamEngine:
             window=cfg.window, ref=self.ref, eps=cfg.eps,
             precision=cfg.precision, mesh=mesh,
         )
-        self.state = self.sti.init_state()
+        self.state = self.sti.init_state() if init_device_state else None
         # host-side shadows of device state: the engine knows exactly how
         # many columns it pushed, so no tick ever reads the total back
         # from the device (a scalar readback is ~32 ms on the tunnel)
@@ -169,16 +173,30 @@ class LiveStreamEngine:
                 f"{path} is not a live-stream checkpoint "
                 f"(kind={meta.get('kind')!r})")
         eng = cls(ds, cfg, mesh=mesh,
-                  cols_per_block=int(meta["cols_per_block"]))
+                  cols_per_block=int(meta["cols_per_block"]),
+                  init_device_state=False)
         if json.loads(json.dumps(eng.sig)) != meta["signature"]:
             raise ValueError(
                 f"checkpoint was written with different shape knobs "
                 f"({meta['signature']} vs {list(eng.sig)}); pass the "
                 f"config the stream was started with")
-        if eng.sti.ring_len != int(state.ring.shape[0]):
+        # full-shape checks: the signature can't see dataset-derived
+        # geometry (nsub), so a same-config checkpoint from a
+        # different-subchannel dataset must still be refused loudly
+        want_ring = (eng.sti.ring_len, eng.nsub, cfg.nfft)
+        want_carry = (eng.nsub * 2, eng.sti.frame_len - eng.sti.hop)
+        if (tuple(state.ring.shape) != want_ring
+                or tuple(state.carry.shape) != want_carry):
             raise ValueError(
-                f"ring length mismatch: checkpoint {state.ring.shape[0]} "
-                f"vs rebuilt {eng.sti.ring_len}")
+                f"stream-state geometry mismatch: checkpoint ring/carry "
+                f"{tuple(state.ring.shape)}/{tuple(state.carry.shape)} vs "
+                f"this dataset's {want_ring}/{want_carry}")
+        if int(np.asarray(state.total_cols)) != int(meta["total_cols"]):
+            raise ValueError(
+                "torn checkpoint: device column count "
+                f"({int(np.asarray(state.total_cols))}) disagrees with "
+                f"the host cursor ({meta['total_cols']}) — the state was "
+                "saved mid-tick; re-save from a quiesced session")
         if mesh is not None:
             import jax
 

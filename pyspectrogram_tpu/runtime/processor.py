@@ -140,6 +140,7 @@ class SpectrogramProcessor:
         if self.reason is not None:
             return
         i = -1
+        delivered = False
         try:
             while self.is_running and not self._stop.is_set():
                 i += 1
@@ -152,13 +153,16 @@ class SpectrogramProcessor:
                 else:
                     result = self.pipeline.compute(cfg)
                 self.latencies_s.append(time.perf_counter() - t0)
-                if self._stop.is_set():
+                if self._stop.is_set() and delivered:
                     # Stop arrived while compute was in flight (a remote
                     # compile can hold this iteration for 20-80 s) —
                     # Terminated has already been emitted, so delivering
                     # this stale Iterated would overwrite state the
                     # consumer captured at stop time and race any save
-                    # the client started after the stop.
+                    # the client started after the stop. Exception: when
+                    # NOTHING was delivered yet, the consumer has no
+                    # captured state to protect and dropping the frame
+                    # would throw away the run's only result — emit it.
                     return
                 if result is None:
                     # capture still shorter than one STI column — keep
@@ -180,6 +184,9 @@ class SpectrogramProcessor:
                     plot_freqs=result.plot_freqs,
                     mask=result.mask,
                 ))
+                delivered = True
+                if self._stop.is_set():
+                    return
                 if self.max_iterations is not None and i + 1 >= self.max_iterations:
                     self._terminate(TerminateReason.OK)
                     return
@@ -243,7 +250,7 @@ class SpectrogramProcessor:
         cursor) so a later run resumes with runtime.live's
         LiveStreamEngine.resume — no recompute of already-seen samples.
         Call after the loop has stopped (join() first when threaded)."""
-        if self._live is None or self._live.engine is None:
+        if not self.has_live_state:  # also covers a failed-init processor
             raise ValueError(
                 "no live engine to checkpoint (requires streaming mode "
                 "and at least one completed iteration)")
@@ -255,7 +262,7 @@ class SpectrogramProcessor:
         re-reading a cold trailing window."""
         from pyspectrogram_tpu.runtime.live import LiveStreamEngine
 
-        if self._live is None:
+        if getattr(self, "_live", None) is None:
             raise ValueError("preload_live_state requires streaming mode")
         self._live.engine = LiveStreamEngine.resume(
             self.ds, self.config, path, mesh=self.pipeline.mesh)

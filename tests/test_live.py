@@ -414,3 +414,34 @@ def test_checkpoint_resume_on_mesh(tmp_path):
     np.testing.assert_allclose(res1.sxx_med_dbfs, res0.sxx_med_dbfs,
                                atol=1e-5)
     np.testing.assert_array_equal(res1.frame_starts, res0.frame_starts)
+
+
+def test_checkpoint_resume_refuses_torn_and_wrong_geometry(tmp_path):
+    """resume() rejects (a) a checkpoint whose host cursor disagrees with
+    the device column count (saved mid-tick) and (b) a same-config
+    checkpoint from a dataset with different subchannel geometry."""
+    from pyspectrogram_tpu.io.synthetic import write_capture
+
+    cap = tmp_path / "cap"
+    _growing_writer(cap, 60_000)
+    ds = RFDataset(cap)
+    cfg = SpectrogramConfig(nfft=64, ntime=16, stream_seconds=0.5,
+                            streaming=True)
+    eng = LiveStreamEngine(ds, cfg, target_block_samples=4096)
+    eng.tick(cfg)
+    ck = eng.save(tmp_path / "live.ckpt")
+
+    # (a) torn: host cursor one block behind the device counter
+    z = dict(np.load(ck, allow_pickle=False))
+    z["total_cols"] = z["total_cols"] + eng.cols_per_block
+    torn = tmp_path / "torn.npz"
+    np.savez(torn, **z)
+    with pytest.raises(ValueError, match="torn checkpoint"):
+        LiveStreamEngine.resume(ds, cfg, torn)
+
+    # (b) same channel name + config, but 2 subchannels instead of 1
+    cap2 = tmp_path / "cap2"
+    write_capture(cap2, channel="live", kind="tone", n_samples=60_000,
+                  sample_rate_numerator=SR, num_subchannels=2)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        LiveStreamEngine.resume(RFDataset(cap2), cfg, ck)

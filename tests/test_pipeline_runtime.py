@@ -292,3 +292,60 @@ def test_processor_runs_meshed(tone_capture):
     it2 = events2["iterated"][-1]
     assert it2.sxx_med_dbfs.shape == (128, 2)
     assert np.isfinite(it2.sxx_med_dbfs).all()
+
+
+def test_stop_mid_compute_delivers_first_frame_only(tone_capture):
+    """Stop during an in-flight iteration: the run's FIRST frame is still
+    delivered (a cold compile can hold it for minutes — dropping it would
+    throw away the only result), but a later in-flight frame is dropped
+    (it would overwrite state the client captured at stop time)."""
+    top, _ = tone_capture
+    cfg = SpectrogramConfig(nfft=128, nint=1, ntime=8)
+
+    # stop lands inside the FIRST compute -> that frame still arrives
+    events, cb = _collector()
+    proc = SpectrogramProcessor("written", top, 0, cfg, callbacks=cb)
+    orig = proc.pipeline.compute
+
+    def abort_during(c):
+        res = orig(c)
+        proc.abort()  # while this iteration is conceptually in flight
+        return res
+
+    proc.pipeline.compute = abort_during
+    proc.run()
+    assert len(events["iterated"]) == 1
+
+    # stop lands inside the SECOND compute -> the stale frame is dropped
+    events2, cb2 = _collector()
+    proc2 = SpectrogramProcessor("written", top, 1, cfg, callbacks=cb2)
+    orig2 = proc2.pipeline.compute
+    calls = []
+
+    def abort_on_second(c):
+        res = orig2(c)
+        calls.append(1)
+        if len(calls) == 2:
+            proc2.abort()
+        return res
+
+    proc2.pipeline.compute = abort_on_second
+    proc2.run()
+    assert len(events2["iterated"]) == 1  # second frame never delivered
+
+
+def test_save_live_state_guards(tone_capture, tmp_path):
+    """save/preload_live_state fail with the documented ValueError on a
+    failed-init or non-streaming processor (never AttributeError)."""
+    top, _ = tone_capture
+    cfg = SpectrogramConfig(nfft=128, ntime=8)
+    bad = SpectrogramProcessor("streaming", "/nonexistent-dir", 0, cfg)
+    assert not bad.has_live_state
+    with pytest.raises(ValueError, match="no live engine"):
+        bad.save_live_state(tmp_path / "x.npz")
+    with pytest.raises(ValueError, match="streaming mode"):
+        bad.preload_live_state(tmp_path / "x.npz")
+    written = SpectrogramProcessor("written", top, 0, cfg)
+    assert not written.has_live_state
+    with pytest.raises(ValueError, match="no live engine"):
+        written.save_live_state(tmp_path / "x.npz")
