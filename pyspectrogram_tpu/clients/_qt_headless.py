@@ -546,10 +546,16 @@ class QFileDialog:
     #: dialogs in one action (the save sub-tab's Save File(s));
     #: drained before falling back to save_file_name
     save_file_queue: List[tuple] = []
+    open_file_name = ("", "")
 
     @classmethod
     def getExistingDirectory(cls, parent=None, caption="", directory="", **k):
         return cls.existing_directory
+
+    @classmethod
+    def getOpenFileName(cls, parent=None, caption="", directory="",
+                        filter="", **k):
+        return cls.open_file_name
 
     @classmethod
     def getSaveFileName(cls, parent=None, caption="", directory="",

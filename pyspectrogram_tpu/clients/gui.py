@@ -253,6 +253,12 @@ class MainWindow(QtWidgets.QMainWindow):
         st.window_s.setValue(st.config.stream_seconds)
         panel.addRow(st.live_check)
         panel.addRow("Live window (s)", st.window_s)
+        # counterpart of the save sub-tab's stream-state artifact: pick a
+        # saved state, adopt its shape knobs, continue the stream
+        st.resume_btn = QtWidgets.QPushButton("Resume live from state…")
+        st.resume_btn.clicked.connect(
+            lambda: self.start_processor(tab_id, resume_state=True))
+        panel.addRow(st.resume_btn)
 
         st.tmin = QtWidgets.QSlider(Qt.Horizontal)
         st.tmax = QtWidgets.QSlider(Qt.Horizontal)
@@ -401,7 +407,7 @@ class MainWindow(QtWidgets.QMainWindow):
     def _last_dir_file(self) -> Path:
         return Path.home() / ".pstpu_last_dir"
 
-    def start_processor(self, tab_id: int):
+    def start_processor(self, tab_id: int, resume_state: bool = False):
         st = self.states[tab_id]
         running = sum(
             1 for s in self.states.values()
@@ -410,6 +416,26 @@ class MainWindow(QtWidgets.QMainWindow):
         if running >= MAX_TABS:
             self._warn("All processing threads are busy.")
             return
+        state_path = sig = None
+        if resume_state:
+            # adopt the checkpoint's shape knobs (header-only read), then
+            # run the normal start flow in streaming mode and preload the
+            # ring before the loop starts
+            from pyspectrogram_tpu.runtime import checkpoint
+
+            state_path, _ = QtWidgets.QFileDialog.getOpenFileName(
+                self, "Resume stream state", "", "NumPy archive (*.npz)")
+            if not state_path:
+                return
+            meta = checkpoint.peek_stream_meta(state_path)
+            if meta.get("kind") != "live_stream":
+                self._warn("Not a live-stream state file.")
+                return
+            sig = meta["signature"]
+            st.nfft.setValue(int(sig[0]))
+            st.nint.setValue(int(sig[1]))
+            st.window_s.setValue(float(sig[6]))
+            st.live_check.setChecked(True)
         last = ""
         f = self._last_dir_file()
         if f.exists():
@@ -428,12 +454,25 @@ class MainWindow(QtWidgets.QMainWindow):
             lambda p: self.on_terminated(tab_id, p))
         datasource = ("streaming" if st.live_check.isChecked()
                       else "written")
+        cfg = self._config_from_widgets(st)
+        if sig is not None:
+            # non-widget knobs ride in from the checkpoint signature
+            window = tuple(sig[3]) if isinstance(sig[3], list) else sig[3]
+            cfg = cfg.replace(mode=sig[2], window=window, precision=sig[4],
+                              channel=sig[5])
         st.processor = SpectrogramProcessor(
-            datasource, drfdir, tab_id, self._config_from_widgets(st),
+            datasource, drfdir, tab_id, cfg,
             callbacks=st.bridge.callbacks(),
         )
         if not st.processor.is_running:
             return  # terminated already emitted with the reason
+        if state_path:
+            try:
+                st.processor.preload_live_state(state_path)
+            except (ValueError, KeyError, OSError) as err:
+                self._warn(f"Cannot resume stream state: {err}")
+                st.processor.abort()  # resets buttons via on_terminated
+                return
         st.chan_combo.clear()
         st.chan_combo.addItems(st.processor.chan_listing)
         st.sub_combo.clear()
@@ -442,6 +481,7 @@ class MainWindow(QtWidgets.QMainWindow):
         st.sub_combo.addItems([str(i) for i in range(nsub)])
         st.processor.start()
         st.start_btn.setEnabled(False)
+        st.resume_btn.setEnabled(False)
         st.stop_btn.setEnabled(True)
         st.save_btn.setEnabled(False)
         # a pinned End time is a per-run decision: a NEW run's span has
@@ -571,6 +611,7 @@ class MainWindow(QtWidgets.QMainWindow):
         if st is None:
             return
         st.start_btn.setEnabled(True)
+        st.resume_btn.setEnabled(True)
         st.stop_btn.setEnabled(False)
         st.save_btn.setEnabled(st.last is not None)
         st.live_check.setEnabled(True)

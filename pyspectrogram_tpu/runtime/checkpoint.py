@@ -113,6 +113,15 @@ def save_stream_state(path: Union[str, Path], state, meta: dict,
     return path
 
 
+def peek_stream_meta(path: Union[str, Path]) -> dict:
+    """Header-only read of a stream-state file: the JSON meta without
+    touching the (large) array payloads — clients use it to pre-set
+    their knobs from the checkpoint's signature before resuming."""
+    with _open_npz(path) as z:
+        header = json.loads(bytes(z["header"].tobytes()).decode())
+    return header.get("meta", {})
+
+
 def load_stream_state(path: Union[str, Path]):
     """Returns (StreamState-on-device, meta dict). Arrays saved via
     ``extra_arrays`` come back under ``meta["arrays"]`` (host numpy)."""

@@ -396,6 +396,23 @@ def test_live_streaming_tab(tmp_path):
     eng = LiveStreamEngine.resume(RFDataset(tmp_path / "cap"),
                                   st.processor.config, ck)
     assert eng.next_sample == st.processor._live.engine.next_sample
+
+    # GUI-side resume: a fresh tab adopts the checkpoint's shape knobs
+    # and continues the stream from the saved cursor
+    win2 = gui.MainWindow()
+    st2 = win2.states[1]
+    QFileDialog.open_file_name = (str(ck), "")
+    QFileDialog.existing_directory = str(tmp_path / "cap")
+    st2.resume_btn.click()
+    assert st2.processor is not None and st2.processor.config.streaming
+    assert st2.nfft.value() == 256 and st2.live_check.isChecked()
+    assert st2.processor._live.engine is not None
+    assert (st2.processor._live.engine.next_sample
+            == st.processor._live.engine.next_sample)
+    st2.stop_btn.click()
+    assert _wait(lambda: not st2.processor.is_running)
+    st2.processor.join(10)
+    assert win2.close()
     assert win.close()
 
 

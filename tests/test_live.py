@@ -445,3 +445,23 @@ def test_checkpoint_resume_refuses_torn_and_wrong_geometry(tmp_path):
                   sample_rate_numerator=SR, num_subchannels=2)
     with pytest.raises(ValueError, match="geometry mismatch"):
         LiveStreamEngine.resume(RFDataset(cap2), cfg, ck)
+
+
+def test_live_int16_capture_normalization(tmp_path):
+    """Live engine over an int16-compound capture: the storage dtype rides
+    the same assemble path as batch, and the dBFS normalization applies
+    the int16 half-bit rule (ref 2^15.5, reference: drfProc.py:199-201) —
+    a 2^14-amplitude tone reads 20*log10(2^14 / 2^15.5) = -9.03 dBFS."""
+    from pyspectrogram_tpu.io.synthetic import write_capture
+
+    i16 = np.dtype([("r", np.int16), ("i", np.int16)])
+    write_capture(tmp_path / "cap", channel="c", kind="tone",
+                  n_samples=120_000, sample_rate_numerator=SR, dtype=i16)
+    ds = RFDataset(tmp_path / "cap")
+    cfg = SpectrogramConfig(nfft=256, ntime=8, stream_seconds=0.2,
+                            streaming=True)
+    eng = LiveStreamEngine(ds, cfg)
+    res = eng.tick(cfg)
+    assert res.sxx_dbfs.shape == (256, 8, 1)
+    np.testing.assert_allclose(float(res.sxx_med_dbfs.max()),
+                               20 * np.log10(2**14 / 2**15.5), atol=0.05)
