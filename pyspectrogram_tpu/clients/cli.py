@@ -358,6 +358,19 @@ def cmd_watch(args) -> int:
     return 0
 
 
+def cmd_gui(args) -> int:
+    """Launch the interactive viewer (the reference's `python drfview.py`
+    entry, reference: drfview.py:1760-1763) from the same CLI."""
+    from pyspectrogram_tpu.clients import gui as gui_mod
+
+    try:
+        gui_mod.require_qt()
+    except ImportError as err:
+        print(json.dumps({"error": str(err)}))
+        return 1
+    return gui_mod.main()
+
+
 def cmd_synth(args) -> int:
     from pyspectrogram_tpu.io.synthetic import write_capture
 
@@ -507,6 +520,9 @@ def main(argv=None) -> int:
                    help="continue a previous --checkpoint stream instead "
                         "of cold-starting the trailing window")
     p.set_defaults(fn=cmd_watch)
+
+    p = sub.add_parser("gui", help="launch the interactive Qt viewer")
+    p.set_defaults(fn=cmd_gui)
 
     p = sub.add_parser("synth", help="write a synthetic capture")
     p.add_argument("--out", required=True)

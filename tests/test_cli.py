@@ -246,3 +246,10 @@ def test_watch_checkpoint_resume(tmp_path, capsys):
                     "--resume", res["checkpoint"])
     assert rc == 0 and (tmp_path / "w2.png").exists()
     assert res2["iterations"] == 2
+
+
+def test_gui_command_headless_errors_as_json(capsys):
+    """pstpu gui on a Qt-less host reports the install hint as the JSON
+    error line instead of a traceback."""
+    rc, res = _run(capsys, "gui")
+    assert rc == 1 and "PyQt5" in res["error"]
