@@ -486,6 +486,10 @@ def main():
                     help="run the --all suite and FAIL (exit 1) if any "
                          "GS/s row fell below the pinned snapshot by "
                          "more than --tolerance")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler device trace of the "
+                         "headline measurement into DIR (TensorBoard "
+                         "format; utils.profiling.device_trace)")
     ap.add_argument("--tolerance", type=float, default=0.10,
                     help="allowed fractional drop for --check (default 10%%)")
     args = ap.parse_args()
@@ -542,9 +546,19 @@ def main():
                                   remeasure=lambda k: measure_row(k, args)):
                 sys.exit(1)
 
-    sps, p50, _ = bench_sti(nfft=args.nfft, nint=args.nint, ntime=args.ntime,
-                            nsub=args.nsub, iters=args.iters,
-                            fft_impl=args.impl, precision=args.precision)
+    if args.trace:
+        from pyspectrogram_tpu.utils.profiling import device_trace
+
+        with device_trace(args.trace):
+            sps, p50, _ = bench_sti(
+                nfft=args.nfft, nint=args.nint, ntime=args.ntime,
+                nsub=args.nsub, iters=args.iters, fft_impl=args.impl,
+                precision=args.precision)
+    else:
+        sps, p50, _ = bench_sti(
+            nfft=args.nfft, nint=args.nint, ntime=args.ntime,
+            nsub=args.nsub, iters=args.iters, fft_impl=args.impl,
+            precision=args.precision)
     result = {
         "metric": f"sti_throughput_c64_nfft{args.nfft}",
         "value": round(sps, 1),

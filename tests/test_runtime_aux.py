@@ -260,3 +260,16 @@ def test_newer_stream_state_version_rejected(tmp_path):
              total_cols=np.asarray(0))
     with pytest.raises(ValueError, match="newer format"):
         checkpoint.load_stream_state(p)
+
+
+def test_device_trace_writes_profile(tmp_path):
+    """utils.profiling.device_trace captures a jax profiler trace (the
+    bench CLI exposes it as --trace DIR)."""
+    import jax.numpy as jnp
+
+    from pyspectrogram_tpu.utils.profiling import device_trace
+
+    with device_trace(str(tmp_path / "prof")):
+        jnp.sum(jnp.arange(128.0)).block_until_ready()
+    files = list((tmp_path / "prof").rglob("*"))
+    assert any(f.is_file() for f in files)
