@@ -1,7 +1,4 @@
-from pyspectrogram_tpu.utils.config import (
-    ProcessorStats,
-    SpectrogramConfig,
-)
+from pyspectrogram_tpu.utils.config import SpectrogramConfig
 from pyspectrogram_tpu.utils.errors import (
     ChannelNotFoundError,
     DataGapError,
@@ -14,7 +11,6 @@ __all__ = [
     "ChannelNotFoundError",
     "DataGapError",
     "FormatError",
-    "ProcessorStats",
     "PySpectrogramTPUError",
     "SpectrogramConfig",
     "TerminateReason",

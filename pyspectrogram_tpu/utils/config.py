@@ -12,7 +12,6 @@ construction.
 from __future__ import annotations
 
 import dataclasses
-from fractions import Fraction
 from typing import Optional, Tuple
 
 # Defaults mirror the reference tab defaults (reference: drfview.py:219-231)
@@ -103,16 +102,3 @@ def validate_range(rng, name: str) -> None:
     lo, hi = rng
     if not hi > lo:
         raise ValueError(f"{name}: max ({hi}) must be greater than min ({lo})")
-
-
-@dataclasses.dataclass(frozen=True)
-class ProcessorStats:
-    """Payload of the ``statsupdated`` signal (reference: drfProc.py:462,
-    drfProc.py:343-345): the processor's actual settings echoed to clients."""
-
-    tab_id: int
-    sample_rate: Fraction
-    nfft: int
-    nint: int
-    ntime: int
-    time_bounds: Tuple[float, float]

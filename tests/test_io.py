@@ -448,3 +448,28 @@ def test_many_piece_gappy_span_linear_merge(tmp_path):
     keys = sorted(runs)
     for a, b in zip(keys, keys[1:]):
         assert a + len(runs[a]) < b
+
+
+def test_synthetic_chirp_and_noise_kinds(tmp_path):
+    """The chirp/noise fixture kinds produce readable captures with the
+    expected spectral character (chirp: energy spread across the band;
+    noise: no dominant line)."""
+    import jax.numpy as jnp
+
+    from pyspectrogram_tpu.io.reader import RFDataset
+    from pyspectrogram_tpu.io.synthetic import write_capture
+    from pyspectrogram_tpu.models.sti import StiPipeline
+    from pyspectrogram_tpu.utils.config import SpectrogramConfig
+
+    for kind in ("chirp", "noise"):
+        top = tmp_path / kind
+        write_capture(top, channel="c", kind=kind, n_samples=65536,
+                      sample_rate_numerator=1_000_000)
+        ds = RFDataset(top)
+        res = StiPipeline(ds, SpectrogramConfig(nfft=256, ntime=8)).compute()
+        med = res.sxx_med_dbfs[:, 0]
+        assert np.isfinite(med).all()
+        # neither kind concentrates like a tone: the peak bin holds a
+        # small fraction of total power (a tone holds ~all of it)
+        lin = 10 ** (med / 10)
+        assert lin.max() / lin.sum() < 0.5
