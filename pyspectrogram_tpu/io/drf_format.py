@@ -242,10 +242,25 @@ def list_data_files(channel_dir: Path) -> List[Tuple[int, Path]]:
     for sub in channel_dir.iterdir():
         if not sub.is_dir():
             continue
-        for p in sub.iterdir():
-            m = FILE_RE.match(p.name)
-            if m:
-                out.append((int(m.group(1)) * 1000 + int(m.group(2)), p))
+        out.extend(subdir_data_files(sub))
+    out.sort(key=lambda t: t[0])
+    return out
+
+
+def list_subdirs(channel_dir: Path) -> List[Path]:
+    """Cadence subdirectories of a channel, chronological (the
+    %Y-%m-%dT%H-%M-%S naming sorts lexicographically == by time)."""
+    return sorted((s for s in channel_dir.iterdir() if s.is_dir()),
+                  key=lambda s: s.name)
+
+
+def subdir_data_files(sub: Path) -> List[Tuple[int, Path]]:
+    """(file_start_ms, path) inside ONE cadence subdirectory, sorted."""
+    out = []
+    for p in sub.iterdir():
+        m = FILE_RE.match(p.name)
+        if m:
+            out.append((int(m.group(1)) * 1000 + int(m.group(2)), p))
     out.sort(key=lambda t: t[0])
     return out
 

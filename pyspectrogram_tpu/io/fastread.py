@@ -93,6 +93,11 @@ class FastSpanReader:
                 ds = f["rf_data"]
                 if ds.compression is not None or ds.compression_opts:
                     return None
+                if ds.shuffle or ds.scaleoffset is not None or ds.fletcher32:
+                    # size-preserving filters (shuffle especially) pass the
+                    # chunk-size check below but permute the raw bytes —
+                    # a preadv read would return garbage marked valid
+                    return None
                 if ds.dtype.byteorder not in ("<", "=", "|"):
                     return None  # raw-byte reads assume native LE
                 if ds.dtype.names is not None and any(
@@ -162,6 +167,11 @@ class FastSpanReader:
         False if any overlapping file cannot be fast-mapped; the caller
         must then use the h5py path. ``mask`` (n,) bool is set True where
         data exists.
+
+        On a False return ``out``/``mask`` may have been PARTIALLY
+        written (rows read or zeroed before the failing file was probed)
+        — callers must treat their contents as undefined and fully
+        rebuild via the fallback path, as read_vector_raw does.
         """
         end = start + n
         covered = mask if mask is not None else np.zeros(n, bool)

@@ -75,29 +75,44 @@ class DigitalRFReader:
     def get_bounds(self, channel: str) -> Tuple[int, int]:
         """(first_sample, last_sample) absolute indices, both inclusive —
         matching the upstream convention the reference relies on
-        (reference: drfProc.py:80-87)."""
+        (reference: drfProc.py:80-87).
+
+        Edge-only scan: bounds live in the chronologically first/last
+        cadence subdirectories, so this walks O(#subdirs) plus the files
+        of the two edge subdirs — NOT every file of the capture. The
+        live path calls this every refresh tick (bnds_update, reference:
+        drfProc.py:169-179); a full listing would make each tick
+        O(capture length) for multi-hour captures."""
         import h5py
 
-        files = fmt.list_data_files(self.top_dir / channel)
-        if not files:
+        self._channel_props(channel)  # ChannelNotFoundError on unknowns
+        subs = fmt.list_subdirs(self.top_dir / channel)
+        if not any(fmt.subdir_data_files(s) for s in subs):
             raise FormatError(f"channel {channel} has no data files")
         # A live writer creates a file before its first index row lands
         # (reference scenario: readers chase a growing capture,
-        # drfProc.py:169-179) — skip not-yet-populated files at either end.
+        # drfProc.py:169-179) — skip not-yet-populated files/subdirs at
+        # either end.
         first = last = None
-        for _, path in files:
-            with h5py.File(path, "r") as f:
-                idx = f["rf_data_index"]
-                if idx.shape[0]:
-                    first = int(idx[0, 0])
-                    break
-        for _, path in reversed(files):
-            with h5py.File(path, "r") as f:
-                idx = f["rf_data_index"][...]
-                nrows = f["rf_data"].shape[0]
-                if len(idx):
-                    last = int(idx[-1, 0]) + (nrows - int(idx[-1, 1])) - 1
-                    break
+        for sub in subs:
+            for _, path in fmt.subdir_data_files(sub):
+                with h5py.File(path, "r") as f:
+                    idx = f["rf_data_index"]
+                    if idx.shape[0]:
+                        first = int(idx[0, 0])
+                        break
+            if first is not None:
+                break
+        for sub in reversed(subs):
+            for _, path in reversed(fmt.subdir_data_files(sub)):
+                with h5py.File(path, "r") as f:
+                    idx = f["rf_data_index"][...]
+                    nrows = f["rf_data"].shape[0]
+                    if len(idx):
+                        last = int(idx[-1, 0]) + (nrows - int(idx[-1, 1])) - 1
+                        break
+            if last is not None:
+                break
         if first is None or last is None:
             raise FormatError(f"channel {channel} has no written samples yet")
         return first, last
@@ -271,11 +286,15 @@ class RFDataset:
                          nint: int, ntime: int) -> np.ndarray:
         """Frame-start indices for an STI: ntime points spread evenly over
         [st, en - nint*nfft] (reference: drfProc.py:159 — np.linspace with
-        dtype=int, i.e. truncation, reproduced exactly)."""
+        dtype=int, i.e. truncation, reproduced exactly).
+
+        A window shorter than one frame clamps the upper endpoint to st
+        (all frames start at st; reads past the window zero-fill) — the
+        reference's DECREASING linspace there produces negative-offset
+        slices and crashes its read loop."""
         n_sample = int(nint) * int(nfft)
-        return np.linspace(
-            int(st_sample), int(en_sample) - n_sample, int(ntime), dtype=int
-        )
+        en_top = max(int(st_sample), int(en_sample) - n_sample)
+        return np.linspace(int(st_sample), en_top, int(ntime), dtype=int)
 
     def read_sti(self, st_sample: int, chan_entry: str, en_sample: int,
                  nfft: int, nint: int, ntime: int

@@ -95,8 +95,13 @@ class DigitalRFWriter:
         while s < end:
             _, span_end = self.props.file_sample_span(ms)
             chunk_end = min(end, span_end)
-            self._append_to_file(ms, s, disk[s - start : chunk_end - start])
-            s = chunk_end
+            if chunk_end > s:
+                self._append_to_file(ms, s, disk[s - start : chunk_end - start])
+                s = chunk_end
+            # a cadence window holding zero samples (rate below
+            # 1000/file_cadence_millisecs) writes no file at all —
+            # appending here would litter empty .h5 files with bogus
+            # zero-row index entries
             ms += self.props.file_cadence_millisecs
         self.next_index = end
         self._gap_pending = False

@@ -162,3 +162,31 @@ def test_adjacent_chunk_jobs_coalesce(tmp_path):
     fsr = FastSpanReader()
     assert fsr.read_into(props, tmp_path / "j0", lo, n, out)
     np.testing.assert_array_equal(out, slow.read_vector_raw(lo, n, "j0"))
+
+
+def test_shuffle_filtered_file_falls_back(tmp_path):
+    """The shuffle filter is size-preserving, so it passes the chunk-size
+    probe — but a raw preadv read of shuffled chunks is byte-permuted
+    garbage. The probe must refuse shuffle (and any other size-preserving
+    filter) and the read must fall back to h5py, staying exact."""
+    write_capture(tmp_path, channel="c0", kind="tone", n_samples=200_000,
+                  sample_rate_numerator=250_000)
+    files = fmt.list_data_files(tmp_path / "c0")
+    _, victim = files[len(files) // 2]
+    with h5py.File(victim, "r") as f:
+        data, idx = f["rf_data"][...], f["rf_data_index"][...]
+    with h5py.File(victim, "w") as f:
+        # one chunk == the whole dataset: identical nbytes on disk,
+        # bytes shuffled
+        f.create_dataset("rf_data", data=data, chunks=data.shape,
+                         shuffle=True)
+        f.create_dataset("rf_data_index", data=idx)
+    fsr = FastSpanReader()
+    assert fsr._probe(victim) is None
+    fast = DigitalRFReader(tmp_path)
+    slow = _h5py_only(tmp_path)
+    lo, hi = fast.get_bounds("c0")
+    a, ma = fast.read_vector_raw(lo, hi - lo + 1, "c0", return_mask=True)
+    b, mb = slow.read_vector_raw(lo, hi - lo + 1, "c0", return_mask=True)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(ma, mb)

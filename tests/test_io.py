@@ -473,3 +473,51 @@ def test_synthetic_chirp_and_noise_kinds(tmp_path):
         # small fraction of total power (a tone holds ~all of it)
         lin = 10 ** (med / 10)
         assert lin.max() / lin.sum() < 0.5
+
+
+def test_read_sti_window_shorter_than_one_frame(tone_capture):
+    """A window shorter than nfft*nint clamps all frame starts to st —
+    the reference's decreasing linspace there crashes its read loop with
+    negative-offset slices. Reads past the window zero-fill."""
+    from pyspectrogram_tpu.io.reader import RFDataset
+
+    top, meta = tone_capture
+    ds = RFDataset(top)
+    lo, _ = ds.bnds[meta["channel"]]
+    n_st, block = ds.read_sti(lo, meta["channel"], lo + 500, 256, 4, 7)
+    assert (n_st == lo).all()           # clamped, non-decreasing
+    assert block.shape == (1024, 7, 2)
+    assert np.isfinite(block).all()
+
+
+def test_get_bounds_unknown_channel_and_low_rate_writer(tmp_path):
+    """get_bounds raises ChannelNotFoundError for typos (it used to leak
+    FileNotFoundError), and a writer at a rate below one sample per file
+    cadence window creates no empty .h5 litter."""
+    import h5py
+
+    from pyspectrogram_tpu.io import drf_format as fmt
+    from pyspectrogram_tpu.io.reader import DigitalRFReader
+    from pyspectrogram_tpu.io.writer import DigitalRFWriter
+    from pyspectrogram_tpu.utils.errors import ChannelNotFoundError
+
+    w = DigitalRFWriter(
+        tmp_path, "slow", np.complex64,
+        start_global_index=1_451_661_840 * 2, sample_rate_numerator=2,
+        file_cadence_millisecs=100, subdir_cadence_secs=1,
+    )
+    x = (np.arange(10) + 1j).astype(np.complex64)
+    w.rf_write(x)  # 5 s of data at 2 S/s; most 100 ms windows are empty
+    files = fmt.list_data_files(tmp_path / "slow")
+    for _, p in files:
+        with h5py.File(p, "r") as f:
+            assert f["rf_data"].shape[0] > 0          # no empty files
+            assert f["rf_data_index"].shape[0] > 0
+    r = DigitalRFReader(tmp_path)
+    lo, hi = r.get_bounds("slow")
+    assert hi - lo + 1 == 10
+    runs = r.read(lo, 10, "slow")
+    got = np.concatenate([v[:, 0] for v in runs.values()])
+    np.testing.assert_array_equal(got, x)
+    with pytest.raises(ChannelNotFoundError):
+        r.get_bounds("typo")
