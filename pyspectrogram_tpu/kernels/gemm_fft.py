@@ -37,6 +37,25 @@ class FFTPlan(NamedTuple):
     twi: np.ndarray  # (n1, n2) twiddle imag
 
 
+def dft_mat(n: int) -> np.ndarray:
+    """Dense n-point DFT matrix W[j, k] = exp(-2pi*i*jk/n), complex128.
+    The single shared builder behind every GEMM-FFT plan in the package
+    (this module, kernels.sti_pallas plans, parallel.big_sti local
+    stages, parallel.dist_fft)."""
+    k = np.arange(n)
+    return np.exp(-2j * np.pi * np.outer(k, k) / n)
+
+
+def twiddle_mat(n1: int, n2: int, nfft: int | None = None) -> np.ndarray:
+    """Twiddle T[p, q] = exp(-2pi*i*pq/nfft) for the split N = n1*n2
+    (``nfft`` defaults to n1*n2; pass it explicitly for nested splits
+    like the 3-stage kernel's T1), complex128."""
+    if nfft is None:
+        nfft = n1 * n2
+    return np.exp(
+        -2j * np.pi * np.outer(np.arange(n1), np.arange(n2)) / nfft)
+
+
 def split_factors(nfft: int) -> Tuple[int, int]:
     """(n1, n2) with n1*n2 == nfft, n1 as close to 128 as possible (MXU
     width) and both powers of two."""
@@ -51,11 +70,9 @@ def split_factors(nfft: int) -> Tuple[int, int]:
 @functools.lru_cache(maxsize=32)
 def make_plan(nfft: int, dtype=np.float32) -> FFTPlan:
     n1, n2 = split_factors(nfft)
-    p = np.arange(n1)
-    q = np.arange(n2)
-    d1 = np.exp(-2j * np.pi * np.outer(p, p) / n1)          # D1[k1, p]
-    d2 = np.exp(-2j * np.pi * np.outer(q, q) / n2)          # D2[q, k2] (sym)
-    tw = np.exp(-2j * np.pi * np.outer(p, q) / nfft)        # T[k1, q]
+    d1 = dft_mat(n1)               # D1[k1, p]
+    d2 = dft_mat(n2)               # D2[q, k2] (symmetric)
+    tw = twiddle_mat(n1, n2)       # T[k1, q]
     return FFTPlan(
         nfft, n1, n2,
         d1.real.astype(dtype), d1.imag.astype(dtype),
@@ -90,6 +107,7 @@ def gemm_fft_numpy(xr: np.ndarray, xi: np.ndarray, plan: FFTPlan
 def make_gemm_fft(nfft: int):
     """jnp implementation of the factorized complex FFT (for the XLA path
     with fft_impl="gemm"); input (..., nfft) complex, output complex."""
+    import jax
     import jax.numpy as jnp
 
     plan = make_plan(nfft)
@@ -105,8 +123,13 @@ def make_gemm_fft(nfft: int):
     def fft(x):
         sh = x.shape[:-1]
         x2 = x.reshape(sh + (n1, n2))
-        y = jnp.einsum("kp,...pq->...kq", d1, x2) * tw
-        xm = y @ d2
+        # HIGHEST: on TPU the default matmul precision is single-pass
+        # bf16 (~1e-2 relative), which would silently degrade this tier
+        # below its exact contract (the Pallas exact path pins HIGHEST
+        # the same way); on CPU this is a no-op
+        y = jnp.einsum("kp,...pq->...kq", d1, x2,
+                       precision=jax.lax.Precision.HIGHEST) * tw
+        xm = jnp.matmul(y, d2, precision=jax.lax.Precision.HIGHEST)
         return jnp.swapaxes(xm, -1, -2).reshape(sh + (nfft,))
 
     return fft

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pyspectrogram_tpu.kernels.gemm_fft import dft_mat, twiddle_mat
 from pyspectrogram_tpu.ops.windows import WindowSpec, get_window
 
 # lane-aligned split: n2 fixed to the TPU lane width so segment reshapes
@@ -172,11 +173,9 @@ def make_plan(nfft: int, n2: int) -> dict:
     D1[k1,p] = W_n1^(k1 p), D2[q,k2] = W_n2^(q k2), T[k1,q] = W_nfft^(q k1);
     X[n1*k2 + k1] = (D1 @ x2 * T @ D2)[k1, k2] for x2 = x.reshape(n1, n2)."""
     n1 = nfft // n2
-    p = np.arange(n1)
-    q = np.arange(n2)
-    d1 = np.exp(-2j * np.pi * np.outer(p, p) / n1)
-    d2 = np.exp(-2j * np.pi * np.outer(q, q) / n2)
-    tw = np.exp(-2j * np.pi * np.outer(p, q) / nfft)
+    d1 = dft_mat(n1)
+    d2 = dft_mat(n2)
+    tw = twiddle_mat(n1, n2, nfft)
     f32 = lambda a: np.ascontiguousarray(a, np.float32)  # noqa: E731
     return dict(d1r=f32(d1.real), d1i=f32(d1.imag),
                 d2r=f32(d2.real), d2i=f32(d2.imag),
@@ -360,49 +359,30 @@ def make_pallas_sti_psd(
         twr, twi = rest[-4][...], rest[-3][...]
         cprod_l, cprod_r = _stage_prods(rest[:-4], precision, use_gauss)
         win = win_ref[...]
-        h = n2 // 2
 
         if wide:
             # WIDE path: all tb columns of a subchannel fold under the
-            # lanes — stage 1 runs as ONE (n1, n1) @ (n1, tb*n2) GEMM and
-            # stage 2 as ONE (tb*n1, n2) @ (n2, n2) GEMM per segment
-            # (the twiddle consts arrive pre-tiled to (n1, tb*n2)); the
-            # per-column tiny-GEMM launches this replaces were the
-            # small-transform bottleneck.
+            # lanes (_wide_seg_power); the per-column tiny-GEMM launches
+            # this replaces were the small-transform bottleneck.
             for sub in range(nsub):
                 accum[...] = jnp.zeros((tb, n1, n2), jnp.float32)
 
                 def seg_body(seg, _, sub=sub):
-                    cols_r, cols_i = [], []
-                    for c in range(tb):
+                    def load_col(c):
                         off = pl.multiple_of(c * col_span + seg * nfft,
                                              LANE)
-                        xr = frames_ref[2 * sub, pl.ds(off, nfft)]
-                        xi = frames_ref[2 * sub + 1, pl.ds(off, nfft)]
-                        cols_r.append(
-                            xr.astype(jnp.float32).reshape(n1, n2))
-                        cols_i.append(
-                            xi.astype(jnp.float32).reshape(n1, n2))
-                    xwr = jnp.concatenate(cols_r, axis=1) * win
-                    xwi = jnp.concatenate(cols_i, axis=1) * win
-                    yr, yi = cprod_l((xwr, xwi))      # (n1, tb*n2)
-                    zr = yr * twr - yi * twi
-                    zi = yr * twi + yi * twr
-                    # fold columns under the sublanes for stage 2
-                    zr = zr.reshape(n1, tb, n2).swapaxes(0, 1).reshape(
-                        tb * n1, n2)
-                    zi = zi.reshape(n1, tb, n2).swapaxes(0, 1).reshape(
-                        tb * n1, n2)
-                    xmr, xmi = cprod_r((zr, zi))      # (tb*n1, n2)
-                    accum[...] += (xmr * xmr + xmi * xmi).reshape(
-                        tb, n1, n2)
+                        return (frames_ref[2 * sub, pl.ds(off, nfft)],
+                                frames_ref[2 * sub + 1, pl.ds(off, nfft)])
+
+                    accum[...] += _wide_seg_power(
+                        load_col, win, twr, twi, cprod_l, cprod_r,
+                        n1, n2, tb)
                     return 0
 
                 jax.lax.fori_loop(0, nseg, seg_body, 0)
                 for c in range(tb):
-                    o = (accum[c, :, :] * inv_scale).T    # (n2, n1)
-                    out_ref[c, sub, :h, :] = o[h:, :]
-                    out_ref[c, sub, h:, :] = o[:h, :]
+                    _write_shifted(out_ref, c, sub,
+                                   accum[c, :, :] * inv_scale, n2)
             return
 
         for c, sub in [(c, s) for c in range(tb) for s in range(nsub)]:
@@ -416,27 +396,12 @@ def make_pallas_sti_psd(
                 else:
                     xr = frames_ref[0, 2 * sub, pl.ds(off, nfft)]
                     xi = frames_ref[0, 2 * sub + 1, pl.ds(off, nfft)]
-                # raw integer planes widen here, per VMEM block — the
-                # HBM-side buffer stays at half the bytes
-                xr = xr.astype(jnp.float32).reshape(n1, n2) * win
-                xi = xi.astype(jnp.float32).reshape(n1, n2) * win
-                # stage 1: DFT along p (sublane/contraction dim)
-                yr, yi = cprod_l((xr, xi))
-                zr = yr * twr - yi * twi
-                zi = yr * twi + yi * twr
-                # stage 2: DFT along q (lane dim, contracts from the right)
-                xmr, xmi = cprod_r((zr, zi))
-                accum[...] += xmr * xmr + xmi * xmi
+                accum[...] += _one_seg_power(xr, xi, win, twr, twi,
+                                             cprod_l, cprod_r, n1, n2)
                 return 0
 
             jax.lax.fori_loop(0, nseg, seg_body, 0)
-
-            p = accum[...] * inv_scale
-            # Xm[k1,k2] -> natural order is O[k2,k1] flattened; fftshift
-            # adds nfft/2 = n1*(n2/2): swap the row halves of O.
-            o = p.T                               # (n2, n1)
-            out_ref[c, sub, :h, :] = o[h:, :]
-            out_ref[c, sub, h:, :] = o[:h, :]
+            _write_shifted(out_ref, c, sub, accum[...] * inv_scale, n2)
 
     def _pick_tb(ntime: int, nsub: int) -> int:
         if not contiguous:
@@ -564,6 +529,55 @@ def _stage_prods(dref, precision: str, use_gauss: bool):
     return cprod_l, cprod_r
 
 
+def _wide_seg_power(load_col, win, twr, twi, cprod_l, cprod_r,
+                    n1: int, n2: int, tb: int):
+    """One lane-folded segment, shared by the batch and stream kernels:
+    gather tb columns via ``load_col(c) -> (xr, xi)`` raw (nfft,) rows,
+    widen + window, stage-1 as ONE (n1, n1) @ (n1, tb*n2) GEMM, twiddle
+    (consts arrive pre-tiled to (n1, tb*n2)), fold the columns under the
+    sublanes, stage-2 as ONE (tb*n1, n2) @ (n2, n2) GEMM; returns |X|^2
+    as (tb, n1, n2) float32."""
+    cols_r, cols_i = [], []
+    for c in range(tb):
+        xr, xi = load_col(c)
+        cols_r.append(xr.astype(jnp.float32).reshape(n1, n2))
+        cols_i.append(xi.astype(jnp.float32).reshape(n1, n2))
+    xwr = jnp.concatenate(cols_r, axis=1) * win
+    xwi = jnp.concatenate(cols_i, axis=1) * win
+    yr, yi = cprod_l((xwr, xwi))          # (n1, tb*n2)
+    zr = yr * twr - yi * twi
+    zi = yr * twi + yi * twr
+    zr = zr.reshape(n1, tb, n2).swapaxes(0, 1).reshape(tb * n1, n2)
+    zi = zi.reshape(n1, tb, n2).swapaxes(0, 1).reshape(tb * n1, n2)
+    xmr, xmi = cprod_r((zr, zi))          # (tb*n1, n2)
+    return (xmr * xmr + xmi * xmi).reshape(tb, n1, n2)
+
+
+def _one_seg_power(xr, xi, win, twr, twi, cprod_l, cprod_r,
+                   n1: int, n2: int):
+    """One single-column segment, shared by the batch and stream kernels:
+    widen + window -> stage-1 GEMM -> twiddle -> stage-2 GEMM -> |X|^2 as
+    (n1, n2) float32. Raw integer planes widen here, per VMEM block —
+    the HBM-side buffer stays at half the bytes."""
+    xr = xr.astype(jnp.float32).reshape(n1, n2) * win
+    xi = xi.astype(jnp.float32).reshape(n1, n2) * win
+    yr, yi = cprod_l((xr, xi))
+    zr = yr * twr - yi * twi
+    zi = yr * twi + yi * twr
+    xmr, xmi = cprod_r((zr, zi))
+    return xmr * xmr + xmi * xmi
+
+
+def _write_shifted(out_ref, c: int, sub: int, p, n2: int):
+    """Write one column's accumulated power: Xm[k1,k2] transposed is the
+    natural-order (n2, n1) tile, and fftshift (k += nfft/2 = n1*(n2/2))
+    is a carry-free swap of its row halves."""
+    h = n2 // 2
+    o = p.T                               # (n2, n1)
+    out_ref[c, sub, :h, :] = o[h:, :]
+    out_ref[c, sub, h:, :] = o[:h, :]
+
+
 def pallas_stream_supported(nfft: int, nint: int, hop: int, k: int,
                             nsub: int, mode: str = "welch",
                             precision: str = "exact") -> bool:
@@ -655,50 +669,32 @@ def make_pallas_stream_psd(
         twr, twi = rest[-4][...], rest[-3][...]
         cprod_l, cprod_r = _stage_prods(rest[:-4], precision, use_gauss)
         win = win_ref[...]
-        h = n2 // 2
         t = pl.program_id(0)
 
         if wide:
-            # WIDE path (mirrors the batch kernel's lane fold): tb
-            # overlapping columns fold under the lanes in one grid step
-            # — stage 1 one (n1, n1) @ (n1, tb*n2) GEMM, stage 2 one
-            # (tb*n1, n2) @ (n2, n2) GEMM per segment. Per-column
-            # offsets (t*tb + c)*hop are lane-aligned because the gate
-            # requires hop % 128 == 0; the overlapping reads are
-            # VMEM-resident slices, so the fold adds no HBM traffic.
+            # WIDE path (the batch kernel's lane fold, _wide_seg_power):
+            # per-column offsets (t*tb + c)*hop are lane-aligned because
+            # the gate requires hop % 128 == 0; the overlapping reads
+            # are VMEM-resident slices, so the fold adds no HBM traffic.
             for sub in range(nsub):
                 accum[...] = jnp.zeros((tb, n1, n2), jnp.float32)
 
                 def seg_body(seg, _, sub=sub):
-                    cols_r, cols_i = [], []
-                    for c in range(tb):
+                    def load_col(c):
                         off = pl.multiple_of(
                             (t * tb + c) * hop + seg * nfft, LANE)
-                        xr = frames_ref[2 * sub, pl.ds(off, nfft)]
-                        xi = frames_ref[2 * sub + 1, pl.ds(off, nfft)]
-                        cols_r.append(
-                            xr.astype(jnp.float32).reshape(n1, n2))
-                        cols_i.append(
-                            xi.astype(jnp.float32).reshape(n1, n2))
-                    xwr = jnp.concatenate(cols_r, axis=1) * win
-                    xwi = jnp.concatenate(cols_i, axis=1) * win
-                    yr, yi = cprod_l((xwr, xwi))      # (n1, tb*n2)
-                    zr = yr * twr - yi * twi
-                    zi = yr * twi + yi * twr
-                    zr = zr.reshape(n1, tb, n2).swapaxes(0, 1).reshape(
-                        tb * n1, n2)
-                    zi = zi.reshape(n1, tb, n2).swapaxes(0, 1).reshape(
-                        tb * n1, n2)
-                    xmr, xmi = cprod_r((zr, zi))      # (tb*n1, n2)
-                    accum[...] += (xmr * xmr + xmi * xmi).reshape(
-                        tb, n1, n2)
+                        return (frames_ref[2 * sub, pl.ds(off, nfft)],
+                                frames_ref[2 * sub + 1, pl.ds(off, nfft)])
+
+                    accum[...] += _wide_seg_power(
+                        load_col, win, twr, twi, cprod_l, cprod_r,
+                        n1, n2, tb)
                     return 0
 
                 jax.lax.fori_loop(0, nseg, seg_body, 0)
                 for c in range(tb):
-                    o = (accum[c, :, :] * inv_scale).T    # (n2, n1)
-                    out_ref[c, sub, :h, :] = o[h:, :]
-                    out_ref[c, sub, h:, :] = o[:h, :]
+                    _write_shifted(out_ref, c, sub,
+                                   accum[c, :, :] * inv_scale, n2)
             return
 
         for sub in range(nsub):
@@ -706,22 +702,14 @@ def make_pallas_stream_psd(
 
             def seg_body(seg, _, sub=sub):
                 off = pl.multiple_of(t * hop + seg * nfft, LANE)
-                xr = frames_ref[2 * sub, pl.ds(off, nfft)]
-                xi = frames_ref[2 * sub + 1, pl.ds(off, nfft)]
-                xr = xr.astype(jnp.float32).reshape(n1, n2) * win
-                xi = xi.astype(jnp.float32).reshape(n1, n2) * win
-                yr, yi = cprod_l((xr, xi))
-                zr = yr * twr - yi * twi
-                zi = yr * twi + yi * twr
-                xmr, xmi = cprod_r((zr, zi))
-                accum[...] += xmr * xmr + xmi * xmi
+                accum[...] += _one_seg_power(
+                    frames_ref[2 * sub, pl.ds(off, nfft)],
+                    frames_ref[2 * sub + 1, pl.ds(off, nfft)],
+                    win, twr, twi, cprod_l, cprod_r, n1, n2)
                 return 0
 
             jax.lax.fori_loop(0, nseg, seg_body, 0)
-            p = accum[...] * inv_scale
-            o = p.T                               # (n2, n1)
-            out_ref[0, sub, :h, :] = o[h:, :]
-            out_ref[0, sub, h:, :] = o[:h, :]
+            _write_shifted(out_ref, 0, sub, accum[...] * inv_scale, n2)
 
     def _pick_stream_tb(k: int, nsub: int) -> int:
         # same rationale as pick_contiguous_tb: per-column tiny GEMMs
@@ -818,15 +806,9 @@ def make_plan3(nfft: int) -> dict:
     A, B, C = factors3(nfft)
     f32 = lambda a: np.ascontiguousarray(a, np.float32)  # noqa: E731
 
-    def dft(n):
-        i = np.arange(n)
-        return np.exp(-2j * np.pi * np.outer(i, i) / n)
-
-    dA, dB, dC = dft(A), dft(B), dft(C)
-    r = np.arange(B * C)
-    t1 = np.exp(-2j * np.pi * np.outer(np.arange(A), r) / nfft)
-    t2 = np.exp(-2j * np.pi
-                * np.outer(np.arange(B), np.arange(C)) / (B * C))
+    dA, dB, dC = dft_mat(A), dft_mat(B), dft_mat(C)
+    t1 = twiddle_mat(A, B * C, nfft)
+    t2 = twiddle_mat(B, C)
     return dict(
         A=A, B=B, C=C,
         dAr=f32(dA.real), dAi=f32(dA.imag),

@@ -47,6 +47,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from pyspectrogram_tpu.kernels.gemm_fft import dft_mat, twiddle_mat
 from pyspectrogram_tpu.ops.stft import median_over_time, to_dbfs
 from pyspectrogram_tpu.ops.windows import WindowSpec, get_window
 from pyspectrogram_tpu.parallel.dist_fft import split_for_devices
@@ -81,10 +82,9 @@ def _kmatrix_flat_indices(natural_idx: np.ndarray, n1: int,
 
 
 def _dft_mats(n: int):
-    """(Dr, Di) of the n-point DFT matrix, float64 -> float32 (the same
-    host-precision construction as kernels.gemm_fft.make_plan)."""
-    k = np.arange(n)
-    d = np.exp(-2j * np.pi * np.outer(k, k) / n)
+    """(Dr, Di) of the n-point DFT matrix, float64 -> float32 (the shared
+    kernels.gemm_fft.dft_mat construction)."""
+    d = dft_mat(n)
     return d.real.astype(np.float32), d.imag.astype(np.float32)
 
 
@@ -175,8 +175,7 @@ def make_bigfft_sti_fn(
     inv_scale = np.float32(
         1.0 / (float(win64.sum()) ** 2 * float(ref) ** 2 * nseg))
     win2 = win64.reshape(n1, n2).astype(np.float32)
-    tw = np.exp(-2j * np.pi
-                * np.outer(np.arange(n1), np.arange(n2)) / nfft)
+    tw = twiddle_mat(n1, n2, nfft)
     twr = tw.real.astype(np.float32)
     twi = tw.imag.astype(np.float32)
     # tier-dependent local stages (measured A/B in the module docstring):

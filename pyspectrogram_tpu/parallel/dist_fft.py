@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from pyspectrogram_tpu.kernels.gemm_fft import twiddle_mat
+
 
 def split_for_devices(nfft: int, ndev: int) -> Tuple[int, int]:
     """(n1, n2) power-of-two split with both axes divisible by ndev."""
@@ -45,9 +47,7 @@ def split_for_devices(nfft: int, ndev: int) -> Tuple[int, int]:
 @functools.lru_cache(maxsize=16)
 def _twiddle(n1: int, n2: int):
     # full (n1, n2) twiddle as numpy; each shard slices its q columns
-    p = np.arange(n1)
-    q = np.arange(n2)
-    t = np.exp(-2j * np.pi * np.outer(p, q) / (n1 * n2))
+    t = twiddle_mat(n1, n2)
     return np.stack([t.real, t.imag], axis=-1).astype(np.float32)
 
 
