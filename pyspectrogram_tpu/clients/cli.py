@@ -255,7 +255,8 @@ def cmd_stream(args) -> int:
     state = s.init_state()
     with stream_blocks(ds, chan, lo, block_len, n_blocks) as feeder:
         for blk in feeder:
-            state, _ = s.push(state, jnp.asarray(np.asarray(blk, np.float32)))
+            state, _ = s.push(state, jnp.asarray(np.asarray(blk, np.float32)),
+                              return_db=False)
     ring_db, nvalid = s.snapshot(state)
     freqs = shifted_freqs(args.nfft, sr)
     cols = ring_db[args.ring_len - nvalid:]          # oldest -> newest

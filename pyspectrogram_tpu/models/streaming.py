@@ -43,7 +43,11 @@ class StreamState:
                             # oldest first (dB happens at the display edge so
                             # medians stay exact: median-of-dB != dB-of-median
                             # for even column counts)
-    total_cols: jax.Array   # int32 scalar: columns produced since start
+    total_cols: jax.Array   # int32 scalar: columns produced since start,
+                            # folded back by a ring_len multiple before it
+                            # could wrap at 2^31 (stays congruent to the
+                            # true count mod ring_len and >= ring_len once
+                            # full; see StreamingSti.fold_total)
 
 
 jax.tree_util.register_dataclass(
@@ -63,6 +67,14 @@ class StreamingSti:
     s real plane, row 2s+1 imag), like every device sample buffer in this
     framework.
     """
+
+    #: device column-counter fold threshold. int32 would wrap after 2^31
+    #: pushed columns (~25 days of continuous 1 kHz column rate), silently
+    #: desyncing storage rows from the host shadow; instead the counter
+    #: folds back by a ring_len multiple once it crosses this, preserving
+    #: every mod-ring_len row computation and min(total, ring_len).
+    #: Tests shrink it to exercise the fold in a few pushes.
+    _FOLD_CAP = 1 << 30
 
     def __init__(
         self,
@@ -117,13 +129,14 @@ class StreamingSti:
         self.ring_len = ring_len
         self.mode = mode
         self.eps = eps
+        self._fold_at = ring_len * max(2, self._FOLD_CAP // ring_len)
 
         win64 = get_window(window, nfft)
         self._win = jnp.asarray(win64.astype(np.float32))
         self._inv_scale = 1.0 / (float(win64.sum()) ** 2 * float(ref) ** 2)
         self._window = window
         self._ref = float(ref)
-        self._push = self._build_push()
+        self._push, self._push_nodb = self._build_push()
         # cache the jitted dB view once — a fresh jit wrapper per snapshot
         # would retrace/recompile every call (20-80 s on remote transports)
         self._snapshot_db = jax.jit(functools.partial(to_dbfs, eps=self.eps))
@@ -256,9 +269,13 @@ class StreamingSti:
                 window=self._window, ref=self._ref, precision=precision,
             )
 
+        fold_at = self._fold_at
+
         def core(carry, ring, total_cols, block):
             """Per-shard push body: everything is local to a device's
-            subchannel slice (collective-free)."""
+            subchannel slice (collective-free). Returns LINEAR new
+            columns; the dB view is applied (or skipped) by the jitted
+            wrappers below."""
             buf = jnp.concatenate([carry, block.astype(jnp.float32)],
                                   axis=1)               # (nsub2_l, carry+blk)
             if use_pallas:
@@ -291,8 +308,15 @@ class StreamingSti:
                     p = psd_frames(c[..., :nfft], win, inv_scale)
                 cols = jnp.fft.fftshift(p, axes=-1)     # (k, nsub_l, nfft)
             new_carry = buf[:, buf.shape[1] - (frame_len - hop):]
+            total_new = total_cols + k
+            # fold before the int32 counter can wrap (see _FOLD_CAP):
+            # subtracting a ring_len multiple keeps every storage-row
+            # computation (all mod ring_len) and min(total, ring_len)
+            total_new = jnp.where(total_new >= fold_at,
+                                  total_new - (fold_at - ring_len),
+                                  total_new)
             return (new_carry, store(ring, cols, total_cols),
-                    total_cols + k, to_dbfs(cols, eps))
+                    total_new, cols)
 
         if self.mesh is not None:
             from jax import shard_map
@@ -320,13 +344,23 @@ class StreamingSti:
         donate = (0,) if jax.default_backend() == "tpu" else ()
 
         @functools.partial(jax.jit, donate_argnums=donate)
-        def push(state: StreamState, block: jax.Array):
-            carry, ring, total, cols_db = core(
+        def push_db(state: StreamState, block: jax.Array):
+            carry, ring, total, cols = core(
                 state.carry, state.ring, state.total_cols, block)
-            return StreamState(carry=carry, ring=ring,
-                               total_cols=total), cols_db
+            return (StreamState(carry=carry, ring=ring, total_cols=total),
+                    to_dbfs(cols, eps))
 
-        return push
+        @functools.partial(jax.jit, donate_argnums=donate)
+        def push_nodb(state: StreamState, block: jax.Array):
+            # the hot ingest path: both production callers (runtime.live,
+            # the CLI stream loop) discard the dB columns, so this
+            # variant drops the log10 pass AND its (k, nsub, nfft)
+            # float32 output buffer (8 MB per push at 2^20/nsub=2)
+            carry, ring, total, _ = core(
+                state.carry, state.ring, state.total_cols, block)
+            return StreamState(carry=carry, ring=ring, total_cols=total)
+
+        return push_db, push_nodb
 
     def _ordered_ring(self, state: StreamState):
         """Ring in canonical layout (oldest-first in the LAST n slots,
@@ -335,15 +369,33 @@ class StreamingSti:
             return state.ring
         return self._deroll(state.ring, state.total_cols)
 
-    def push(self, state: StreamState, block) -> Tuple[StreamState, jax.Array]:
+    def push(self, state: StreamState, block, return_db: bool = True
+             ) -> Tuple[StreamState, Optional[jax.Array]]:
         """Consume one plane-major (nsub*2, block_len) block; returns
         (new_state, new dB columns (cols_per_block, nsub, nfft)).
+
+        ``return_db=False`` (the hot ingest path) skips the dB pass and
+        its per-push output buffer entirely and returns (new_state,
+        None) — use it when only the ring/snapshot views are consumed.
 
         Move semantics: on TPU the input ``state``'s device buffers are
         DONATED (the ring updates in place; keeping a reference to the
         pre-push state and reading it later raises). Snapshot/save a
         state BEFORE pushing from it if you need the old contents."""
-        return self._push(state, block)
+        if return_db:
+            return self._push(state, block)
+        return self._push_nodb(state, block), None
+
+    def fold_total(self, total: int) -> int:
+        """Device-side value of the column counter after ``total`` true
+        columns: equal below the fold threshold, then offset into the
+        fold orbit [ring_len, fold_at). Host bookkeeping that compares
+        an unbounded true count against the device scalar (e.g. the
+        checkpoint torn-state check) must compare through this."""
+        if total < self._fold_at:
+            return int(total)
+        period = self._fold_at - self.ring_len
+        return int(self.ring_len + (total - self.ring_len) % period)
 
     # ------------------------------------------------------------- queries
     def valid_cols(self, state: StreamState) -> int:
@@ -415,7 +467,9 @@ class StreamingSti:
         oldest first; entries < 0 are unfilled rows (quantize/read as the
         eps floor) — trim them on the host. Pass ``total_cols`` when the
         caller host-tracks the push count (live engine) so this never
-        forces a device scalar readback (~32 ms on the tunnel)."""
+        forces a device scalar readback (~32 ms on the tunnel); on
+        streams beyond ~2^30 columns it is also REQUIRED for correct
+        absolute indices (the device counter folds, fold_total)."""
         newest = (int(total_cols) if total_cols is not None
                   else int(state.total_cols)) - 1
         return newest - stride * np.arange(n_disp - 1, -1, -1,

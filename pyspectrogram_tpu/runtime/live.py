@@ -45,10 +45,12 @@ RING_BYTE_BUDGET = 512 << 20
 
 def _signature(cfg: SpectrogramConfig):
     """The knobs whose change forces a ring rebuild (static shapes /
-    numerics of the compiled push). Color range, freq window, ntime and
-    display_tile are display-edge knobs and do NOT re-init the ring."""
+    numerics of the compiled push — eps is baked into every dB/tile
+    program, so it is a numerics knob too). Color range, freq window,
+    ntime and display_tile are display-edge knobs and do NOT re-init
+    the ring."""
     return (cfg.nfft, cfg.nint, cfg.mode, cfg.window, cfg.precision,
-            cfg.channel, float(cfg.stream_seconds))
+            cfg.channel, float(cfg.stream_seconds), float(cfg.eps))
 
 
 class LiveStreamEngine:
@@ -191,7 +193,10 @@ class LiveStreamEngine:
                 f"stream-state geometry mismatch: checkpoint ring/carry "
                 f"{tuple(state.ring.shape)}/{tuple(state.carry.shape)} vs "
                 f"this dataset's {want_ring}/{want_carry}")
-        if int(np.asarray(state.total_cols)) != int(meta["total_cols"]):
+        # the device counter folds before int32 wrap (fold_total), so an
+        # unbounded host cursor compares through the fold
+        if (int(np.asarray(state.total_cols))
+                != eng.sti.fold_total(int(meta["total_cols"]))):
             raise ValueError(
                 "torn checkpoint: device column count "
                 f"({int(np.asarray(state.total_cols))}) disagrees with "
@@ -258,7 +263,7 @@ class LiveStreamEngine:
                 import jax
 
                 blk = jax.device_put(blk, block_sh)
-            self.state, _ = self.sti.push(self.state, blk)
+            self.state, _ = self.sti.push(self.state, blk, return_db=False)
             self.total_cols += self.cols_per_block
             self.next_sample += self.block_len
             n_blocks += 1

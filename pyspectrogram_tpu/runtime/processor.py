@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import threading
 import time
+from collections import deque
 from typing import Optional
 
 import numpy as np
@@ -83,7 +84,10 @@ class SpectrogramProcessor:
         self._ready = threading.Event()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
-        self.latencies_s: list = []
+        # bounded: a streaming session at the 0.08 s cadence would append
+        # ~1 M floats/day unbounded; the percentile stats are over the
+        # most recent window, which is what an operator wants anyway
+        self.latencies_s = deque(maxlen=1 << 16)
 
         streaming = str(datasource).lower() == "streaming"
         self._config = config.replace(streaming=streaming)
@@ -211,6 +215,11 @@ class SpectrogramProcessor:
     ) -> None:
         """Settings slot (reference: drfProc.py:329-345): swap an immutable
         config snapshot and echo effective stats."""
+        if getattr(self, "ds", None) is None:
+            # __init__ terminated before the dataset opened (MISSING_PATH)
+            # — the loop will never read a config, so fail soft like the
+            # reason-code paths instead of leaking an AttributeError
+            return
         with self._lock:
             kw = dict(extra)
             if nfft is not None:
@@ -287,6 +296,9 @@ class SpectrogramProcessor:
         self.reason = reason
         self.is_running = False
         self._stop.set()
+        # wake any run() blocked in _ready.wait(): a failed __init__ must
+        # not stall synchronous callers for the full init timeout
+        self._ready.set()
         log_event(logger, "processor terminated", tab_id=self.tab_id,
                   reason=int(reason), detail=reason.describe(),
                   latency=self.latency_stats())

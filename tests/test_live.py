@@ -171,6 +171,12 @@ def test_engine_slot_reinits_on_shape_change(tone_capture):
     r2 = slot.tick(cfg.replace(nfft=256))
     assert slot.engine is not e1
     assert r1.freqs.shape == (128,) and r2.freqs.shape == (256,)
+    # eps is baked into every compiled dB/tile program, so it is a
+    # numerics knob: changing it must rebuild too (it used to be
+    # silently ignored in streaming mode)
+    e2 = slot.engine
+    slot.tick(cfg.replace(nfft=256, eps=1e-9))
+    assert slot.engine is not e2
 
 
 def test_backlog_skip_restarts_at_tail(tmp_path):

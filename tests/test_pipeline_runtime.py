@@ -110,8 +110,28 @@ def test_processor_missing_path():
     )
     assert not proc.is_running
     assert events["terminated"][0].reason == TerminateReason.MISSING_PATH
+    import time as _time
+
+    t0 = _time.perf_counter()
     proc.run()  # must return immediately, no further events
+    # pre-fix this silently blocked for the full 10 s init timeout:
+    # _terminate never released the _ready gate run() waits on
+    assert _time.perf_counter() - t0 < 1.0
     assert len(events["terminated"]) == 1
+    # settings updates on a failed-init processor fail soft (no
+    # AttributeError from the missing dataset/pipeline), like every
+    # other reason-code path
+    proc.update_settings(nfft=256, bnd_beg=0.0)
+    proc.select_channel("nope:0")
+
+
+def test_latencies_bounded():
+    """The per-iteration latency log is a bounded deque — a weeks-long
+    streaming session must not grow host memory without end."""
+    events, cb = _collector()
+    p = SpectrogramProcessor("written", "/nonexistent/drf", tab_id=1,
+                             config=SpectrogramConfig(), callbacks=cb)
+    assert p.latencies_s.maxlen is not None and p.latencies_s.maxlen >= 1024
 
 
 def test_processor_settings_update_threadsafe(tone_capture):

@@ -353,3 +353,64 @@ def test_refresh_view_matches_separate_calls():
     np.testing.assert_array_equal(
         tview, s.snapshot_strided(state, 6, 3, spec=spec))
     np.testing.assert_allclose(tmed, med, atol=1e-6)
+
+
+def test_counter_fold_preserves_all_views():
+    """The device column counter folds before int32 wrap. Every view of
+    a folded stream (ring storage, snapshot, strided trailing window,
+    median, valid count) must equal an unfolded oracle fed the same
+    blocks, and the device scalar must equal fold_total(true_count)."""
+    nfft, k, ring_len = 64, 4, 8
+
+    class SmallFold(StreamingSti):
+        _FOLD_CAP = 32            # fold_at = ring_len*max(2, 32//8) = 32
+
+    s = SmallFold(nfft=nfft, nint=1, nsub=1, block_len=nfft * k,
+                  ring_len=ring_len, window="boxcar")
+    o = StreamingSti(nfft=nfft, nint=1, nsub=1, block_len=nfft * k,
+                     ring_len=ring_len, window="boxcar")
+    assert s._fold_at == 32 and o._fold_at > 10**6
+    st_s, st_o = s.init_state(), o.init_state()
+    rng = np.random.default_rng(3)
+    total = 0
+    for i in range(40):           # 160 true columns, many folds
+        b = jnp.asarray(rng.standard_normal((2, nfft * k)).astype(np.float32))
+        st_s, _ = s.push(st_s, b, return_db=False)
+        st_o, _ = o.push(st_o, b, return_db=False)
+        total += k
+        assert int(st_s.total_cols) == s.fold_total(total)
+        assert int(st_o.total_cols) == total
+    assert s.fold_total(total) != total          # the fold actually fired
+    np.testing.assert_array_equal(np.asarray(st_s.ring),
+                                  np.asarray(st_o.ring))
+    assert s.valid_cols(st_s) == o.valid_cols(st_o) == ring_len
+    a, _ = s.snapshot(st_s)
+    b_, _ = o.snapshot(st_o)
+    np.testing.assert_array_equal(a, b_)
+    np.testing.assert_array_equal(
+        s.snapshot_strided(st_s, 4, 2), o.snapshot_strided(st_o, 4, 2))
+    np.testing.assert_array_equal(s.median_psd(st_s), o.median_psd(st_o))
+    # host-tracked strided_cols stays correct through the fold
+    np.testing.assert_array_equal(
+        s.strided_cols(st_s, 4, 2, total_cols=total),
+        o.strided_cols(st_o, 4, 2, total_cols=total))
+
+
+def test_push_return_db_false_state_identical():
+    """The no-dB push (the hot ingest variant) must evolve the state
+    exactly like the default push and return None for the columns."""
+    nfft, k = 128, 4
+    x = _packed(nfft * k * 3, 1, seed=9)
+    kw = dict(nfft=nfft, nint=1, nsub=1, block_len=nfft * k, ring_len=8)
+    a, b = StreamingSti(**kw), StreamingSti(**kw)
+    st_a, st_b = a.init_state(), b.init_state()
+    for i in range(3):
+        blk = jnp.asarray(_pm(x[i * nfft * k : (i + 1) * nfft * k]))
+        st_a, cols = a.push(st_a, blk)
+        st_b, none = b.push(st_b, blk, return_db=False)
+        assert cols is not None and none is None
+    np.testing.assert_array_equal(np.asarray(st_a.ring),
+                                  np.asarray(st_b.ring))
+    np.testing.assert_array_equal(np.asarray(st_a.carry),
+                                  np.asarray(st_b.carry))
+    assert int(st_a.total_cols) == int(st_b.total_cols)
