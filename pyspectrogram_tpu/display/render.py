@@ -41,18 +41,34 @@ def freq_crop_decimate(
     return inds[rel], kept[rel]
 
 
-@functools.lru_cache(maxsize=64)
-def _make_quantize_fn(npoints: int, cmin: float, cmax: float):
-    import jax
+def quantize_db_levels(db, qparams, npoints: int):
+    """Traced quantization core shared by every quantizer (this module's
+    host helper and display.tile's device epilogue — one implementation,
+    so the two paths cannot drift): dB values -> uint8 levels with the
+    color range as a RUNTIME (2,) [cmin, scale] operand, so a re-clim
+    re-runs the same compiled program (reference re-clims without
+    rebuilding anything, drfview.py:1061-1074)."""
     import jax.numpy as jnp
 
-    scale = (npoints - 1) / (cmax - cmin)
+    qp = jnp.asarray(qparams, db.dtype)
+    q = (db - qp[0]) * qp[1]
+    return jnp.clip(jnp.round(q), 0, npoints - 1).astype(jnp.uint8)
+
+
+def quantize_params(crange: Tuple[float, float], npoints: int) -> np.ndarray:
+    """(2,) float32 [cmin, scale] runtime operand for quantize_db_levels;
+    scale computed in float64 here so traced math matches host numpy."""
+    scale = (npoints - 1) / (float(crange[1]) - float(crange[0]))
+    return np.asarray([crange[0], scale], np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _make_quantize_fn(npoints: int):
+    import jax
 
     @jax.jit
-    def quantize(sxx_dbfs: "jax.Array") -> "jax.Array":
-        q = (sxx_dbfs - cmin) * scale
-        q = jnp.clip(jnp.round(q), 0, npoints - 1)
-        return q.astype(jnp.uint8)
+    def quantize(sxx_dbfs: "jax.Array", qparams: "jax.Array") -> "jax.Array":
+        return quantize_db_levels(sxx_dbfs, qparams, npoints)
 
     return quantize
 
@@ -63,17 +79,34 @@ def quantize_on_device(sxx_dbfs, crange: Tuple[float, float],
 
     Values outside crange clamp to the end levels (the reference clamps
     before contouring, drfview.py:1515-1516). npoints <= 256 so a single
-    byte per pixel leaves HBM.
+    byte per pixel leaves HBM. Compiled programs key on npoints only —
+    the color range rides in as a runtime operand.
     """
     if npoints > 256:
         raise ValueError("npoints must fit uint8 (<=256)")
-    fn = _make_quantize_fn(npoints, float(crange[0]), float(crange[1]))
-    return np.asarray(fn(sxx_dbfs))
+    fn = _make_quantize_fn(npoints)
+    return np.asarray(fn(sxx_dbfs, quantize_params(crange, npoints)))
+
+
+def resample_colors(colors: np.ndarray, nlevels: int) -> np.ndarray:
+    """Resample a color ramp to exactly nlevels entries spanning the FULL
+    ramp (level nlevels-1 maps to the ramp's last color — slicing the
+    head of a 500-entry ramp would leave the top half unreachable)."""
+    colors = np.asarray(colors)
+    if len(colors) == nlevels:
+        return colors
+    idx = np.round(np.linspace(0, len(colors) - 1, nlevels)).astype(int)
+    return colors[idx]
 
 
 def apply_lut(indices: np.ndarray, colors: Optional[np.ndarray] = None) -> np.ndarray:
-    """uint8 level indices -> (..., 4) uint8 RGBA on host."""
-    lut = rgba_lut(get_colormap("viridis") if colors is None else colors)
+    """uint8 level indices -> (..., 4) uint8 RGBA on host. Ramps longer
+    than 256 entries are resampled across the full span so the maximum
+    level renders the ramp's top color."""
+    cdata = get_colormap("viridis") if colors is None else np.asarray(colors)
+    if len(cdata) > 256:
+        cdata = resample_colors(cdata, 256)
+    lut = rgba_lut(cdata)
     return lut[indices]
 
 
@@ -162,7 +195,7 @@ def save_sti_png(
 
         q = quantize_on_device(spectra.T[::-1], colorrange,
                                min(len(cdata), 256))
-        rgba = apply_lut(q, cdata[: min(len(cdata), 256)])
+        rgba = apply_lut(q, cdata)
         Image.fromarray(rgba, mode="RGBA").save(filename)
     return filename
 
@@ -179,7 +212,10 @@ def save_tile_png(filename: str, tile: np.ndarray,
         filename += ".png"
     from PIL import Image
 
-    lut = rgba_lut(get_colormap("viridis") if colors is None else colors)
+    cdata = get_colormap("viridis") if colors is None else np.asarray(colors)
+    if len(cdata) > 256:
+        cdata = resample_colors(cdata, 256)
+    lut = rgba_lut(cdata)
     if tile.dtype != np.uint8:
         raise ValueError(f"expected a uint8 level tile, got {tile.dtype}")
     rgba = lut[np.minimum(tile, len(lut) - 1)][::-1]

@@ -67,8 +67,9 @@ class TileSpec:
         computed in float64 HERE and shipped as float32, so the traced
         math ``(db - cmin) * scale`` is bit-identical to the host numpy
         quantization whatever the color range operand."""
-        scale = (self.npoints - 1) / (self.cmax - self.cmin)
-        return np.asarray([self.cmin, scale], np.float32)
+        from pyspectrogram_tpu.display.render import quantize_params
+
+        return quantize_params((self.cmin, self.cmax), self.npoints)
 
 
 def make_tile_spec(
@@ -85,8 +86,14 @@ def make_tile_spec(
     if len(idx) == 0:
         return None
     step = int(idx[1] - idx[0]) if len(idx) > 1 else 1
-    # the plan is strided by construction; guard the invariant anyway
-    assert len(idx) < 2 or (np.diff(idx) == step).all()
+    # the plan is strided by construction for a monotonic (fftshifted)
+    # frequency axis; a raw fftfreq-ordered axis breaks that, and the
+    # device lax.slice would then read the wrong bins — refuse loudly
+    # (a bare assert disappears under python -O)
+    if len(idx) > 1 and not (np.diff(idx) == step).all():
+        raise ValueError(
+            "decimation plan is not a uniform stride — freqs_hz must be "
+            "the monotonic fftshifted axis (ops.stft.shifted_freqs)")
     return TileSpec(
         plot_lo=int(idx[0]), plot_step=step, plot_n=len(idx),
         cmin=float(crange_db[0]), cmax=float(crange_db[1]),
@@ -128,13 +135,11 @@ def quantize_db_tile(db, spec: TileSpec, qparams=None):
     TileSpec.qparams) overriding the spec's static color range — pass it
     so color-range changes re-run the SAME compiled program instead of
     compiling a new one (see TileSpec.crop_key)."""
-    import jax.numpy as jnp
+    from pyspectrogram_tpu.display.render import quantize_db_levels
 
     if qparams is None:
         qparams = spec.qparams
-    qparams = jnp.asarray(qparams, db.dtype)
-    q = (db - qparams[0]) * qparams[1]
-    return jnp.clip(jnp.round(q), 0, spec.npoints - 1).astype(jnp.uint8)
+    return quantize_db_levels(db, qparams, spec.npoints)
 
 
 def quantize_tile_db(db, spec: TileSpec, qparams=None):

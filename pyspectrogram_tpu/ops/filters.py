@@ -68,6 +68,9 @@ def make_stft_fn(*, nfft: int, hop: int, window: WindowSpec = "hann"):
     def stft(x_packed: jax.Array) -> jax.Array:
         n = x_packed.shape[0]
         nframes = (n - nfft) // hop + 1
+        if nframes < 1:  # static shape — raises at trace time, not on device
+            raise ValueError(
+                f"signal too short for STFT: n={n} < nfft={nfft}")
         starts = jnp.arange(nframes, dtype=jnp.int32) * hop
 
         def one(s):
@@ -87,6 +90,9 @@ def make_istft_fn(*, nfft: int, hop: int, window: WindowSpec = "hann",
     """Jitted inverse STFT (windowed overlap-add, least-squares COLA
     normalization). (nframes, nfft, 2) packed spectra -> (n, 2) packed
     signal with n = (nframes-1)*hop + nfft."""
+    if nframes < 1:
+        raise ValueError(f"inverse STFT needs at least one frame, "
+                         f"got nframes={nframes}")
     win64 = get_window(window, nfft)
     n_out = (nframes - 1) * hop + nfft
     # COLA normalization: sum of squared synthesis windows at each sample

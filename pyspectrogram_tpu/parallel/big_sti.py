@@ -132,8 +132,21 @@ def _tier_cdot(precision: str, eq: str):
     return cdot
 
 
+def make_bigfft_sti_fn(mesh: Mesh, axis: str, *, tile=None, **kw):
+    """Jitted distributed-FFT STI — see :func:`_make_bigfft_sti_fn` for
+    the full contract. This uncached wrapper canonicalizes the display
+    tile's color range (``TileSpec.crop_key``) BEFORE the compile cache,
+    so specs differing only in cmin/cmax hit the same compiled shard_map
+    program whether or not the caller passed ``spec.crop_key()`` — a
+    re-clim must never cost a remote recompile (same two-level pattern
+    as ops.stft.make_sti_fn_pm)."""
+    return _make_bigfft_sti_fn(
+        mesh, axis, tile=tile.crop_key() if tile is not None else None,
+        **kw)
+
+
 @functools.lru_cache(maxsize=16)
-def make_bigfft_sti_fn(
+def _make_bigfft_sti_fn(
     mesh: Mesh,
     axis: str,
     *,
@@ -168,8 +181,6 @@ def make_bigfft_sti_fn(
     ndev = mesh.shape[axis]
     n1, n2 = split_for_devices(nfft, ndev)
     nseg = nint if mode == "welch" else 1
-    if tile is not None:
-        tile = tile.crop_key()
 
     win64 = get_window(window, nfft)
     inv_scale = np.float32(

@@ -57,8 +57,6 @@ def make_local_sti(
     frame_len = nfft * nint if mode == "welch" else nfft
 
     def local_sti(samples_pm, starts):
-        if samples_pm.dtype != jnp.float32:
-            samples_pm = samples_pm.astype(jnp.float32)
         nsub_l = samples_pm.shape[0] // 2
         if fft_impl == "pallas":
             use_pallas = True
@@ -70,6 +68,12 @@ def make_local_sti(
                 and sti_pallas.pallas_auto_profitable(
                     nfft, nint, nsub_l, mode, precision, contiguous)
             )
+        if samples_pm.dtype != jnp.float32 and not (use_pallas and contiguous):
+            # raw integer planes ship at half the bytes; the gathered/XLA
+            # shard bodies widen once here, but the contiguous pallas
+            # kernel widens per VMEM block with no extra HBM pass — the
+            # same policy as the single-chip path (ops.stft)
+            samples_pm = samples_pm.astype(jnp.float32)
         if use_pallas:
             pallas_psd = sti_pallas.make_pallas_sti_psd(
                 nfft=nfft, nint=nint, mode=mode, window=window, ref=ref,
@@ -96,8 +100,20 @@ def make_local_sti(
     return local_sti
 
 
+def make_sharded_sti_fn(mesh: Mesh, *, tile=None, **kw):
+    """Jitted multi-device STI — see :func:`_make_sharded_sti_fn` for the
+    full contract. This uncached wrapper canonicalizes the display tile's
+    color range (``TileSpec.crop_key``) BEFORE the compile cache, so specs
+    differing only in cmin/cmax hit the same compiled program whether or
+    not the caller remembered to pass ``spec.crop_key()`` — a re-clim
+    must never cost a 20-80 s remote recompile (same two-level pattern as
+    ops.stft.make_sti_fn_pm)."""
+    return _make_sharded_sti_fn(
+        mesh, tile=tile.crop_key() if tile is not None else None, **kw)
+
+
 @functools.lru_cache(maxsize=64)
-def make_sharded_sti_fn(
+def _make_sharded_sti_fn(
     mesh: Mesh,
     *,
     nfft: int,

@@ -294,3 +294,21 @@ def test_pipeline_bigfft_tile_mode(tone_capture, monkeypatch):
     np.testing.assert_allclose(res_t.sxx_med_dbfs, res_f.sxx_med_dbfs,
                                atol=1e-5)
     assert len(res_t.plot_freqs) == res_t.tile.shape[-1]
+
+
+def test_bigfft_factory_canonicalizes_tile_key():
+    """make_bigfft_sti_fn canonicalizes the tile's color range BEFORE the
+    compile cache — crop-equal specs share one program even when the
+    caller forgets crop_key()."""
+    from pyspectrogram_tpu.display.tile import make_tile_spec
+
+    mesh = make_mesh(time_parallel=8, chan_parallel=1)
+    nfft = 1 << 12
+    freqs = stft.shifted_freqs(nfft, 1e6)
+    s1 = make_tile_spec(freqs, (-200.0, 200.0), (-80.0, -20.0))
+    s2 = make_tile_spec(freqs, (-200.0, 200.0), (-60.0, -10.0))
+    a = make_bigfft_sti_fn(mesh, "time", nfft=nfft, mode="welch", tile=s1)
+    b = make_bigfft_sti_fn(mesh, "time", nfft=nfft, mode="welch", tile=s2)
+    c = make_bigfft_sti_fn(mesh, "time", nfft=nfft, mode="welch",
+                           tile=s1.crop_key())
+    assert a is b and b is c

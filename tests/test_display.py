@@ -106,3 +106,39 @@ def test_save_psd_csv(tmp_path):
     back = np.loadtxt(out, delimiter=",", skiprows=1)
     np.testing.assert_allclose(back[:, 0], freqs)
     np.testing.assert_allclose(back[:, 1], psd)
+
+
+def test_apply_lut_long_ramp_reaches_top_color():
+    """Ramps longer than 256 entries resample across the FULL span: the
+    top quantization level renders the ramp's LAST color (slicing the
+    head of the 500-entry ramp left half of it unreachable)."""
+    cdata = spectral_legacy_colors()  # 500 entries
+    q = np.array([[0, 255]], np.uint8)
+    rgba = apply_lut(q, cdata)
+    np.testing.assert_array_equal(rgba[0, 0, :3], np.round(cdata[0] * 255))
+    np.testing.assert_array_equal(rgba[0, 1, :3], np.round(cdata[-1] * 255))
+
+
+def test_sti_tile_long_colormap_full_span():
+    cdata = spectral_legacy_colors()
+    sxx = np.full((8, 4), -40.0, np.float32)  # everything at cmax
+    freqs = np.fft.fftshift(np.fft.fftfreq(8, 1e-6))
+    rgba, _ = sti_tile(sxx, freqs, (-110, -40), colors=cdata)
+    np.testing.assert_array_equal(rgba[0, 0, :3], np.round(cdata[-1] * 255))
+
+
+def test_quantize_reclim_shares_compiled_program():
+    """quantize_on_device keys its compiled program on npoints only: a
+    color-range change re-runs the SAME program with a new (2,) operand
+    (a recompile costs 20-80 s on a tunneled TPU)."""
+    from pyspectrogram_tpu.display.render import _make_quantize_fn
+
+    sxx = np.linspace(-120, -30, 16, dtype=np.float32)[None]
+    quantize_on_device(sxx, (-110.0, -40.0), 256)
+    before = _make_quantize_fn.cache_info()
+    q = quantize_on_device(sxx, (-90.0, -30.0), 256)
+    after = _make_quantize_fn.cache_info()
+    assert after.misses == before.misses  # re-clim: cache hit, no rebuild
+    # and the re-clim values are still right
+    want = np.clip(np.round((sxx - -90.0) * (255 / 60.0)), 0, 255)
+    np.testing.assert_array_equal(q, want.astype(np.uint8))

@@ -109,3 +109,13 @@ def test_save_wav(tmp_path):
     # 440 Hz must dominate the spectrum of the written audio
     spec = np.abs(np.fft.rfft(data.astype(float)))
     assert abs(np.fft.rfftfreq(n, 1 / sr)[np.argmax(spec)] - 440) < 2
+
+
+def test_stft_rejects_short_signal():
+    """Signals shorter than one frame refuse loudly instead of returning
+    an unrelated-length all-zeros signal."""
+    x = np.zeros(100, np.complex64)
+    with pytest.raises(ValueError, match="too short"):
+        filter_signal(x, 1e6, "lowpass", 100e3)  # default nfft=1024
+    with pytest.raises(ValueError, match="at least one frame"):
+        make_istft_fn(nfft=256, hop=128, nframes=0)

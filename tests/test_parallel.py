@@ -290,3 +290,43 @@ def test_sharded_tile_epilogue_matches_host():
     out2 = f(*args, jax.device_put(jnp.asarray(spec2.qparams), sh[2]))
     np.testing.assert_array_equal(
         np.asarray(out2["tile"]), quantize_on_device(want_tm, crange2, 256))
+
+
+def test_sharded_factory_canonicalizes_tile_key():
+    """make_sharded_sti_fn canonicalizes the tile's color range BEFORE
+    the compile cache: specs differing only in cmin/cmax return the same
+    compiled fn whether or not the caller passed crop_key() (a re-clim
+    must never rebuild the shard_map program)."""
+    from pyspectrogram_tpu.display.tile import make_tile_spec
+
+    mesh = make_mesh()
+    freqs = stft.shifted_freqs(256, 1e6)
+    s1 = make_tile_spec(freqs, (-200.0, 200.0), (-80.0, -20.0))
+    s2 = make_tile_spec(freqs, (-200.0, 200.0), (-95.0, -35.0))
+    a = make_sharded_sti_fn(mesh, nfft=256, ntime_valid=8, tile=s1)
+    b = make_sharded_sti_fn(mesh, nfft=256, ntime_valid=8, tile=s2)
+    c = make_sharded_sti_fn(mesh, nfft=256, ntime_valid=8,
+                            tile=s1.crop_key())
+    assert a is b and b is c
+
+
+def test_contiguous_sharded_pallas_int16_planes():
+    """Raw int16 planes feed the contiguous pallas shard body directly —
+    the kernel widens per VMEM block, no whole-buffer float copy — and
+    match the XLA shard body bit-for-tolerance."""
+    nfft, ntime, nsub = 256, 16, 2
+    rng = np.random.default_rng(3)
+    pm16 = rng.integers(-(1 << 12), 1 << 12,
+                        size=(nsub * 2, ntime * nfft)).astype(np.int16)
+    starts = (np.arange(ntime) * nfft).astype(np.int32)
+    ref = 2.0 ** 15.5  # int16 dBFS rule (reference: drfProc.py:199-201)
+    mesh = make_mesh(time_parallel=8, chan_parallel=1)
+    a = make_sharded_sti_fn(mesh, nfft=nfft, ntime_valid=ntime, ref=ref,
+                            fft_impl="pallas", contiguous=True)
+    b = make_sharded_sti_fn(mesh, nfft=nfft, ntime_valid=ntime, ref=ref,
+                            fft_impl="xla", contiguous=True)
+    sh = a.input_shardings()[0]
+    out_a = a(jax.device_put(jnp.asarray(pm16), sh), jnp.asarray(starts))
+    out_b = b(jax.device_put(jnp.asarray(pm16), sh), jnp.asarray(starts))
+    np.testing.assert_allclose(np.asarray(out_a["sxx_dbfs"]),
+                               np.asarray(out_b["sxx_dbfs"]), atol=1e-3)

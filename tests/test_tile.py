@@ -201,3 +201,16 @@ def test_processor_emits_tiles_in_display_mode(tone_capture):
     assert e.plot_freqs is not None
     # the tone still shows up through the quantized path
     assert e.tile.max() > 0
+
+
+def test_make_tile_spec_rejects_nonuniform_plan():
+    """An unshifted (raw fftfreq-ordered) axis makes the decimation plan
+    non-strided; the spec must refuse (a silent TileSpec would lax.slice
+    the wrong bins on device)."""
+    import pytest
+
+    from pyspectrogram_tpu.display.tile import make_tile_spec
+
+    freqs = np.fft.fftfreq(64, 1e-6)  # +f block then -f block
+    with pytest.raises(ValueError, match="stride"):
+        make_tile_spec(freqs, (-200.0, 200.0), (-80.0, -20.0), max_nfreqs=8)
