@@ -242,6 +242,44 @@ def _plan_triple(plan: dict, key: str, precision: str):
     return mats
 
 
+def _use_gauss(precision: str, nseg: int) -> bool:
+    """Gauss's 3-mult complex product (25% fewer MXU passes) wins only
+    where MXU passes dominate the step: exact precision with real Welch
+    averaging. Memory/VPU-bound variants (parity / nint=1, and the
+    1-to-3-pass tiers) measured SLOWER with the extra VPU adds
+    (4096 parity 17.3 -> 14.0, display 15.8 -> 9.7 GS/s), so they keep
+    the plain 4-GEMM form. ONE gate shared by both 2-stage kernel
+    factories and the stream kernel's VMEM accounting — the constant
+    operand layout must agree with _stage_prods' rest[:-4] slicing."""
+    return precision == "exact" and nseg >= 2
+
+
+def _small_consts(plan: dict, win2: np.ndarray, precision: str, nseg: int):
+    """(use_gauss, d_consts, consts) — the 2-stage kernels' constant
+    operand set: stage matrices (3 per stage under Gauss, else 2; hi/lo
+    pairs on the balanced tier), bracketed by the window plane in front
+    and the twiddle r/i planes behind. Shared by the batch and stream
+    factories so the two kernels' layouts cannot drift."""
+    use_gauss = _use_gauss(precision, nseg)
+    if use_gauss:
+        d_consts = list(_plan_triple(plan, "d1", precision)) + list(
+            _plan_triple(plan, "d2", precision))
+    elif precision == "balanced":
+        d_consts = [_split_bf16(plan[k]) for k in ("d1r", "d1i", "d2r", "d2i")]
+    else:
+        d_consts = [plan[k] for k in ("d1r", "d1i", "d2r", "d2i")]
+    return use_gauss, d_consts, [win2] + d_consts + [plan["twr"], plan["twi"]]
+
+
+def _tiled_consts(plan: dict, win2: np.ndarray, d_consts: list, tb: int):
+    """The wide (lane-folded) variant's constants: window and twiddles
+    tile across the tb folded columns; stage matrices are column-count
+    independent."""
+    return ([np.tile(win2, (1, tb))] + d_consts
+            + [np.tile(plan["twr"], (1, tb)),
+               np.tile(plan["twi"], (1, tb))])
+
+
 def _mm_ops(precision: str):
     """(load_d, xsplit, mdot, mdot2) for a precision tier, where mdot
     contracts from the left (D @ x) and mdot2 from the right (x @ D)."""
@@ -332,21 +370,7 @@ def make_pallas_sti_psd(
     inv_scale = np.float32(
         1.0 / (float(win64.sum()) ** 2 * float(ref) ** 2 * nseg)
     )
-    # Gauss's 3-mult complex product (25% fewer MXU passes) wins only
-    # where MXU passes dominate the step: exact precision with real Welch
-    # averaging. Memory/VPU-bound variants (parity / nint=1, and the
-    # 1-to-3-pass tiers) measured SLOWER with the extra VPU adds
-    # (4096 parity 17.3 -> 14.0, display 15.8 -> 9.7 GS/s), so they keep
-    # the plain 4-GEMM form.
-    use_gauss = precision == "exact" and nseg >= 2
-    if use_gauss:
-        d_consts = list(_plan_triple(plan, "d1", precision)) + list(
-            _plan_triple(plan, "d2", precision))
-    elif precision == "balanced":
-        d_consts = [_split_bf16(plan[k]) for k in ("d1r", "d1i", "d2r", "d2i")]
-    else:
-        d_consts = [plan[k] for k in ("d1r", "d1i", "d2r", "d2i")]
-    consts = [win2] + d_consts + [plan["twr"], plan["twi"]]
+    use_gauss, d_consts, consts = _small_consts(plan, win2, precision, nseg)
 
     def kernel(frames_ref, win_ref, *rest, nsub: int, tb: int = 1,
                wide: bool = False, col_span: int = 0):
@@ -418,10 +442,7 @@ def make_pallas_sti_psd(
         # transpose costs more than it saves (12.1 -> 11.1).
         wide = tb > 1 and nfft <= 16384
         if wide:
-            # window and twiddle tile across the tb lane-folded columns
-            consts_b = ([np.tile(win2, (1, tb))] + d_consts
-                        + [np.tile(plan["twr"], (1, tb)),
-                           np.tile(plan["twi"], (1, tb))])
+            consts_b = _tiled_consts(plan, win2, d_consts, tb)
             scratch = pltpu.VMEM((tb, n1, n2), jnp.float32)
         else:
             consts_b = consts
@@ -606,7 +627,7 @@ def pallas_stream_supported(nfft: int, nint: int, hop: int, k: int,
     # per stage under Gauss (dr, di, dr+di) else 2, each doubled by the
     # balanced tier's hi/lo split; plus twiddle r/i + window
     nseg = nint if mode == "welch" else 1
-    stage_mats = 3 if (precision == "exact" and nseg >= 2) else 2
+    stage_mats = 3 if _use_gauss(precision, nseg) else 2
     split = 2 if precision == "balanced" else 1
     const_bytes = (stage_mats * split * (n1 * n1 + n2 * n2)
                    + 3 * n1 * n2) * 4
@@ -653,15 +674,7 @@ def make_pallas_stream_psd(
     win2 = win64.reshape(n1, n2).astype(np.float32)
     inv_scale = np.float32(
         1.0 / (float(win64.sum()) ** 2 * float(ref) ** 2 * nseg))
-    use_gauss = precision == "exact" and nseg >= 2
-    if use_gauss:
-        d_consts = list(_plan_triple(plan, "d1", precision)) + list(
-            _plan_triple(plan, "d2", precision))
-    elif precision == "balanced":
-        d_consts = [_split_bf16(plan[k]) for k in ("d1r", "d1i", "d2r", "d2i")]
-    else:
-        d_consts = [plan[k] for k in ("d1r", "d1i", "d2r", "d2i")]
-    consts = [win2] + d_consts + [plan["twr"], plan["twi"]]
+    use_gauss, d_consts, consts = _small_consts(plan, win2, precision, nseg)
 
     def kernel(frames_ref, win_ref, *rest, nsub: int, tb: int = 1,
                wide: bool = False):
@@ -730,9 +743,7 @@ def make_pallas_stream_psd(
         tb = _pick_stream_tb(k, nsub)
         wide = tb > 1
         if wide:
-            consts_b = ([np.tile(win2, (1, tb))] + d_consts
-                        + [np.tile(plan["twr"], (1, tb)),
-                           np.tile(plan["twi"], (1, tb))])
+            consts_b = _tiled_consts(plan, win2, d_consts, tb)
             scratch = pltpu.VMEM((tb, n1, n2), jnp.float32)
         else:
             consts_b = consts

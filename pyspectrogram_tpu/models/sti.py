@@ -49,6 +49,11 @@ class StiResult:
     @property
     def sxx_time_major(self) -> np.ndarray:
         """(ntime, nsub, nfft) device-native layout view."""
+        if self.sxx_dbfs is None:
+            raise ValueError(
+                "no float spectra in display-tile mode (sxx_dbfs is None; "
+                "the floats stay on device) — use result.tile, or compute "
+                "with display_tile=False")
         return np.moveaxis(self.sxx_dbfs, 0, -1)
 
 
@@ -209,16 +214,12 @@ class StiPipeline:
 
         tile = plot_freqs = None
         if spec is not None:
-            from pyspectrogram_tpu.display.tile import tile_freqs, tile_from_db
+            from pyspectrogram_tpu.display.tile import tile_freqs
 
-            if "tile" in out:         # device epilogue (fused single-chip
-                                      # program or the bigfft k-matrix
-                                      # gather) — floats never left HBM
-                tile = np.asarray(out["tile"])[: cfg.ntime]
-            else:
-                # column-sharded tier: crop+quantize the (device) dB
-                # spectra before readback
-                tile = tile_from_db(out["sxx_dbfs"], spec)[: cfg.ntime]
+            # every tier's tile-mode program emits "tile" INSTEAD of
+            # "sxx_dbfs" (fused single-chip epilogue, sharded per-shard
+            # quantize, bigfft k-matrix gather) — floats never left HBM
+            tile = np.asarray(out["tile"])[: cfg.ntime]
             plot_freqs = tile_freqs(spec, freqs)
             sxx_dbfs = None           # floats intentionally stay on device
         else:

@@ -27,7 +27,6 @@ import jax.numpy as jnp
 
 from pyspectrogram_tpu.ops.stft import (
     median_over_time,
-    psd_frames,
     to_dbfs,
 )
 from pyspectrogram_tpu.ops.windows import WindowSpec, get_window
@@ -131,9 +130,7 @@ class StreamingSti:
         self.eps = eps
         self._fold_at = ring_len * max(2, self._FOLD_CAP // ring_len)
 
-        win64 = get_window(window, nfft)
-        self._win = jnp.asarray(win64.astype(np.float32))
-        self._inv_scale = 1.0 / (float(win64.sum()) ** 2 * float(ref) ** 2)
+        get_window(window, nfft)  # validate the window spec eagerly
         self._window = window
         self._ref = float(ref)
         self._push, self._push_nodb = self._build_push()
@@ -200,7 +197,6 @@ class StreamingSti:
         nfft, nint, nsub = self.nfft, self.nint, self.nsub
         frame_len, hop, k = self.frame_len, self.hop, self.cols_per_block
         mode, eps = self.mode, self.eps
-        win, inv_scale = self._win, self._inv_scale
         # circular storage: a push writes ONLY its k new columns at a
         # rotating offset instead of rewriting the entire ring with a
         # shifted concatenate — at 4096-pt/ring 256 that replaces an
@@ -268,6 +264,15 @@ class StreamingSti:
                 nfft=nfft, nint=nint, hop=hop, mode=mode,
                 window=self._window, ref=self._ref, precision=precision,
             )
+        if not (use_pallas or per_sub or use_stream_kernel):
+            # off-TPU / unprofitable fallback: the shared gather+Welch
+            # shard body (one implementation with the sharded tier and
+            # the batch path's XLA branch, parallel.sharded)
+            from pyspectrogram_tpu.parallel.sharded import make_local_sti
+
+            xla_psd = make_local_sti(
+                nfft=nfft, nint=nint, mode=mode, window=self._window,
+                ref=self._ref, fft_impl="xla")
 
         fold_at = self._fold_at
 
@@ -290,23 +295,7 @@ class StreamingSti:
             elif use_stream_kernel:
                 cols = stream_psd(buf)
             else:
-                starts = jnp.arange(k, dtype=jnp.int32) * hop
-
-                def one_start(s):
-                    return jax.vmap(
-                        lambda row: jax.lax.dynamic_slice(
-                            row, (s,), (frame_len,))
-                    )(buf)
-
-                fr = jax.vmap(one_start)(starts)        # (k, nsub2_l, flen)
-                c = jax.lax.complex(fr[:, 0::2, :], fr[:, 1::2, :]).astype(
-                    jnp.complex64)                      # (k, nsub_l, flen)
-                if mode == "welch":
-                    c = c.reshape(k, c.shape[1], nint, nfft)
-                    p = psd_frames(c, win, inv_scale).mean(axis=2)
-                else:
-                    p = psd_frames(c[..., :nfft], win, inv_scale)
-                cols = jnp.fft.fftshift(p, axes=-1)     # (k, nsub_l, nfft)
+                cols = xla_psd(buf, jnp.arange(k, dtype=jnp.int32) * hop)
             new_carry = buf[:, buf.shape[1] - (frame_len - hop):]
             total_new = total_cols + k
             # fold before the int32 counter can wrap (see _FOLD_CAP):
@@ -440,8 +429,22 @@ class StreamingSti:
             fn = self._put(self._tile_fns, crop, f, 16)
         return fn
 
+    def _span(self, n_valid: int, window: int, ladder: bool) -> int:
+        """Median span while the window is still FILLING. Device median
+        programs are compiled per static column count, and on a young
+        capture the fill count grows every push — compiling for the exact
+        count would build a fresh remote program (20-80 s on tunneled
+        transports) per tick and thrash the bounded program caches. Ride
+        a geometric ladder instead: the newest floor-pow2 columns until
+        the window fills, then exactly ``window`` forever — at most
+        log2(window)+1 programs per ring lifetime."""
+        if n_valid >= window:
+            return window
+        return (1 << (n_valid.bit_length() - 1)) if ladder else n_valid
+
     def median_psd(self, state: StreamState, n_cols: Optional[int] = None,
-                   total_cols: Optional[int] = None) -> np.ndarray:
+                   total_cols: Optional[int] = None,
+                   span_ladder: bool = True) -> np.ndarray:
         """Median dBFS PSD over the valid ring columns (median taken in
         linear power, like the batch path; reference: drfProc.py:401).
 
@@ -450,13 +453,22 @@ class StreamingSti:
         default is every valid column. ``total_cols`` lets a caller that
         tracks the push count host-side (runtime.live) skip the device
         scalar readback valid_cols() costs (~32 ms on tunneled
-        transports)."""
-        n = (min(int(total_cols), self.ring_len) if total_cols is not None
-             else self.valid_cols(state))
-        if n == 0:
+        transports). With an explicit ``n_cols`` window that the fill has
+        not reached yet, the span rides a floor-pow2 ladder
+        (see :meth:`_span`) so repeated calls on a growing stream compile
+        O(log window) programs, not one per push; ``span_ladder=False``
+        forces the exact fill count. Without ``n_cols`` the median is
+        EXACT over every valid column (the analytic semantic — prefer
+        passing a window when polling a growing stream)."""
+        n_valid = (min(int(total_cols), self.ring_len)
+                   if total_cols is not None else self.valid_cols(state))
+        if n_valid == 0:
             raise ValueError("no columns pushed yet")
-        if n_cols is not None:
-            n = min(n, int(n_cols))
+        if n_cols is None:
+            n = n_valid
+        else:
+            n = self._span(n_valid, min(self.ring_len, int(n_cols)),
+                           span_ladder)
         med = self._median_fn(n)(self._ordered_ring(state))
         return np.asarray(med)
 
@@ -532,7 +544,8 @@ class StreamingSti:
 
     def refresh_view(self, state: StreamState, n_disp: int, stride: int,
                      spec=None, n_med: Optional[int] = None,
-                     total_cols: Optional[int] = None):
+                     total_cols: Optional[int] = None,
+                     span_ladder: bool = True):
         """One-program live refresh: the stride-decimated trailing-window
         view AND the windowed median PSD from a single jitted call.
         Measured on the tunneled v5e: steady-state tick latency is
@@ -542,7 +555,9 @@ class StreamingSti:
 
         Returns (view, med_db): ``view`` as in :meth:`snapshot_strided`
         (uint8 tile with ``spec``, float dBFS without); ``med_db``
-        (nsub, nfft) over the newest ``n_med`` valid columns.
+        (nsub, nfft) over the newest ``n_med`` valid columns (riding the
+        floor-pow2 fill ladder while the window fills, :meth:`_span`;
+        ``span_ladder=False`` forces the exact count).
         Single-device only — with a mesh the median needs its shard_map,
         so callers fall back to the two-call path there."""
         if self.mesh is not None:
@@ -551,11 +566,12 @@ class StreamingSti:
         self._check_span(n_disp, stride)
         total = (int(total_cols) if total_cols is not None
                  else int(state.total_cols))
-        n = min(total, self.ring_len)
-        if n == 0:
+        n_valid = min(total, self.ring_len)
+        if n_valid == 0:
             raise ValueError("no columns pushed yet")
-        if n_med is not None:
-            n = min(n, int(n_med))
+        window = (min(self.ring_len, int(n_med)) if n_med is not None
+                  else self.ring_len)
+        n = self._span(n_valid, window, span_ladder)
         crop = None if spec is None else spec.crop_key()
         key = ("refresh", n_disp, stride, crop, n)
         fn = self._tile_fns.get(key)

@@ -393,11 +393,13 @@ def _make_sti_fn_pm(
     assembly produces) — the pallas path then slices the buffer directly
     with no gather pass at all.
 
-    ``tile`` (a display.TileSpec) adds ``out["tile"]``: the display
-    epilogue — frequency-window crop, fscale decimation, dB, clamp,
-    uint8 level quantization — fused into the same device program
-    (reference: drfview.py:1006-1023 + drfview.py:1057), so a display
-    client reads back only the uint8 tile, never the float spectra.
+    ``tile`` (a display.TileSpec) swaps ``out["sxx_dbfs"]`` for
+    ``out["tile"]``: the display epilogue — frequency-window crop, fscale
+    decimation, dB, clamp, uint8 level quantization — fused into the same
+    device program (reference: drfview.py:1006-1023 + drfview.py:1057).
+    The full float spectra are neither emitted nor converted to dB, so a
+    display client reads back only the uint8 tile (same contract as the
+    sharded tier, parallel.sharded).
     """
     from pyspectrogram_tpu.kernels import sti_pallas
 
@@ -475,14 +477,17 @@ def _make_sti_fn_pm(
             samples_pm = samples_pm.astype(jnp.float32)
         p = psd_fn(samples_pm, starts)            # (ntime, nsub, nfft) linear
         p_med = median_over_time(p)
-        out = {
-            "sxx_dbfs": to_dbfs(p, eps),
-            "sxx_med_dbfs": to_dbfs(p_med, eps),
-        }
+        out = {"sxx_med_dbfs": to_dbfs(p_med, eps)}
         if tile is not None:
+            # display mode: the float spectra stay on device — emitting
+            # sxx_dbfs too would pay a full log10 pass plus an
+            # (ntime, nsub, nfft) f32 HBM output no tile client reads
+            # (the sharded tier drops it the same way, parallel.sharded)
             from pyspectrogram_tpu.display.tile import quantize_tile_linear
 
             out["tile"] = quantize_tile_linear(p, tile, eps, qparams)
+        else:
+            out["sxx_dbfs"] = to_dbfs(p, eps)
         if return_minmax:
             # min/median/max summary spectra — the capability of the
             # reference's alternate proc_data path (drfProc.py:406-453)

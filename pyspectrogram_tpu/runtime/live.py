@@ -284,16 +284,9 @@ class LiveStreamEngine:
         n_target = max(1, min(cfg.ntime, W))
         stride = -(-W // n_target)                       # ceil
         n_disp = -(-W // stride)
-        # Median span while the window is still FILLING: the device
-        # median programs are compiled per static column count, and on a
-        # young capture `total` grows every tick — asking for min(total,
-        # W) exactly would compile a fresh remote program (20-80 s on the
-        # tunnel) per tick and thrash the bounded program caches. Ride a
-        # geometric ladder instead: median over the newest floor-pow2
-        # columns until the window fills, then exactly W forever — at
-        # most log2(W)+1 programs per ring lifetime.
-        n_valid = min(total, W)
-        n_med = W if n_valid >= W else 1 << (n_valid.bit_length() - 1)
+        # The median span over a still-filling window rides StreamingSti's
+        # floor-pow2 ladder (StreamingSti._span) so a growing capture
+        # compiles O(log W) median programs, not one per tick.
         cols = self.sti.strided_cols(self.state, n_disp, stride,
                                      total_cols=total)
         keep = cols >= 0
@@ -312,12 +305,12 @@ class LiveStreamEngine:
             # (steady-state latency measured unchanged — the separate
             # readbacks already pipelined behind one round-trip)
             view, med = self.sti.refresh_view(
-                self.state, n_disp, stride, spec=spec, n_med=n_med,
+                self.state, n_disp, stride, spec=spec, n_med=W,
                 total_cols=total)
         else:
             view = self.sti.snapshot_strided(self.state, n_disp, stride,
                                              spec=spec)
-            med = self.sti.median_psd(self.state, n_cols=n_med,
+            med = self.sti.median_psd(self.state, n_cols=W,
                                       total_cols=total)  # (nsub, nfft)
         view = view[keep]
         if spec is not None:

@@ -414,3 +414,31 @@ def test_push_return_db_false_state_identical():
     np.testing.assert_array_equal(np.asarray(st_a.carry),
                                   np.asarray(st_b.carry))
     assert int(st_a.total_cols) == int(st_b.total_cols)
+
+
+def test_median_span_ladder_lives_in_streaming_sti():
+    """The fill-span pow2 ladder is StreamingSti's own behavior (not just
+    runtime.live's): polling a growing stream with a fixed window compiles
+    O(log W) median programs, while the no-window call stays exact."""
+    nfft, k = 64, 4
+    s = StreamingSti(nfft=nfft, nsub=1, block_len=nfft * k, ring_len=64)
+    state = s.init_state()
+    rng = np.random.default_rng(7)
+    for _ in range(5):  # 20 columns into a 64-slot ring (still filling)
+        state, _ = s.push(state, jnp.asarray(
+            rng.standard_normal((2, nfft * k)).astype(np.float32)),
+            return_db=False)
+
+    s._median_fns.clear()
+    med = s.median_psd(state, n_cols=32)          # window not reached
+    assert list(s._median_fns) == [16]            # floor-pow2(20), not 20
+    exact = s.median_psd(state, n_cols=16, span_ladder=False)
+    np.testing.assert_array_equal(med, exact)
+    # no-window call: exact over every valid column
+    s._median_fns.clear()
+    s.median_psd(state)
+    assert list(s._median_fns) == [20]
+    # refresh_view (display API) ladders even without n_med
+    s._tile_fns.clear()
+    view, med2 = s.refresh_view(state, 4, 2, total_cols=20)
+    assert [key[-1] for key in s._tile_fns] == [16]

@@ -56,8 +56,13 @@ def test_device_tile_matches_host_quantized_floats():
     pm = _pm(nfft * ntime, nsub)
     starts = (np.arange(ntime) * nfft).astype(np.int32)
     out = fn(jnp.asarray(pm), jnp.asarray(starts))
+    # tile mode swaps the float spectra for the uint8 tile — the oracle
+    # comes from a separate non-tile program
+    assert "sxx_dbfs" not in out
+    db = stft.make_sti_fn_pm(nfft=nfft)(
+        jnp.asarray(pm), jnp.asarray(starts))["sxx_dbfs"]
     want = quantize_on_device(
-        np.asarray(out["sxx_dbfs"])[..., spec.plot_indices], CRANGE, 256)
+        np.asarray(db)[..., spec.plot_indices], CRANGE, 256)
     got = np.asarray(out["tile"])
     assert got.dtype == np.uint8
     assert got.shape == (ntime, nsub, spec.plot_n)
@@ -97,10 +102,10 @@ def test_color_range_change_reuses_compiled_program():
     starts = (np.arange(ntime) * nfft).astype(np.int32)
     o1 = f1(jnp.asarray(pm), jnp.asarray(starts))
     o2 = f2(jnp.asarray(pm), jnp.asarray(starts))
-    w1 = quantize_on_device(
-        np.asarray(o1["sxx_dbfs"])[..., s1.plot_indices], (-110.0, -40.0), 256)
-    w2 = quantize_on_device(
-        np.asarray(o2["sxx_dbfs"])[..., s2.plot_indices], (-90.0, -10.0), 256)
+    db = np.asarray(stft.make_sti_fn_pm(nfft=nfft)(
+        jnp.asarray(pm), jnp.asarray(starts))["sxx_dbfs"])
+    w1 = quantize_on_device(db[..., s1.plot_indices], (-110.0, -40.0), 256)
+    w2 = quantize_on_device(db[..., s2.plot_indices], (-90.0, -10.0), 256)
     np.testing.assert_array_equal(np.asarray(o1["tile"]), w1)
     np.testing.assert_array_equal(np.asarray(o2["tile"]), w2)
     # explicit qparams operand overrides the factory default
