@@ -253,3 +253,46 @@ def test_gui_command_headless_errors_as_json(capsys):
     error line instead of a traceback."""
     rc, res = _run(capsys, "gui")
     assert rc == 1 and "PyQt5" in res["error"]
+
+
+def test_bench_amortized_guard_rejects_overhead_dominated_readings():
+    """A loop total at or below the dispatch overhead is not a
+    measurement (an inflated overhead probe under host contention once
+    printed 1.7e9 GS/s) — the helper must fail loudly, and --check's
+    suspect-high pass must re-measure rows far above their pin."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench
+    import pytest
+
+    # healthy: overhead subtracted, split per iteration
+    per = bench._amortized_per_iter([0.15, 0.16, 0.17], 0.03, 100)
+    np.testing.assert_allclose(per, [0.0012, 0.0013, 0.0014], atol=1e-9)
+    with pytest.raises(RuntimeError, match="all overhead"):
+        bench._amortized_per_iter([0.02, 0.025, 0.03], 0.03, 100)
+
+
+def test_check_snapshot_remeasures_suspect_high_rows(tmp_path, capsys):
+    """A row >2x its pin re-measures once and uses the re-measured value
+    (so a contended first reading cannot silently pass the gate)."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench
+
+    pin = tmp_path / "pin.json"
+    pin.write_text(json.dumps(
+        {"rows": [{"key": "sti/1024/auto/welch", "gs": 12.0}]}))
+    calls = []
+
+    def remeasure(key):
+        calls.append(key)
+        return 12.5, 0.1, {}
+
+    ok = bench.check_snapshot(
+        [{"key": "sti/1024/auto/welch", "gs": 5000.0}], str(pin), 0.10,
+        remeasure=remeasure)
+    err = capsys.readouterr().err
+    assert ok and calls == ["sti/1024/auto/welch"]
+    assert "suspect-high" in err and "12.500" in err
