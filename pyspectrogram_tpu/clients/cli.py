@@ -138,16 +138,14 @@ def cmd_sti(args) -> int:
         renderer=args.renderer,
     )
     if args.npz:
-        # the --t0/--t1 subset applies to the npz sidecar exactly like
-        # the PNG (and like the GUI save sub-tab's subset does)
-        keept = (np.ones(len(res.times), bool) if timerange is None
-                 else (res.times >= timerange[0])
-                 & (res.times <= timerange[1]))
-        np.savez(
-            args.npz, freqs=res.freqs,
-            times=np.datetime_as_string(res.times[keept], unit="us"),
-            sxx_dbfs=res.sxx_dbfs[:, keept], sxx_med_dbfs=res.sxx_med_dbfs,
-        )
+        from pyspectrogram_tpu.display import save_result_npz
+
+        # the --t0/--t1 subset and the frequency window apply to the npz
+        # sidecar exactly like the PNG (shared writer with the GUI save
+        # sub-tab, display.save_result_npz)
+        save_result_npz(args.npz, res.freqs, res.times, res.sxx_dbfs,
+                        res.sxx_med_dbfs, timerange=timerange,
+                        freqrange_khz=cfg.freq_window_khz)
     print(json.dumps({
         "png": out, "shape": list(res.sxx_dbfs.shape),
         "peak_dbfs": float(res.sxx_med_dbfs[..., sub].max()),
@@ -168,7 +166,11 @@ def cmd_resume(args) -> int:
     sess = checkpoint.load_session(args.session)
     ds = RFDataset(args.dataset or sess["dataset_dir"])
     cfg = sess["config"]
-    res = StiPipeline(ds, cfg).compute()
+    # the saved absolute frame bounds make the rerun exact even on a
+    # capture that has GROWN since the save (a None time_span would
+    # otherwise re-span the new full bounds)
+    res = StiPipeline(ds, cfg).compute(
+        sample_span=sess.get("sample_bounds"))
     out = save_sti_png(
         args.out, res.freqs, res.times, res.sxx_dbfs[..., args.subchannel],
         colorrange=cfg.color_range_db, freqrange_khz=cfg.freq_window_khz,

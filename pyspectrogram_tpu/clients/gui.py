@@ -457,9 +457,16 @@ class MainWindow(QtWidgets.QMainWindow):
         cfg = self._config_from_widgets(st)
         if sig is not None:
             # non-widget knobs ride in from the checkpoint signature
+            # (runtime.live._signature order). stream_seconds and eps are
+            # adopted into the CONFIG directly, not via widgets: the
+            # window_s spinbox's min/decimals would mangle values it
+            # cannot represent (0.02 -> 0.1) and the strict signature
+            # compare would then refuse the state; eps has no widget.
             window = tuple(sig[3]) if isinstance(sig[3], list) else sig[3]
             cfg = cfg.replace(mode=sig[2], window=window, precision=sig[4],
-                              channel=sig[5])
+                              channel=sig[5],
+                              stream_seconds=float(sig[6]),
+                              eps=float(sig[7]))
         st.processor = SpectrogramProcessor(
             datasource, drfdir, tab_id, cfg,
             callbacks=st.bridge.callbacks(),
@@ -604,7 +611,21 @@ class MainWindow(QtWidgets.QMainWindow):
                 st.save_t1.setValue(span_s)
         finally:
             st.save_t1_programmatic = False
+        if st.processor is not None and not st.processor.is_running:
+            # the run's sole frame is delivered AFTER Terminated when the
+            # user stops during the first in-flight compute
+            # (processor.run keeps it rather than dropping the run's only
+            # result) — on_terminated saw last=None, so re-arm Save now
+            st.save_btn.setEnabled(self._save_allowed(st))
         self._redraw(st)
+
+    def _save_allowed(self, st: TabState) -> bool:
+        """Save is armed only when there is a result, no run is active,
+        and no save worker is still in flight (a second worker would race
+        the first on the target files and the tile-mode recompute)."""
+        saving = st.save_thread is not None and st.save_thread.is_alive()
+        running = st.processor is not None and st.processor.is_running
+        return not saving and not running and st.last is not None
 
     def on_terminated(self, tab_id: int, p: Terminated):
         st = self.states.get(tab_id)
@@ -613,12 +634,12 @@ class MainWindow(QtWidgets.QMainWindow):
         st.start_btn.setEnabled(True)
         st.resume_btn.setEnabled(True)
         st.stop_btn.setEnabled(False)
-        st.save_btn.setEnabled(st.last is not None)
+        st.save_btn.setEnabled(self._save_allowed(st))
         st.live_check.setEnabled(True)
         st.save_state.setEnabled(
             st.processor is not None and st.processor.has_live_state)
         if p.reason != TerminateReason.OK:
-            self._warn(p.reason.describe())
+            self._warn(p.detail or p.reason.describe())
 
     # --------------------------------------------------------- draw
     def _redraw(self, st: TabState):
@@ -667,6 +688,11 @@ class MainWindow(QtWidgets.QMainWindow):
         from the reference README wishlist)."""
         st = self.states[tab_id]
         if st.last is None:
+            return
+        if st.save_thread is not None and st.save_thread.is_alive():
+            # belt-and-braces (the button is disabled while saving): a
+            # second worker would race the first on the target files
+            self._warn("A save is already in progress.")
             return
         if st.processor and st.processor.is_running:
             # belt-and-braces: the button is only enabled after the
@@ -774,14 +800,10 @@ class MainWindow(QtWidgets.QMainWindow):
                 timerange=timerange,
             )
         if "npz" in names:
-            keept = (np.ones(len(times), bool) if timerange is None
-                     else (times >= timerange[0]) & (times <= timerange[1]))
-            np.savez(
-                names["npz"], freqs=freqs[keepf],
-                times=np.datetime_as_string(times[keept], unit="us"),
-                sxx_dbfs=sxx[np.ix_(keepf, keept)],
-                sxx_med_dbfs=med[keepf],
-            )
+            from pyspectrogram_tpu.display import save_result_npz
+
+            save_result_npz(names["npz"], freqs, times, sxx, med,
+                            timerange=timerange, freqrange_khz=frange)
         if "csv" in names:
             from pyspectrogram_tpu.display import save_psd_csv
 
@@ -794,11 +816,12 @@ class MainWindow(QtWidgets.QMainWindow):
         if st is None:
             return
         st.save_btn.setText("Save File(s)…")
-        # a new run may have started while the save worker was in
-        # flight — the button stays stop-gated like the reference's
-        # (drfview.py:1343), not re-armed mid-run
-        running = st.processor is not None and st.processor.is_running
-        st.save_btn.setEnabled(not running and st.last is not None)
+        # the save is over when done fires, but the worker thread object
+        # may still be momentarily alive — drop it so _save_allowed sees
+        # an idle saver. The button stays stop-gated like the reference's
+        # (drfview.py:1343), not re-armed mid-run.
+        st.save_thread = None
+        st.save_btn.setEnabled(self._save_allowed(st))
         if err is not None:
             self._warn(f"Save failed: {err}")
 

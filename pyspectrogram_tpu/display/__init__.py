@@ -10,6 +10,7 @@ from pyspectrogram_tpu.display.render import (
     freq_crop_decimate,
     quantize_on_device,
     save_psd_csv,
+    save_result_npz,
     save_sti_png,
     save_tile_png,
     sti_tile,
@@ -34,6 +35,7 @@ __all__ = [
     "quantize_tile_linear",
     "rgba_lut",
     "save_psd_csv",
+    "save_result_npz",
     "save_sti_png",
     "save_tile_png",
     "spectral_legacy_colors",

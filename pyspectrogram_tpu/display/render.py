@@ -232,3 +232,31 @@ def save_psd_csv(filename: str, freqs_hz: np.ndarray,
     np.savetxt(filename, np.column_stack([freqs_hz, psd_dbfs]),
                delimiter=",", header="freq_hz,psd_dbfs", comments="")
     return filename
+
+
+def save_result_npz(filename: str, freqs_hz: np.ndarray, times,
+                    sxx_dbfs: np.ndarray, sxx_med_dbfs: np.ndarray,
+                    timerange=None, freqrange_khz=None) -> str:
+    """Save the full-array artifact (.npz with freqs/times/spectra — the
+    reference README wishlist's 'save arrays' item, README.md:17), with
+    the same optional time-subset and frequency-window crops the PNG
+    artifact honors. One writer for the GUI save sub-tab and the CLI
+    --npz sidecar, so the payload layout cannot drift between clients.
+
+    ``sxx_dbfs`` is (nfft, ntime, nsub) frequency-major (StiResult
+    layout); ``timerange`` is a (start, end) datetime64 pair,
+    ``freqrange_khz`` a (lo, hi) kHz pair."""
+    if not filename.lower().endswith(".npz"):
+        filename += ".npz"
+    keepf = (np.ones(len(freqs_hz), bool) if freqrange_khz is None
+             else (freqs_hz * 1e-3 >= freqrange_khz[0])
+             & (freqs_hz * 1e-3 <= freqrange_khz[1]))
+    keept = (np.ones(len(times), bool) if timerange is None
+             else (times >= timerange[0]) & (times <= timerange[1]))
+    np.savez(
+        filename, freqs=freqs_hz[keepf],
+        times=np.datetime_as_string(times[keept], unit="us"),
+        sxx_dbfs=sxx_dbfs[np.ix_(keepf, keept)],
+        sxx_med_dbfs=sxx_med_dbfs[keepf],
+    )
+    return filename

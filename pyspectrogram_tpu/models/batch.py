@@ -32,6 +32,7 @@ import numpy as np
 
 from pyspectrogram_tpu.ops import stft
 from pyspectrogram_tpu.ops.windows import WindowSpec
+from pyspectrogram_tpu.utils.config import resolve_time_span
 
 
 @functools.lru_cache(maxsize=64)
@@ -205,12 +206,11 @@ class BatchedStiPipeline:
             chan, isub = ds._split_entry(entry or ds.channels[0])
             sr = ds.sr_dict[chan]
             ds.bnds_update()
-            if time_spans is not None and time_spans[i] is not None:
-                st_time, end_time = time_spans[i]
-            elif cfg.time_span is not None:
-                st_time, end_time = cfg.time_span
-            else:
-                st_time, end_time = ds.time_bnds
+            # None sides mean that edge of the capture (utils.config)
+            st_time, end_time = resolve_time_span(
+                time_spans[i] if (time_spans is not None
+                                  and time_spans[i] is not None)
+                else cfg.time_span, ds.time_bnds)
             s_samp = time_to_sample(st_time, sr)
             e_samp = time_to_sample(end_time, sr)
             n_st = ds.sti_frame_starts(s_samp, e_samp, cfg.nfft, cfg.nint,

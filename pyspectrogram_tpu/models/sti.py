@@ -24,7 +24,10 @@ import numpy as np
 from pyspectrogram_tpu.io.reader import RFDataset
 from pyspectrogram_tpu.io.time_util import samples_to_datetime64, time_to_sample
 from pyspectrogram_tpu.ops import stft
-from pyspectrogram_tpu.utils.config import SpectrogramConfig
+from pyspectrogram_tpu.utils.config import (
+    SpectrogramConfig,
+    resolve_time_span,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -150,9 +153,17 @@ class StiPipeline:
         entry = config.channel or self.ds.channels[0]
         return self.ds._split_entry(entry)
 
-    def compute(self, config: Optional[SpectrogramConfig] = None) -> StiResult:
+    def compute(self, config: Optional[SpectrogramConfig] = None,
+                sample_span: Optional[Tuple[int, int]] = None) -> StiResult:
         """Run one full STI request (one loop iteration of the reference's
-        worker, drfProc.py:275-314)."""
+        worker, drfProc.py:275-314).
+
+        ``sample_span`` = absolute (first, last) frame-start samples —
+        the bounds runtime.checkpoint's save_session persists. It bypasses
+        the time->sample conversion so a resumed session reproduces the
+        original frame starts EXACTLY (sample indices near 2^50 lose
+        sub-sample precision through a float64 seconds round-trip, and a
+        grown capture would otherwise widen a None time_span)."""
         import jax.numpy as jnp
 
         cfg = config or self.config
@@ -162,22 +173,29 @@ class StiPipeline:
         ref = self.ds.ref_dict[chan]
 
         self.ds.bnds_update()
-        if cfg.streaming:
-            # trailing window anchored at the data end (the reference
-            # anchors at the wall clock, drfProc.py:291-293, which shows
-            # nothing for a paused/short capture); clamping the start to
-            # the data start keeps a YOUNG capture's columns on real data
-            # instead of mostly pre-capture void — a no-op once the
-            # capture outgrows the window
-            end_time = self.ds.time_bnds[1]
-            st_time = max(self.ds.time_bnds[0],
-                          end_time - cfg.stream_seconds)
-        elif cfg.time_span is not None:
-            st_time, end_time = cfg.time_span
+        if sample_span is not None:
+            s_samp = int(sample_span[0])
+            # sti_frame_starts spreads ntime starts over
+            # [st, en - frame_len]: feeding last_start + frame_len back
+            # reproduces the saved run's linspace endpoints exactly
+            e_samp = int(sample_span[1]) + cfg.nfft * cfg.nint
         else:
-            st_time, end_time = self.ds.time_bnds
-        s_samp = time_to_sample(st_time, sr)
-        e_samp = time_to_sample(end_time, sr)
+            if cfg.streaming:
+                # trailing window anchored at the data end (the reference
+                # anchors at the wall clock, drfProc.py:291-293, which
+                # shows nothing for a paused/short capture); clamping the
+                # start to the data start keeps a YOUNG capture's columns
+                # on real data instead of mostly pre-capture void — a
+                # no-op once the capture outgrows the window
+                end_time = self.ds.time_bnds[1]
+                st_time = max(self.ds.time_bnds[0],
+                              end_time - cfg.stream_seconds)
+            else:
+                # a None side means that edge of the capture (utils.config)
+                st_time, end_time = resolve_time_span(cfg.time_span,
+                                                      self.ds.time_bnds)
+            s_samp = time_to_sample(st_time, sr)
+            e_samp = time_to_sample(end_time, sr)
 
         n_st = self.ds.sti_frame_starts(s_samp, e_samp, cfg.nfft, cfg.nint,
                                         cfg.ntime)

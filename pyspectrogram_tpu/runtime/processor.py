@@ -40,7 +40,10 @@ from pyspectrogram_tpu.runtime.signals import (
     StatsUpdated,
     Terminated,
 )
-from pyspectrogram_tpu.utils.config import SpectrogramConfig
+from pyspectrogram_tpu.utils.config import (
+    SpectrogramConfig,
+    resolve_time_span,
+)
 from pyspectrogram_tpu.utils.errors import TerminateReason
 from pyspectrogram_tpu.utils.log import get_logger, log_event
 
@@ -64,7 +67,6 @@ class SpectrogramProcessor:
         written_sleep: float = 0.1,
         streaming_sleep: float = 0.08,
         max_iterations: Optional[int] = None,
-        init_timeout_s: float = 10.0,
         mesh=None,
     ):
         """``mesh`` (a parallel.make_mesh Mesh) runs every iteration's
@@ -77,7 +79,6 @@ class SpectrogramProcessor:
         self.written_sleep = written_sleep
         self.streaming_sleep = streaming_sleep
         self.max_iterations = max_iterations
-        self.init_timeout_s = init_timeout_s
         self.reason: Optional[TerminateReason] = None
         self.is_running = False
         self._lock = threading.Lock()
@@ -101,8 +102,14 @@ class SpectrogramProcessor:
         try:
             self.ds = RFDataset(drfdir)
             self.pipeline = StiPipeline(self.ds, self._config, mesh=mesh)
-        except Exception:
-            self._terminate(TerminateReason.MISSING_PATH)
+        except Exception as e:
+            # the dir exists but opening it failed (corrupt capture,
+            # unknown channel, ...) — report the REAL error, not the
+            # reference's blanket missing-path code, or the GUI shows
+            # "directory does not exist" for a directory that plainly does
+            logger.exception("processor init failed (tab %d)", tab_id)
+            self._terminate(TerminateReason.LOOP_EXCEPTION,
+                            detail=f"Failed to open the dataset: {e}")
             return
         if streaming:
             # live mode is incremental: a ring + carry persist across
@@ -137,10 +144,11 @@ class SpectrogramProcessor:
     def run(self) -> None:
         """The loop body; callable directly (synchronously) for headless
         tests or via start()."""
-        if not self._ready.wait(self.init_timeout_s):
-            if self.reason is None:
-                self._terminate(TerminateReason.INIT_TIMEOUT)
-            return
+        # init is synchronous (clients read chan_listing right after
+        # construction), so _ready is always set by now — either by a
+        # successful __init__ or by its _terminate. The reference's init
+        # barrier + timeout (drfProc.py:260-262, code 3) has no role here.
+        self._ready.wait()
         if self.reason is not None:
             return
         i = -1
@@ -229,7 +237,8 @@ class SpectrogramProcessor:
             if ntime is not None:
                 kw["ntime"] = int(ntime)
             if bnd_beg is not None or bnd_end is not None:
-                cur = self._config.time_span or self.ds.time_bnds
+                cur = resolve_time_span(self._config.time_span,
+                                        self.ds.time_bnds)
                 kw["time_span"] = (
                     cur[0] if bnd_beg is None else float(bnd_beg),
                     cur[1] if bnd_end is None else float(bnd_end),
@@ -289,20 +298,22 @@ class SpectrogramProcessor:
             nfft=cfg.nfft,
             nint=cfg.nint,
             ntime=cfg.ntime,
-            time_bounds=cfg.time_span or self.ds.time_bnds,
+            time_bounds=resolve_time_span(cfg.time_span, self.ds.time_bnds),
         ))
 
-    def _terminate(self, reason: TerminateReason) -> None:
+    def _terminate(self, reason: TerminateReason,
+                   detail: Optional[str] = None) -> None:
         self.reason = reason
         self.is_running = False
         self._stop.set()
         # wake any run() blocked in _ready.wait(): a failed __init__ must
-        # not stall synchronous callers for the full init timeout
+        # not stall synchronous callers
         self._ready.set()
         log_event(logger, "processor terminated", tab_id=self.tab_id,
-                  reason=int(reason), detail=reason.describe(),
+                  reason=int(reason), detail=detail or reason.describe(),
                   latency=self.latency_stats())
-        self.callbacks.emit_terminated(Terminated(self.tab_id, reason))
+        self.callbacks.emit_terminated(
+            Terminated(self.tab_id, reason, detail))
 
     # --------------------------------------------------------- observability
     def latency_stats(self) -> dict:

@@ -54,10 +54,16 @@ class StatsUpdated:
 @dataclasses.dataclass(frozen=True)
 class Terminated:
     """Loop end notification (reference: drfProc.py:463-465,
-    emitted drfProc.py:359-361)."""
+    emitted drfProc.py:359-361).
+
+    ``detail`` carries the specific error when the generic
+    reason.describe() text would mislead (e.g. an init failure on an
+    existing directory); clients should show ``detail or
+    reason.describe()``."""
 
     tab_id: int
     reason: TerminateReason
+    detail: Optional[str] = None
 
 
 @dataclasses.dataclass

@@ -12,6 +12,7 @@ construction.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional, Tuple
 
 # Defaults mirror the reference tab defaults (reference: drfview.py:219-231)
@@ -49,8 +50,10 @@ class SpectrogramConfig:
     window: Tuple = ("kaiser", DEFAULT_KAISER_BETA)
     #: channel entry, "chan" or "chan:sub" (reference: drfProc.py:91-92)
     channel: Optional[str] = None
-    #: absolute time bounds in seconds since epoch; None means full dataset
-    time_span: Optional[Tuple[float, float]] = None
+    #: absolute time bounds in seconds since epoch; None means full
+    #: dataset, and a None ELEMENT means the dataset bound on that side
+    #: (resolve with resolve_time_span before arithmetic)
+    time_span: Optional[Tuple[Optional[float], Optional[float]]] = None
     #: displayed frequency window in kHz (reference: drfview.py:518-529)
     freq_window_khz: Tuple[float, float] = DEFAULT_FRANGE_KHZ
     #: colormap dB range (reference: drfview.py:454-465)
@@ -91,9 +94,43 @@ class SpectrogramConfig:
                 f"{self.precision!r}")
         validate_range(self.color_range_db, "color_range_db")
         validate_range(self.freq_window_khz, "freq_window_khz")
+        if self.time_span is not None:
+            try:
+                lo, hi = self.time_span
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"time_span must be a (start, end) pair, got "
+                    f"{self.time_span!r}") from None
+            for side, v in (("start", lo), ("end", hi)):
+                if v is None:
+                    continue
+                try:
+                    fv = float(v)
+                except (TypeError, ValueError):
+                    fv = math.nan
+                if not math.isfinite(fv):
+                    raise ValueError(
+                        f"time_span {side} must be a finite time in "
+                        f"seconds (or None for the dataset bound), got "
+                        f"{v!r}")
+            if lo is not None and hi is not None and not hi > lo:
+                raise ValueError(
+                    f"time_span: end ({hi}) must be greater than start "
+                    f"({lo})")
 
     def replace(self, **kw) -> "SpectrogramConfig":
         return dataclasses.replace(self, **kw)
+
+
+def resolve_time_span(time_span, ds_bounds) -> Tuple[float, float]:
+    """Fill a config time_span's None sides from the dataset time bounds
+    (None elements mean "that side of the capture" — e.g. a CLI call with
+    only --tstart). A wholly-None span is the full dataset."""
+    if time_span is None:
+        return ds_bounds
+    lo, hi = time_span
+    return (ds_bounds[0] if lo is None else lo,
+            ds_bounds[1] if hi is None else hi)
 
 
 def validate_range(rng, name: str) -> None:

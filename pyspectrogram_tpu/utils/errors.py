@@ -22,7 +22,12 @@ class TerminateReason(enum.IntEnum):
 
     OK = 0                # user-requested stop (reference: drfProc.py:347-352)
     MISSING_PATH = 1      # dataset dir does not exist (reference: drfProc.py:245-246)
-    INIT_TIMEOUT = 3      # init barrier timed out (reference: drfProc.py:260-262)
+    #: init barrier timed out (reference: drfProc.py:260-262). No
+    #: producer here: the processor initializes synchronously (clients
+    #: read chan_listing right after construction), so the reference's
+    #: worker-side init barrier cannot fire; kept so the code space maps
+    #: 1:1 for clients that switch on integer reasons.
+    INIT_TIMEOUT = 3
     LOOP_EXCEPTION = 4    # unhandled exception in the loop (reference: drfProc.py:323-327)
 
     def describe(self) -> str:

@@ -29,6 +29,17 @@ class _JsonFormatter(logging.Formatter):
         return json.dumps(out)
 
 
+class _HumanFormatter(logging.Formatter):
+    """Appends the structured fields to the human line; JSON mode keeps
+    the msg key clean (fields as top-level keys only) so aggregation can
+    group on it."""
+
+    def format(self, record: logging.LogRecord) -> str:
+        base = super().format(record)
+        extra = getattr(record, "fields", None)
+        return f"{base} {extra}" if extra else base
+
+
 def get_logger(name: str = "pstpu") -> logging.Logger:
     logger = logging.getLogger(name)
     if not logger.handlers:
@@ -36,7 +47,7 @@ def get_logger(name: str = "pstpu") -> logging.Logger:
         if os.environ.get("PSTPU_LOG_JSON") == "1":
             h.setFormatter(_JsonFormatter())
         else:
-            h.setFormatter(logging.Formatter(
+            h.setFormatter(_HumanFormatter(
                 "%(asctime)s %(levelname)s %(name)s: %(message)s"))
         logger.addHandler(h)
         logger.setLevel(os.environ.get("PSTPU_LOG_LEVEL", "INFO").upper())
@@ -46,6 +57,6 @@ def get_logger(name: str = "pstpu") -> logging.Logger:
 
 def log_event(logger: logging.Logger, msg: str,
               level: int = logging.INFO, **fields) -> None:
-    """Log with structured fields (rendered into JSON mode verbatim)."""
-    logger.log(level, msg if not fields else f"{msg} {fields}",
-               extra={"fields": fields})
+    """Log with structured fields: appended to the human line, emitted
+    as top-level JSON keys (never inside msg) in JSON mode."""
+    logger.log(level, msg, extra={"fields": fields})

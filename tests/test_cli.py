@@ -148,6 +148,43 @@ def test_session_save_and_resume(tmp_path, capsys):
     assert b["shape"] == a["shape"]
     # exact resume: identical request -> identical frame placement
     assert (tmp_path / "b.png").exists()
+    # ... even after the capture GROWS: the saved sample_bounds pin the
+    # frame starts (a None time_span would re-span the new full bounds)
+    from pyspectrogram_tpu.io.synthetic import tone_signal
+    from pyspectrogram_tpu.io.writer import DigitalRFWriter
+    from pyspectrogram_tpu.runtime import checkpoint
+
+    sess_meta = checkpoint.load_session(sess)
+    w = DigitalRFWriter(
+        drf, "ch0", np.complex64,
+        start_global_index=1451661840 * 1_000_000 + 32768,
+        sample_rate_numerator=1_000_000, file_cadence_millisecs=1000,
+        subdir_cadence_secs=3600,
+    )
+    w.rf_write(tone_signal(32768, 1_000_000, [100000.0]).astype(
+        np.complex64))
+    rc, c = _run(capsys, "resume", str(sess), "--out",
+                 str(tmp_path / "c.png"), "--renderer", "pixels")
+    assert rc == 0
+    assert c["frame_start0"] == sess_meta["sample_bounds"][0]
+    assert c["frame_start0"] == b["frame_start0"]
+
+
+def test_cli_one_sided_time_bounds(tmp_path, capsys):
+    """--tstart without --tend (and vice versa) fills the open side from
+    the dataset bounds instead of crashing in time_to_sample(None)."""
+    drf = tmp_path / "cap6"
+    _run(capsys, "synth", "--out", str(drf), "--kind", "tone",
+         "--n-samples", "32768", "--sample-rate", "1000000",
+         "--freqs", "100000")
+    rc, a = _run(capsys, "sti", str(drf), "--out", str(tmp_path / "a.png"),
+                 "--nfft", "256", "--ntime", "6", "--renderer", "pixels",
+                 "--tstart", "1451661840.005")
+    assert rc == 0 and a["peak_dbfs"] > -5.0
+    rc, b = _run(capsys, "psd", str(drf), "--out", str(tmp_path / "b.csv"),
+                 "--nfft", "256", "--ntime", "6",
+                 "--tend", "1451661840.02")
+    assert rc == 0
 
 
 def test_watch_command(tmp_path, capsys):

@@ -436,3 +436,113 @@ def test_save_t1_user_pin_survives_new_results(tone_capture):
     assert _wait(lambda: not st.processor.is_running)
     st.processor.join(10)
     assert win.close()
+
+
+def test_late_sole_frame_rearms_save(tone_capture):
+    """A stop during the FIRST in-flight compute delivers the run's only
+    Iterated AFTER Terminated (processor.run keeps the sole result);
+    on_terminated saw last=None and disabled Save — the late frame must
+    re-arm it, or the preserved frame is unsaveable."""
+    from pyspectrogram_tpu.runtime.signals import Iterated, Terminated
+
+    top, meta = tone_capture
+    win = gui.MainWindow()
+    st = _start(win, top, nfft=256, ntime=8)
+    assert _wait(lambda: st.last is not None)
+    st.stop_btn.click()
+    assert _wait(lambda: not st.processor.is_running)
+    st.processor.join(10)
+    p = st.last
+
+    # replay the stop-during-first-compute ordering on a fresh tab
+    win.new_tab()
+    tab2 = max(win.states)
+    st2 = win.states[tab2]
+    st2.processor = st.processor  # stopped processor (is_running False)
+    win.on_terminated(tab2, Terminated(tab2, TerminateReason.OK))
+    assert not st2.save_btn.isEnabled()  # no frame yet at terminate time
+    win.on_iterated(tab2, Iterated(
+        i=0, tab_id=tab2, times=p.times, freqs=p.freqs,
+        sxx_dbfs=p.sxx_dbfs, sxx_med_dbfs=p.sxx_med_dbfs, tile=p.tile,
+        plot_freqs=p.plot_freqs, mask=p.mask))
+    assert st2.save_btn.isEnabled()  # the late sole frame re-armed Save
+    assert win.close()
+
+
+def test_terminate_while_save_in_flight_keeps_save_disabled(tone_capture):
+    """on_terminated must not re-arm Save while a save worker is still
+    running — a second click would spawn a concurrent writer racing the
+    first on the target files."""
+    import threading
+
+    from pyspectrogram_tpu.runtime.signals import Terminated
+
+    top, meta = tone_capture
+    win = gui.MainWindow()
+    st = _start(win, top, nfft=256, ntime=8)
+    assert _wait(lambda: st.last is not None)
+    st.stop_btn.click()
+    assert _wait(lambda: not st.processor.is_running)
+    st.processor.join(10)
+
+    gate = threading.Event()
+    st.save_thread = threading.Thread(target=gate.wait, daemon=True)
+    st.save_thread.start()  # a save "in flight"
+    win.on_terminated(1, Terminated(1, TerminateReason.OK))
+    assert not st.save_btn.isEnabled()
+    gate.set()
+    st.save_thread.join(5)
+    # the done path re-arms once the worker is gone
+    win._on_save_done(1, None)
+    assert st.save_btn.isEnabled()
+    assert win.close()
+
+
+def test_terminated_detail_overrides_generic_text(tmp_path):
+    """An init failure on an EXISTING dir surfaces the real error text
+    (Terminated.detail), not 'directory does not exist'."""
+    bad = tmp_path / "existing_but_empty"
+    bad.mkdir()
+    win = gui.MainWindow()
+    st = win.states[1]
+    QFileDialog.existing_directory = str(bad)
+    st.start_btn.click()
+    assert st.processor is not None and not st.processor.is_running
+    warned = [e[2] for e in QMessageBox.journal if e[0] == "warning"]
+    assert warned and "Failed to open the dataset" in warned[-1]
+    assert "does not exist" not in warned[-1]
+    assert win.close()
+
+
+def test_gui_resume_adopts_checkpoint_eps(tone_capture, tmp_path):
+    """eps is part of the stream signature (a numerics knob baked into
+    the compiled push); a GUI resume must adopt it from the checkpoint
+    or the strict signature compare refuses non-default-eps states."""
+    from pyspectrogram_tpu.io.reader import RFDataset
+    from pyspectrogram_tpu.runtime.live import LiveStreamEngine
+    from pyspectrogram_tpu.utils.config import SpectrogramConfig
+
+    top, meta = tone_capture
+    cfg = SpectrogramConfig(nfft=256, ntime=8, streaming=True,
+                            stream_seconds=0.02, eps=1e-12,
+                            channel=meta["channel"])
+    eng = LiveStreamEngine(RFDataset(top), cfg)
+    eng.tick(cfg)
+    ck = tmp_path / "eps_state.npz"
+    eng.save(ck)
+
+    win = gui.MainWindow()
+    st = win.states[1]
+    QFileDialog.open_file_name = (str(ck), "")
+    QFileDialog.existing_directory = str(top)
+    st.resume_btn.click()
+    assert st.processor is not None
+    assert st.processor.config.eps == 1e-12  # adopted, not DEFAULT_EPS
+    # stream_seconds adopted into the CONFIG, not mangled through the
+    # 0.1-min/1-decimal window_s widget (0.02 would clamp to 0.1)
+    assert st.processor.config.stream_seconds == 0.02
+    assert st.processor._live.engine is not None  # signature accepted
+    st.stop_btn.click()
+    assert _wait(lambda: not st.processor.is_running)
+    st.processor.join(10)
+    assert win.close()

@@ -369,3 +369,75 @@ def test_save_live_state_guards(tone_capture, tmp_path):
     assert not written.has_live_state
     with pytest.raises(ValueError, match="no live engine"):
         written.save_live_state(tmp_path / "x.npz")
+
+
+def test_processor_init_failure_reports_real_error(tmp_path):
+    """An existing-but-unopenable directory terminates with the REAL
+    error (LOOP_EXCEPTION + detail), not the reference's blanket
+    missing-path code — the dir plainly exists, so 'directory does not
+    exist' would misdirect the user and hide the cause."""
+    bad = tmp_path / "empty"
+    bad.mkdir()
+    events, cb = _collector()
+    proc = SpectrogramProcessor("written", bad, tab_id=0,
+                                config=SpectrogramConfig(), callbacks=cb)
+    assert not proc.is_running
+    t = events["terminated"][0]
+    assert t.reason == TerminateReason.LOOP_EXCEPTION
+    assert t.detail and "Failed to open the dataset" in t.detail
+    proc.run()  # still returns immediately, no further events
+    assert len(events["terminated"]) == 1
+
+
+def test_pipeline_one_sided_time_span(tone_capture):
+    """A time_span with a None side means that edge of the capture: the
+    CLI's lone --tstart/--tend crashed with Fraction(None) before."""
+    top, meta = tone_capture
+    ds = RFDataset(top)
+    t0, t1 = ds.time_bnds
+    mid = t0 + (t1 - t0) / 2
+    base = SpectrogramConfig(nfft=256, ntime=8)
+    open_end = StiPipeline(ds, base.replace(time_span=(mid, None))).compute()
+    both = StiPipeline(ds, base.replace(time_span=(mid, t1))).compute()
+    np.testing.assert_array_equal(open_end.frame_starts, both.frame_starts)
+    open_start = StiPipeline(ds, base.replace(time_span=(None, mid))).compute()
+    full = StiPipeline(ds, base.replace(time_span=(t0, mid))).compute()
+    np.testing.assert_array_equal(open_start.frame_starts,
+                                  full.frame_starts)
+
+
+def test_pipeline_sample_span_exact_resume(tone_capture, tmp_path):
+    """compute(sample_span=) reproduces a saved run's frame starts
+    EXACTLY even after the capture grows (cmd_resume passes the session
+    checkpoint's sample_bounds through this)."""
+    import shutil
+
+    top, meta = tone_capture
+    grown = tmp_path / "grown"
+    shutil.copytree(top, grown)
+    ds = RFDataset(grown)
+    cfg = SpectrogramConfig(nfft=256, ntime=8)
+    res = StiPipeline(ds, cfg).compute()
+    bounds = (int(res.frame_starts[0]), int(res.frame_starts[-1]))
+
+    # grow the capture past the original end
+    from pyspectrogram_tpu.io.synthetic import tone_signal
+    from pyspectrogram_tpu.io.writer import DigitalRFWriter
+
+    sr = int(meta["sample_rate"])
+    w = DigitalRFWriter(
+        grown, meta["channel"], np.complex64,
+        start_global_index=meta["start_global_index"] + meta["n_samples"],
+        sample_rate_numerator=sr, file_cadence_millisecs=1000,
+        subdir_cadence_secs=3600, num_subchannels=2,
+    )
+    w.rf_write(np.repeat(tone_signal(1 << 14, sr, [1000.0]), 2,
+                         axis=1).astype(np.complex64))
+
+    ds2 = RFDataset(grown)
+    res2 = StiPipeline(ds2, cfg).compute(sample_span=bounds)
+    np.testing.assert_array_equal(res2.frame_starts, res.frame_starts)
+    np.testing.assert_allclose(res2.sxx_dbfs, res.sxx_dbfs, atol=1e-6)
+    # without sample_span the grown capture re-spans (different frames)
+    res3 = StiPipeline(ds2, cfg).compute()
+    assert int(res3.frame_starts[-1]) != int(res.frame_starts[-1])

@@ -131,8 +131,46 @@ def test_structured_logging(capsys, monkeypatch):
     logmod.log_event(lg, "unit event", tab_id=3, reason=0)
     line = buf.getvalue().strip()
     rec = _json.loads(line)
-    assert rec["msg"].startswith("unit event")
+    # fields are top-level keys ONLY — a rendered dict inside msg would
+    # break message-based grouping, JSON mode's stated purpose
+    assert rec["msg"] == "unit event"
     assert rec["tab_id"] == 3 and rec["level"] == "INFO"
+
+
+def test_human_logging_appends_fields(monkeypatch):
+    import io as _io
+    import logging
+
+    from pyspectrogram_tpu.utils import log as logmod
+
+    monkeypatch.delenv("PSTPU_LOG_JSON", raising=False)
+    logging.getLogger("pstpu.test_human").handlers.clear()
+    lg = logmod.get_logger("pstpu.test_human")
+    buf = _io.StringIO()
+    lg.handlers[0].stream = buf
+    logmod.log_event(lg, "unit event", tab_id=3)
+    assert "unit event {'tab_id': 3}" in buf.getvalue()
+
+
+def test_config_time_span_validation():
+    import pytest
+
+    from pyspectrogram_tpu.utils.config import resolve_time_span
+
+    # reversed span refused like every other range knob
+    with pytest.raises(ValueError, match="greater than start"):
+        SpectrogramConfig(time_span=(10.0, 5.0))
+    with pytest.raises(ValueError, match="finite"):
+        SpectrogramConfig(time_span=(float("nan"), 5.0))
+    with pytest.raises(ValueError, match="finite"):
+        SpectrogramConfig(time_span=("soon", 5.0))
+    with pytest.raises(ValueError, match="pair"):
+        SpectrogramConfig(time_span=(1.0, 2.0, 3.0))
+    # a None SIDE is legal (that edge of the capture) and resolves
+    cfg = SpectrogramConfig(time_span=(5.0, None))
+    assert resolve_time_span(cfg.time_span, (0.0, 30.0)) == (5.0, 30.0)
+    assert resolve_time_span(None, (0.0, 30.0)) == (0.0, 30.0)
+    assert resolve_time_span((None, 8.0), (2.0, 30.0)) == (2.0, 8.0)
 
 
 def test_checkpoint_non_npz_suffix_roundtrips(tmp_path):
