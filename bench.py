@@ -350,10 +350,15 @@ def measure_row(key, args):
         return sps / 1e9, p50 * 1e3, {"p99_ms": p99 * 1e3}
     if parts[0] == "sti" and parts[2] == "pallas":
         # 2x: the reduced-precision steps finish in ~0.16-0.27 ms, so
-        # the default loop would amortize only ~32-54 ms per reading
+        # the default loop would amortize only ~32-54 ms per reading.
+        # fft_impl is FORCED to pallas (raises loudly if unsupported):
+        # under "auto" a re-tuned profitability ladder could silently
+        # fall back to XLA, which ignores the precision knob — the row
+        # would then measure exact-XLA while narrated as a pallas tier.
         sps, p50, _ = bench_sti(
             nfft=int(parts[1]), nint=args.nint, ntime=args.ntime,
-            nsub=args.nsub, iters=args.iters * 2, precision=parts[3])
+            nsub=args.nsub, iters=args.iters * 2, precision=parts[3],
+            fft_impl="pallas")
         return sps / 1e9, p50 * 1e3, {}
     if parts[0] == "stream":
         nfft, tier = int(parts[1]), parts[2]
@@ -451,6 +456,14 @@ def check_snapshot(rows, path, tolerance, config=None, remeasure=None):
             print(f"# CHECK MISSING {key} (was in snapshot)",
                   file=sys.stderr)
             ok = False
+            continue
+        if "gs" not in want:
+            # transfer-bound rows (display tile ms): reported for
+            # visibility, not gated — the tunnel's rate swings run to run
+            delta = {k: (want.get(k), have.get(k))
+                     for k in want if k != "key" and want.get(k) != have.get(k)}
+            print(f"# CHECK info      {key}: "
+                  + (f"{delta}" if delta else "unchanged"), file=sys.stderr)
             continue
         if "gs" in want:
             lo = want["gs"] * (1 - tolerance)

@@ -58,6 +58,7 @@ def write_capture(
     seed: int = 0,
     subdir_cadence_secs: int = 3600,
     file_cadence_millisecs: int = 1000,
+    scale: Optional[float] = None,
 ) -> dict:
     """Write one synthetic channel; returns metadata incl. exact signal params.
 
@@ -72,10 +73,11 @@ def write_capture(
     if freqs_hz is None:
         freqs_hz = [(i + 1) * sr / 16.0 for i in range(num_subchannels)]
 
-    if np.dtype(dtype).names is not None or np.dtype(dtype).kind in "iu":
-        scale = 2 ** 14  # leave headroom below int16 full scale
-    else:
-        scale = 1.0
+    if scale is None:
+        if np.dtype(dtype).names is not None or np.dtype(dtype).kind in "iu":
+            scale = 2 ** 14  # leave headroom below int16 full scale
+        else:
+            scale = 1.0
 
     w = DigitalRFWriter(
         top_dir, channel, dtype,

@@ -232,6 +232,19 @@ class BatchedStiPipeline:
         mdtype = blocks[0].dtype if len(dtypes) == 1 else np.float32
         frame_len_total = B * L
         if self.mesh is not None:
+            from pyspectrogram_tpu.parallel.mesh import CHAN_AXIS
+
+            chan = dict(self.mesh.shape).get(CHAN_AXIS, 1)
+            nsub = blocks[0].shape[0] // 2
+            if nsub % chan:
+                # an indivisible split scatters r/i plane pairs across
+                # devices and each shard pairs a sub's imag plane with
+                # the next sub's real plane — well-shaped garbage
+                raise ValueError(
+                    f"requests have {nsub} subchannel(s), which does not "
+                    f"divide over the mesh's {chan}-way '{CHAN_AXIS}' "
+                    f"axis — use a chan axis size that divides nsub "
+                    f"(or 1)")
             fn = make_batched_sti_fn_mesh(
                 self.mesh, nfft=cfg.nfft, nint=cfg.nint, ntime=cfg.ntime,
                 B=B, mode=cfg.mode, window=cfg.window, eps=cfg.eps,

@@ -110,12 +110,14 @@ def assemble_device_block(
 
 def _assemblable(raw: np.ndarray) -> np.ndarray:
     """Coerce a storage-dtype block to a layout the ingest kernels accept:
-    complex64, int16-compound, or (for real / other dtypes) complex64."""
-    if raw.dtype == np.complex64:
-        return raw
+    complex64, int16-compound (kept raw: the device program normalizes),
+    or — for every other dtype, incl. compound int8/int32/int64 —
+    complex64 via the field-wise converter (ingest.to_complex64)."""
+    from pyspectrogram_tpu.native import ingest
+
     if raw.dtype.names is not None and raw.dtype["r"] == np.int16:
         return raw
-    return raw.astype(np.complex64)
+    return ingest.to_complex64(raw)
 
 
 #: with a mesh, transforms at or beyond this size run as the distributed
@@ -181,14 +183,18 @@ class StiPipeline:
             e_samp = int(sample_span[1]) + cfg.nfft * cfg.nint
         else:
             if cfg.streaming:
-                # trailing window anchored at the data end (the reference
-                # anchors at the wall clock, drfProc.py:291-293, which
-                # shows nothing for a paused/short capture); clamping the
-                # start to the data start keeps a YOUNG capture's columns
-                # on real data instead of mostly pre-capture void — a
-                # no-op once the capture outgrows the window
-                end_time = self.ds.time_bnds[1]
-                st_time = max(self.ds.time_bnds[0],
+                # trailing window anchored at the SELECTED CHANNEL's data
+                # end (the reference anchors at the wall clock,
+                # drfProc.py:291-293, which shows nothing for a
+                # paused/short capture; the dataset-global time_bnds
+                # would anchor past a channel that lags another channel's
+                # capture and show only void); clamping the start to the
+                # channel's data start keeps a YOUNG capture's columns on
+                # real data instead of mostly pre-capture void — a no-op
+                # once the capture outgrows the window
+                lo, hi = self.ds.bnds[chan]
+                end_time = float(hi / sr)
+                st_time = max(float(lo / sr),
                               end_time - cfg.stream_seconds)
             else:
                 # a None side means that edge of the capture (utils.config)
@@ -347,9 +353,21 @@ class StiPipeline:
         import jax.numpy as jnp
 
         from pyspectrogram_tpu.parallel.mesh import (
-            TIME_AXIS, pad_contiguous_block)
+            CHAN_AXIS, TIME_AXIS, pad_contiguous_block)
         from pyspectrogram_tpu.parallel.sharded import make_sharded_sti_fn
 
+        chan = dict(self.mesh.shape).get(CHAN_AXIS, 1)
+        nsub = samples_pm.shape[0] // 2
+        if nsub % chan:
+            # an indivisible split would scatter r/i plane pairs across
+            # devices and each shard would pair a sub's imag plane with
+            # the NEXT sub's real plane — well-shaped garbage, so refuse
+            # loudly (the >= bigfft_threshold case reroutes to the
+            # dist-FFT tier in _use_bigfft instead)
+            raise ValueError(
+                f"channel has {nsub} subchannel(s), which does not divide "
+                f"over the mesh's {chan}-way '{CHAN_AXIS}' axis — use a "
+                f"chan axis size that divides nsub (or 1)")
         frame_len = cfg.nfft * cfg.nint
         samples_pm, padded, nvalid = pad_contiguous_block(
             samples_pm, len(starts_rel), frame_len,

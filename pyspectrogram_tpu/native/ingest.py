@@ -124,7 +124,24 @@ def assemble_plane_major(span: np.ndarray, starts_rel: np.ndarray,
         ri = span_c.view(np.int16).reshape(span_c.shape[0], nsub, 2)
         return _assemble_pm_numpy_planes(ri, starts, frame_len, out)
     # generic fallback: convert to complex64 first
-    return assemble_plane_major(span.astype(np.complex64), starts, frame_len)
+    return assemble_plane_major(to_complex64(span), starts, frame_len)
+
+
+def to_complex64(raw: np.ndarray) -> np.ndarray:
+    """Storage-dtype block -> complex64. Compound ('r','i') integer
+    dtypes other than int16 (int8/int32/int64 — all legal Digital RF
+    storage, io.drf_format) convert FIELD-WISE: numpy cannot astype a
+    structured dtype to complex (TypeError), which crashed every ingest
+    route for those captures. int32/int64 lose low-order bits to the
+    float32 planes exactly like the rest of the f32 compute path."""
+    if raw.dtype == np.complex64:
+        return raw
+    if raw.dtype.names is not None:
+        out = np.empty(raw.shape, np.complex64)
+        out.real = raw["r"]
+        out.imag = raw["i"]
+        return out
+    return raw.astype(np.complex64)
 
 
 def _assemble_pm_numpy(span_c64: np.ndarray, starts, frame_len, out):

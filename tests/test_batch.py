@@ -135,3 +135,23 @@ def test_batched_pipeline_with_mesh_matches_single(tmp_path):
         np.testing.assert_allclose(g.sxx_dbfs, w.sxx_dbfs, atol=2e-3)
         np.testing.assert_allclose(g.sxx_med_dbfs, w.sxx_med_dbfs, atol=2e-3)
         np.testing.assert_array_equal(g.times, w.times)
+
+
+def test_mesh_indivisible_nsub_refused(tmp_path):
+    """nsub that does not divide the chan axis must refuse loudly — an
+    indivisible split scatters r/i plane pairs across devices and
+    produces well-shaped garbage (one sub's imag paired with the next
+    sub's real)."""
+    from pyspectrogram_tpu.parallel import make_mesh
+
+    top = tmp_path / "c3"
+    write_capture(top, channel="c", kind="tone", n_samples=1 << 13,
+                  sample_rate_numerator=250_000, num_subchannels=3)
+    ds = RFDataset(top)
+    cfg = SpectrogramConfig(nfft=128, ntime=4)
+    mesh = make_mesh(time_parallel=4, chan_parallel=2)
+    with pytest.raises(ValueError, match="does not divide"):
+        StiPipeline(ds, cfg, mesh=mesh).compute()
+    with pytest.raises(ValueError, match="does not divide"):
+        BatchedStiPipeline([(ds, None), (ds, None)], cfg,
+                           mesh=mesh).compute()

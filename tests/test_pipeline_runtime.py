@@ -441,3 +441,53 @@ def test_pipeline_sample_span_exact_resume(tone_capture, tmp_path):
     # without sample_span the grown capture re-spans (different frames)
     res3 = StiPipeline(ds2, cfg).compute()
     assert int(res3.frame_starts[-1]) != int(res.frame_starts[-1])
+
+
+@pytest.mark.parametrize("base,scale", [(np.int8, 2 ** 6),
+                                        (np.int32, 2 ** 30)])
+def test_pipeline_compound_non_int16_capture(tmp_path, base, scale):
+    """Compound ('r','i') int8/int32 captures — legal Digital RF storage
+    the io layer reads and normalizes — must flow through the pipeline
+    (structured dtypes cannot astype to complex64, which crashed every
+    ingest route; the field-wise converter in native.ingest handles
+    them). A tone scaled below full scale must land exactly at the dBFS
+    the channel's integer reference (io.drf_format.get_ref) predicts."""
+    from pyspectrogram_tpu.io.synthetic import write_capture
+
+    top = tmp_path / f"cap_{np.dtype(base).name}"
+    write_capture(
+        top, channel="chC", kind="tone", n_samples=1 << 14,
+        sample_rate_numerator=250_000, num_subchannels=1,
+        dtype=np.dtype([("r", base), ("i", base)]), scale=scale,
+    )
+    ds = RFDataset(top)
+    res = StiPipeline(ds, SpectrogramConfig(nfft=256, ntime=8)).compute()
+    peak = float(res.sxx_med_dbfs[:, 0].max())
+    assert np.isfinite(res.sxx_dbfs).all()
+    want = 20 * np.log10(scale / ds.ref_dict["chC"])
+    assert abs(peak - want) < 0.5, (peak, want)
+
+
+def test_streaming_anchors_at_channel_end_not_global(tmp_path):
+    """A streaming compute on a channel whose capture ends EARLIER than
+    another channel's must anchor the trailing window at ITS OWN data
+    end — the dataset-global time_bnds end lies past its data and every
+    column would be zero-filled void."""
+    from pyspectrogram_tpu.io.synthetic import write_capture
+
+    sr = 250_000
+    t0 = 1_451_661_840
+    write_capture(tmp_path, channel="early", kind="tone",
+                  n_samples=1 << 14, sample_rate_numerator=sr,
+                  start_global_index=t0 * sr)
+    write_capture(tmp_path, channel="late", kind="tone",
+                  n_samples=1 << 14, sample_rate_numerator=sr,
+                  start_global_index=(t0 + 3600) * sr)  # an hour later
+    ds = RFDataset(tmp_path)
+    cfg = SpectrogramConfig(nfft=256, ntime=8, channel="early",
+                            streaming=True, stream_seconds=0.02)
+    res = StiPipeline(ds, cfg).compute()
+    # anchored at 'early's own end: frames land on real data
+    assert int(res.frame_starts[-1]) <= ds.bnds["early"][1]
+    assert int(res.frame_starts[0]) >= ds.bnds["early"][0]
+    assert float(res.sxx_med_dbfs[:, 0].max()) > -5.0  # tone visible
