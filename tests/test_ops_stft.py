@@ -243,3 +243,42 @@ def test_reference_nint_ceiling_structurally_supported():
     sxx = np.asarray(out["sxx_dbfs"])
     assert np.isfinite(sxx).all()
     assert sxx[0, 0].std() < 0.1  # ~0.013 dB measured; 1 seg is ~5.6 dB
+
+
+@pytest.mark.parametrize("seed", [7, 19, 23])
+def test_randomized_config_matches_oracle(seed):
+    """Seeded random-config differential sweep: random (nfft, nint,
+    ntime, nsub, mode, window) with random NON-CONTIGUOUS frame starts
+    through make_sti_fn_pm must match the numpy oracle — the pinned-size
+    tests cannot see interactions a random draw can (e.g. non-pow2 nfft
+    x odd nint x hann)."""
+    from pyspectrogram_tpu.ops import reference as oracle
+
+    rng = np.random.default_rng(seed)
+    nfft = int(rng.choice([32, 96, 128, 320, 512]))
+    nint = int(rng.choice([1, 2, 3, 5]))
+    ntime = int(rng.choice([2, 5, 13]))
+    nsub = int(rng.choice([1, 3]))
+    mode = str(rng.choice(["welch", "parity"]))
+    window = ("kaiser", 1.7) if rng.random() < 0.5 else "hann"
+    frame_len = nfft * nint
+    nsamp = frame_len * ntime + int(rng.integers(0, frame_len))
+    x = (rng.standard_normal((nsamp, nsub))
+         + 1j * rng.standard_normal((nsamp, nsub))).astype(np.complex64)
+    starts = np.sort(rng.choice(nsamp - frame_len + 1, size=ntime,
+                                replace=False)).astype(np.int64)
+    block = np.stack([x[s:s + frame_len] for s in starts], axis=1)
+    _, sxx, med = oracle.sti_proc(block, 1e6, nfft, nint=nint, mode=mode,
+                                  window=window)
+
+    pm = np.empty((nsub * 2, nsamp), np.float32)
+    pm[0::2] = x.real.T
+    pm[1::2] = x.imag.T
+    out = stft.make_sti_fn_pm(nfft=nfft, nint=nint, mode=mode,
+                              window=window)(
+        jnp.asarray(pm), jnp.asarray(starts.astype(np.int32)))
+    got = stft.to_reference_layout(np.asarray(out["sxx_dbfs"]))
+    np.testing.assert_allclose(got, oracle.to_dbfs(sxx), atol=0.05)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(out["sxx_med_dbfs"]), -1, 0),
+        oracle.to_dbfs(med), atol=0.05)
