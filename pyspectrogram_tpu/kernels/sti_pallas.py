@@ -93,7 +93,11 @@ def pick_contiguous_tb(nfft: int, nint: int, gather_len: int,
     1024: tb=8 8.95 -> 16 10.3 -> 32 11.6 -> 64 12.1 -> 128 12.6 GS/s;
     4096: 8 12.9 -> 32 13.7 (display tier 21.8 -> 31.0);
     256/512: 2.4/4.1 -> 4.2/7.2. tb=256 measured +3% over 128 at 256-pt
-    and compiles materially slower — capped at 128.
+    and compiles materially slower — capped at 128. Raising
+    MAX_BLOCK_BYTES to 36MB to reach tb=64 at 4096 welch (32MB blocks,
+    64MB double-buffered) measured SLOWER: 13.10 vs 13.61 GS/s — the
+    fold is already past its knee there and the bigger working set only
+    pressures VMEM; the 24MB budget stands (negative result, round 4).
 
     Parity with nint > 1 folds too, by over-fetching whole frame_len
     strides (the unused nint-1 segments ride along in the block):
