@@ -153,6 +153,33 @@ def pallas_auto_profitable(nfft: int, nint: int = 1, nsub: int = 1,
                                               precision)
 
 
+def pick_impl(nfft: int, nint: int, nsub: int, mode: str = "welch",
+              precision: str = "exact", contiguous: bool = False,
+              fft_impl: str = "auto") -> str:
+    """'pallas' | 'per-sub' | 'xla' — THE dispatch policy, shared by the
+    single-chip program (ops.stft), every shard_map tier's per-shard body
+    (parallel.sharded.make_local_sti) and the streaming core, so the
+    tiers cannot drift: a multi-sub working set that overflows the fused
+    kernel's VMEM budget runs one launch per plane pair wherever one
+    subchannel fits (~8 GS/s at 2^19-2^20 vs the 5-7x slower XLA FFT),
+    falling back to XLA only when even that fails. An explicit
+    fft_impl='pallas' is an ask, not a hint — unsupported configs raise
+    downstream instead of silently degrading."""
+    import jax
+
+    if fft_impl == "pallas":
+        return "pallas"
+    if fft_impl == "xla" or jax.default_backend() != "tpu":
+        return "xla"
+    if pallas_auto_profitable(nfft, nint, nsub, mode, precision,
+                              contiguous):
+        return "pallas"
+    if pallas_per_sub_profitable(nfft, nint, nsub, mode, precision,
+                                 contiguous):
+        return "per-sub"
+    return "xla"
+
+
 def pallas_per_sub_profitable(nfft: int, nint: int = 1, nsub: int = 1,
                               mode: str = "welch", precision: str = "exact",
                               contiguous: bool = False) -> bool:

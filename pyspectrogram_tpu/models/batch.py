@@ -153,9 +153,22 @@ def make_batched_sti_fn_mesh(
         t0 = jax.lax.axis_index(TIME_AXIS) * local_cols
         b_idx = jnp.minimum((t0 + jnp.arange(local_cols)) // ntime, B - 1)
         p = p * inv_ref_sq.astype(p.dtype)[b_idx][:, None, None]
-        p_all = jax.lax.all_gather(p, TIME_AXIS, axis=0, tiled=True)
-        p_req = p_all[:total_cols].reshape(B, ntime, p.shape[1], nfft)
-        med = jax.vmap(stft.median_over_time)(p_req)   # (B, nsub_l, nfft)
+        from pyspectrogram_tpu.parallel.sharded import (
+            GATHERED_MEDIAN_MAX_BYTES)
+
+        cube = padded_cols * p.shape[1] * nfft * 4
+        if cube <= GATHERED_MEDIAN_MAX_BYTES:
+            p_all = jax.lax.all_gather(p, TIME_AXIS, axis=0, tiled=True)
+            p_req = p_all[:total_cols].reshape(B, ntime, p.shape[1], nfft)
+            med = jax.vmap(stft.median_over_time)(p_req)  # (B, nsub_l, nfft)
+        else:
+            # huge B*ntime: per-request psum'd bisection over each
+            # request's global column span — no device gathers the cube
+            # (same budget policy as the sharded tier)
+            med = jnp.stack([
+                stft.median_over_time_psum(
+                    p, TIME_AXIS, row_window=(b * ntime, (b + 1) * ntime))
+                for b in range(B)])
         return {
             "sxx_dbfs": stft.to_dbfs(p, eps),
             "sxx_med_dbfs": stft.to_dbfs(med, eps),

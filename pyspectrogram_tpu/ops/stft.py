@@ -306,10 +306,99 @@ def median_over_time(p: jax.Array, ntime_valid: Optional[int] = None,
     return 0.5 * (v1 + v2)
 
 
+def median_over_time_psum(p: jax.Array, axis_name: str,
+                          ntime_valid: Optional[int] = None,
+                          row_window: Optional[tuple] = None) -> jax.Array:
+    """Median across a time axis SHARDED over ``axis_name`` — call inside
+    shard_map with ``p`` = this device's (ntime_l, ..., nfft) float32
+    shard of the row-sharded buffer.
+
+    The same 33-step float-bit bisection as :func:`_kth_smallest_f32`,
+    but each round's compare-count is summed over the mesh axis
+    (``lax.psum`` of one (..., nfft) int32 plane), so NO device ever
+    holds more than its own shard: the all-gather alternative replicates
+    the full ntime x ... x nfft power cube onto every device — ~1.6 GB
+    at the reference's documented ntime = 1e5 ceiling with nfft = 4096 —
+    while 33 psum'd count planes move ~33 * nfft * 4 bytes per row of
+    output. Rows at global index >= ``ntime_valid`` (time-axis padding)
+    are masked out of every count; ``row_window=(lo, hi)`` instead
+    restricts to an arbitrary global row range (the mesh-DP batch tier's
+    per-request column spans). Exact for float32, matching
+    :func:`median_over_time` (even-n mean of the two middles included).
+    """
+    ntime_l = p.shape[0]
+    lo_r, hi_r = (0, int(ntime_valid)) if row_window is None else (
+        int(row_window[0]), int(row_window[1]))
+    n = hi_r - lo_r
+    k = (n + 1) // 2
+    idx = jax.lax.axis_index(axis_name) * ntime_l + jnp.arange(ntime_l)
+    valid = ((idx >= lo_r) & (idx < hi_r)).reshape(
+        (ntime_l,) + (1,) * (p.ndim - 1))
+    kb = _float_order_key(p)
+    lo = jnp.full(p.shape[1:], jnp.int32(-0x7F800001), jnp.int32)
+    hi = jnp.full(p.shape[1:], jnp.int32(0x7F800000), jnp.int32)
+
+    def body(_, lh):
+        lo, hi = lh
+        mid = (lo & hi) + jax.lax.shift_right_arithmetic(lo ^ hi, 1)
+        cnt = jax.lax.psum(((kb <= mid[None]) & valid).sum(axis=0),
+                           axis_name)
+        go_hi = cnt >= k
+        return (jnp.where(go_hi, lo, mid + 1), jnp.where(go_hi, mid, hi))
+
+    lo, hi = jax.lax.fori_loop(0, 33, body, (lo, hi))
+    key = hi ^ (jax.lax.shift_right_arithmetic(hi, 31) & jnp.int32(0x7FFFFFFF))
+    v1 = jax.lax.bitcast_convert_type(key, jnp.float32)
+    if n % 2:
+        return v1
+    cnt_le = jax.lax.psum(((p <= v1[None]) & valid).sum(axis=0), axis_name)
+    bigger = jnp.where((p > v1[None]) & valid, p, jnp.inf)
+    v2 = jnp.where(cnt_le > k, v1,
+                   jax.lax.pmin(bigger.min(axis=0), axis_name))
+    return 0.5 * (v1 + v2)
+
+
 def to_dbfs(x: jax.Array, eps: float = 1e-15) -> jax.Array:
     """10*log10(x + eps) — the reference's dB conversion
     (reference: drfProc.py:308-310)."""
     return 10.0 * jnp.log10(x + jnp.asarray(eps, x.dtype))
+
+
+def make_xla_psd(
+    *,
+    nfft: int,
+    nint: int = 1,
+    mode: str = "welch",
+    window: WindowSpec = ("kaiser", 1.7),
+    ref: float = 1.0,
+):
+    """The gather+Welch XLA step body: plane-major samples + frame starts
+    -> fftshifted LINEAR power (ntime, nsub, nfft). ONE implementation
+    behind the single-chip program's XLA branch (_make_sti_fn_pm), every
+    shard_map tier's fallback (parallel.sharded.make_local_sti) and the
+    streaming core — a scaling or dtype fix lands once for all of them."""
+    win64 = get_window(window, nfft)
+    inv_scale = 1.0 / (float(win64.sum()) ** 2 * float(ref) ** 2)
+    win = win64.astype(np.float32)
+    frame_len = nfft * nint if mode == "welch" else nfft
+
+    def xla_psd(samples_pm, starts):
+        def one_start(s):
+            return jax.vmap(
+                lambda row: jax.lax.dynamic_slice(row, (s,), (frame_len,))
+            )(samples_pm)
+
+        fr = jax.vmap(one_start)(starts)       # (ntime, nsub*2, L)
+        c = jax.lax.complex(fr[:, 0::2, :], fr[:, 1::2, :]).astype(
+            jnp.complex64)
+        if mode == "welch":
+            c = c.reshape(c.shape[0], c.shape[1], nint, nfft)
+            p = psd_frames(c, jnp.asarray(win), inv_scale).mean(axis=2)
+        else:
+            p = psd_frames(c, jnp.asarray(win), inv_scale)
+        return jnp.fft.fftshift(p, axes=-1)
+
+    return xla_psd
 
 
 @functools.lru_cache(maxsize=256)
@@ -406,47 +495,19 @@ def _make_sti_fn_pm(
     if fft_impl not in ("auto", "pallas", "xla"):
         raise ValueError(f"unknown fft_impl {fft_impl!r}")
 
-    win64 = get_window(window, nfft)
-    inv_scale = 1.0 / (float(win64.sum()) ** 2 * float(ref) ** 2)
-    win = win64.astype(np.float32)
-    frame_len = nfft * nint if mode == "welch" else nfft
-
-    def xla_psd(samples_pm, starts):
-        def one_start(s):
-            return jax.vmap(
-                lambda row: jax.lax.dynamic_slice(row, (s,), (frame_len,))
-            )(samples_pm)
-
-        fr = jax.vmap(one_start)(starts)       # (ntime, nsub*2, L)
-        c = jax.lax.complex(fr[:, 0::2, :], fr[:, 1::2, :]).astype(
-            jnp.complex64)
-        if mode == "welch":
-            c = c.reshape(c.shape[0], c.shape[1], nint, nfft)
-            p = psd_frames(c, jnp.asarray(win), inv_scale).mean(axis=2)
-        else:
-            p = psd_frames(c, jnp.asarray(win), inv_scale)
-        return jnp.fft.fftshift(p, axes=-1)
+    xla_psd = make_xla_psd(nfft=nfft, nint=nint, mode=mode, window=window,
+                           ref=ref)
 
     def pick_impl(nsub: int) -> str:
         # auto re-evaluates with the ACTUAL nsub from the traced input
         # shape — the per-column VMEM block scales with nsub, so a config
         # that is profitable at nsub=1 can exceed the kernel's block budget
         # at higher subchannel counts; auto falls back instead of raising
-        # (fft_impl="pallas" still raises: it is an explicit ask).
-        if fft_impl == "pallas":
-            return "pallas"
-        if fft_impl == "xla" or jax.default_backend() != "tpu":
-            return "xla"
-        if sti_pallas.pallas_auto_profitable(nfft, nint, nsub, mode,
-                                             precision, contiguous):
-            return "pallas"
-        # one pallas launch per plane pair where the multi-sub working
-        # set overflows the kernel's VMEM budget but one subchannel fits
-        # (shared policy: sti_pallas.pallas_per_sub_profitable)
-        if sti_pallas.pallas_per_sub_profitable(nfft, nint, nsub, mode,
-                                                precision, contiguous):
-            return "per-sub"
-        return "xla"
+        # (fft_impl="pallas" still raises: it is an explicit ask). ONE
+        # policy shared with every shard_map tier's per-shard body
+        # (sti_pallas.pick_impl), incl. the per-plane-pair launch split.
+        return sti_pallas.pick_impl(nfft, nint, nsub, mode, precision,
+                                    contiguous, fft_impl)
 
     @jax.jit
     def sti_fn(samples_pm: jax.Array, starts: jax.Array,

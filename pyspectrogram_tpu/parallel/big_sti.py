@@ -106,10 +106,13 @@ def _tier_cdot(precision: str, eq: str):
         k1 = (Dr+Di)*xr, k2 = Dr*(xi-xr), k3 = Di*(xr+xi)
         real = k1 - k3, imag = k1 + k2
     Returns f(d3, xr, xi) -> (yr, yi)."""
+    # DEFAULT precision only: call sites are gated by use_gemm =
+    # precision != "exact" (the exact-GEMM tier was measured slower than
+    # the XLA FFT here and removed — see the module docstring's negative
+    # result), so an exact/HIGHEST branch would be dead code
     es = functools.partial(
         jnp.einsum,
-        precision=(jax.lax.Precision.HIGHEST if precision == "exact"
-                   else jax.lax.Precision.DEFAULT),
+        precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32,
     )
     if precision == "balanced":

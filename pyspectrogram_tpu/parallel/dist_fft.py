@@ -51,6 +51,7 @@ def _twiddle(n1: int, n2: int):
     return np.stack([t.real, t.imag], axis=-1).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=16)
 def make_distributed_fft(mesh: Mesh, axis: str, nfft: int):
     """Build ``f(xr, xi) -> (Xr, Xi)`` computing an nfft-point complex FFT
     sharded over ``mesh[axis]``.
@@ -58,6 +59,11 @@ def make_distributed_fft(mesh: Mesh, axis: str, nfft: int):
     Inputs/outputs are real/imag planes of shape (n1, n2): inputs sharded
     over columns (P(None, axis)), outputs over rows (P(axis, None)) with
     X[n1*k2 + k1] = out[k1, k2]. All collective traffic is one all-to-all.
+
+    Cached like every other jit factory here (Mesh hashes on device ids +
+    axis layout): a repeat call must reuse the compiled program — a fresh
+    jit wrapper per call costs a 20-80 s remote recompile per request on
+    tunneled transports.
     """
     ndev = mesh.shape[axis]
     n1, n2 = split_for_devices(nfft, ndev)

@@ -26,7 +26,20 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from pyspectrogram_tpu.ops.stft import median_over_time, psd_frames, to_dbfs
+from pyspectrogram_tpu.ops.stft import (
+    median_over_time,
+    median_over_time_psum,
+    to_dbfs,
+)
+
+#: gathered-median budget: below this many bytes for the FULL gathered
+#: power cube (ntime x nsub_l x nfft f32, replicated per device), the
+#: time median all-gathers once and runs the VMEM-resident kernel (1 HBM
+#: pass); above it, the 33-round psum'd bisection keeps every device at
+#: its own shard — at the reference's ntime = 1e5 ceiling with
+#: nfft = 4096 the gathered cube is ~1.6 GB per device, which thrashes
+#: or OOMs exactly at the scale the sharded tier exists to serve.
+GATHERED_MEDIAN_MAX_BYTES = 256 * 1024 * 1024
 from pyspectrogram_tpu.ops.windows import WindowSpec, get_window
 from pyspectrogram_tpu.parallel.mesh import CHAN_AXIS, TIME_AXIS
 
@@ -44,30 +57,26 @@ def make_local_sti(
 ):
     """The per-shard STI body shared by every shard_map tier: plane-major
     samples + frame starts -> LINEAR fftshifted power (ntime_l, nsub_l,
-    nfft). Raw integer planes widen here, per shard on device. ``auto``
-    picks the fused Pallas kernel per shard from the LOCAL nsub."""
+    nfft). Raw integer planes widen here, per shard on device. Dispatch
+    mirrors the single-chip program exactly (sti_pallas.pick_impl — one
+    policy): the fused kernel from the LOCAL nsub, one launch per plane
+    pair where the multi-sub working set overflows VMEM but one
+    subchannel fits, XLA (ops.stft.make_xla_psd) only past that."""
     from pyspectrogram_tpu.kernels import sti_pallas
+    from pyspectrogram_tpu.ops.stft import make_xla_psd
 
     if fft_impl not in ("auto", "pallas", "xla"):
         raise ValueError(f"unknown fft_impl {fft_impl!r}")
 
-    win64 = get_window(window, nfft)
-    inv_scale = 1.0 / (float(win64.sum()) ** 2 * float(ref) ** 2)
-    win = jnp.asarray(win64.astype(np.float32))
-    frame_len = nfft * nint if mode == "welch" else nfft
+    get_window(window, nfft)  # validate the spec eagerly
+    xla_psd = make_xla_psd(nfft=nfft, nint=nint, mode=mode, window=window,
+                           ref=ref)
 
     def local_sti(samples_pm, starts):
         nsub_l = samples_pm.shape[0] // 2
-        if fft_impl == "pallas":
-            use_pallas = True
-        elif fft_impl == "xla":
-            use_pallas = False
-        else:
-            use_pallas = (
-                jax.default_backend() == "tpu"
-                and sti_pallas.pallas_auto_profitable(
-                    nfft, nint, nsub_l, mode, precision, contiguous)
-            )
+        impl = sti_pallas.pick_impl(nfft, nint, nsub_l, mode, precision,
+                                    contiguous, fft_impl)
+        use_pallas = impl != "xla"
         if samples_pm.dtype != jnp.float32 and not (use_pallas and contiguous):
             # raw integer planes ship at half the bytes; the gathered/XLA
             # shard bodies widen once here, but the contiguous pallas
@@ -80,22 +89,12 @@ def make_local_sti(
                 interpret=jax.default_backend() != "tpu",
                 precision=precision, contiguous=contiguous,
             )
+            if impl == "per-sub":
+                return jnp.concatenate(
+                    [pallas_psd(samples_pm[2 * s : 2 * s + 2], starts)
+                     for s in range(nsub_l)], axis=1)
             return pallas_psd(samples_pm, starts)
-
-        def one_start(s):
-            return jax.vmap(
-                lambda row: jax.lax.dynamic_slice(row, (s,), (frame_len,))
-            )(samples_pm)
-
-        fr = jax.vmap(one_start)(starts)          # (ntime_l, nsub2_l, L)
-        c = jax.lax.complex(fr[:, 0::2, :], fr[:, 1::2, :]).astype(
-            jnp.complex64)
-        if mode == "welch":
-            c = c.reshape(c.shape[0], c.shape[1], nint, nfft)
-            p = psd_frames(c, win, inv_scale).mean(axis=2)
-        else:
-            p = psd_frames(c, win, inv_scale)
-        return jnp.fft.fftshift(p, axes=-1)       # (ntime_l, nsub_l, nfft)
+        return xla_psd(samples_pm, starts)        # (ntime_l, nsub_l, nfft)
 
     return local_sti
 
@@ -170,9 +169,18 @@ def _make_sharded_sti_fn(
             # ladder; the shard's buffer begins at its first column
             starts = starts - starts[0]
         p_local = local_sti(samples_pm, starts)
-        # gather all columns of my channel shard for the time median
-        p_all = jax.lax.all_gather(p_local, TIME_AXIS, axis=0, tiled=True)
-        p_med = median_over_time(p_all, ntime_valid)  # (nsub_l, nfft)
+        ndev_t = mesh.shape[TIME_AXIS]
+        cube = p_local.shape[0] * ndev_t * np.prod(p_local.shape[1:]) * 4
+        if cube <= GATHERED_MEDIAN_MAX_BYTES:
+            # gather all columns of my channel shard for the time median
+            # (one ICI gather + one VMEM-resident kernel pass)
+            p_all = jax.lax.all_gather(p_local, TIME_AXIS, axis=0,
+                                       tiled=True)
+            p_med = median_over_time(p_all, ntime_valid)  # (nsub_l, nfft)
+        else:
+            # huge ntime: psum'd bisection — no device ever holds more
+            # than its shard (see GATHERED_MEDIAN_MAX_BYTES)
+            p_med = median_over_time_psum(p_local, TIME_AXIS, ntime_valid)
         out = {"sxx_med_dbfs": to_dbfs(p_med, eps)}
         if tile is not None:
             from pyspectrogram_tpu.display.tile import quantize_tile_linear
@@ -192,8 +200,23 @@ def _make_sharded_sti_fn(
         out_specs["tile"] = P(TIME_AXIS, CHAN_AXIS, None)
     else:
         out_specs["sxx_dbfs"] = P(TIME_AXIS, CHAN_AXIS, None)
-    fn = jax.jit(shard_map(sharded, mesh=mesh, in_specs=in_specs,
-                           out_specs=out_specs, check_vma=False))
+    jitted = jax.jit(shard_map(sharded, mesh=mesh, in_specs=in_specs,
+                               out_specs=out_specs, check_vma=False))
+
+    if tile is not None:
+        # the factory caches on the canonicalized crop plan (crop_key),
+        # whose own qparams are a meaningless placeholder — so unlike the
+        # single-chip program there is no usable default, and omitting
+        # the operand would otherwise die in an opaque shard_map pytree
+        # mismatch instead of naming the contract (cf. big_sti's guard)
+        def fn(samples_pm, starts, qparams=None):
+            if qparams is None:
+                raise ValueError(
+                    "tile mode requires the color-range operand: call "
+                    "fn(samples_pm, starts, spec.qparams)")
+            return jitted(samples_pm, starts, qparams)
+    else:
+        fn = jitted
 
     fn.input_shardings = lambda: tuple(
         NamedSharding(mesh, s) for s in in_specs

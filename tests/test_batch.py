@@ -155,3 +155,39 @@ def test_mesh_indivisible_nsub_refused(tmp_path):
     with pytest.raises(ValueError, match="does not divide"):
         BatchedStiPipeline([(ds, None), (ds, None)], cfg,
                            mesh=mesh).compute()
+
+
+def test_batched_mesh_psum_median_matches_gathered(monkeypatch):
+    """Forcing the huge-ntime psum median in the mesh-DP tier must equal
+    the gathered per-request medians exactly."""
+    import jax
+
+    from pyspectrogram_tpu.models import batch as batch_mod
+    from pyspectrogram_tpu.models.batch import make_batched_sti_fn_mesh
+    from pyspectrogram_tpu.parallel import make_mesh, sharded as sharded_mod
+
+    nfft, nint, ntime, nsub, B = 128, 2, 6, 2, 4
+    L = nfft * nint * ntime
+    rng = np.random.default_rng(11)
+    merged = rng.standard_normal((nsub * 2, B * L)).astype(np.float32)
+    inv = 1.0 / np.asarray([1.0, 2.0, 0.5, 3.0], np.float32) ** 2
+
+    mesh = make_mesh(time_parallel=8, chan_parallel=1)
+
+    def run():
+        fn = make_batched_sti_fn_mesh(mesh, nfft=nfft, nint=nint,
+                                      ntime=ntime, B=B)
+        padded = np.zeros((nsub * 2, fn.padded_cols * nfft * nint),
+                          np.float32)
+        padded[:, : merged.shape[1]] = merged
+        s_sh, r_sh = fn.input_shardings()
+        return fn(jax.device_put(jnp.asarray(padded), s_sh),
+                  jax.device_put(jnp.asarray(inv), r_sh))
+
+    want = run()
+    monkeypatch.setattr(sharded_mod, "GATHERED_MEDIAN_MAX_BYTES", 0)
+    make_batched_sti_fn_mesh.cache_clear()
+    got = run()
+    make_batched_sti_fn_mesh.cache_clear()
+    np.testing.assert_array_equal(np.asarray(got["sxx_med_dbfs"]),
+                                  np.asarray(want["sxx_med_dbfs"]))

@@ -471,3 +471,24 @@ def test_stream_kernel_support_gates():
     assert not pallas_stream_supported(1 << 16, 1, 1 << 15, 4, 2)
     # VMEM budget: an absurdly long buffer is refused
     assert not pallas_stream_supported(16384, 1, 8192, 4096, 2)
+
+
+def test_pick_impl_shared_policy(monkeypatch):
+    """sti_pallas.pick_impl IS the dispatch policy for the single-chip
+    program AND every shard_map tier's per-shard body: on TPU a 2^20
+    2-sub config (multi-sub overflows VMEM, one sub fits) must pick the
+    per-plane-pair launch split, not the 5-7x slower XLA fallback the
+    sharded tier used to take."""
+    import jax
+
+    from pyspectrogram_tpu.kernels import sti_pallas as sp
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert sp.pick_impl(1 << 20, 1, 2, "welch", "exact", True) == "per-sub"
+    assert sp.pick_impl(1 << 20, 1, 1, "welch", "exact", True) == "pallas"
+    assert sp.pick_impl(4096, 4, 2, "welch", "exact", True) == "pallas"
+    # explicit asks override
+    assert sp.pick_impl(1 << 20, 1, 2, fft_impl="xla") == "xla"
+    assert sp.pick_impl(1 << 20, 1, 2, fft_impl="pallas") == "pallas"
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert sp.pick_impl(4096, 4, 2, "welch", "exact", True) == "xla"

@@ -330,3 +330,70 @@ def test_contiguous_sharded_pallas_int16_planes():
     out_b = b(jax.device_put(jnp.asarray(pm16), sh), jnp.asarray(starts))
     np.testing.assert_allclose(np.asarray(out_a["sxx_dbfs"]),
                                np.asarray(out_b["sxx_dbfs"]), atol=1e-3)
+
+
+@pytest.mark.parametrize("nvalid", [13, 16])  # odd (exact) and even (mean)
+def test_median_psum_matches_numpy(nvalid):
+    """The psum'd bisection median (huge-ntime tier) equals np.median
+    over the valid prefix, padding masked, odd and even counts."""
+    from jax import shard_map
+
+    from pyspectrogram_tpu.ops.stft import median_over_time_psum
+
+    mesh = make_mesh()  # (8, 1)
+    rng = np.random.default_rng(5)
+    p = rng.standard_normal((16, 3, 64)).astype(np.float32) ** 2
+    p[nvalid:] = 1e12  # poisoned padding must not bias the median
+
+    fn = jax.jit(shard_map(
+        lambda x: median_over_time_psum(x, "time", nvalid),
+        mesh=mesh, in_specs=P("time", None, None),
+        out_specs=P(),  # replicated result
+    ))
+    got = np.asarray(fn(jnp.asarray(p)))
+    np.testing.assert_array_equal(got, np.median(p[:nvalid], axis=0))
+
+
+def test_sharded_median_psum_tier_matches_gathered(monkeypatch):
+    """Forcing the huge-ntime psum median (GATHERED_MEDIAN_MAX_BYTES = 0)
+    must reproduce the gathered tier's result exactly through the full
+    sharded STI program, including time-axis padding."""
+    from pyspectrogram_tpu.parallel import sharded as sharded_mod
+
+    nfft, ntime, nsub = 64, 13, 2
+    nsamp = nfft * ntime + 200
+    packed, pm = _buffer(nsamp, nsub, seed=9)
+    starts = np.linspace(0, nsamp - nfft, ntime, dtype=np.int32)
+    padded, nvalid = pad_starts(starts, 8)
+
+    mesh = make_mesh()
+    want = make_sharded_sti_fn(mesh, nfft=nfft, ntime_valid=nvalid)(
+        jnp.asarray(pm), jnp.asarray(padded))
+    monkeypatch.setattr(sharded_mod, "GATHERED_MEDIAN_MAX_BYTES", 0)
+    sharded_mod._make_sharded_sti_fn.cache_clear()
+    got = make_sharded_sti_fn(mesh, nfft=nfft, ntime_valid=nvalid)(
+        jnp.asarray(pm), jnp.asarray(padded))
+    sharded_mod._make_sharded_sti_fn.cache_clear()
+    np.testing.assert_array_equal(np.asarray(got["sxx_med_dbfs"]),
+                                  np.asarray(want["sxx_med_dbfs"]))
+    np.testing.assert_array_equal(np.asarray(got["sxx_dbfs"]),
+                                  np.asarray(want["sxx_dbfs"]))
+
+
+def test_sharded_tile_mode_requires_qparams():
+    """Omitting the color-range operand in tile mode names the contract
+    instead of dying in a shard_map pytree mismatch."""
+    from pyspectrogram_tpu.display.tile import make_tile_spec
+
+    nfft, ntime, nsub = 64, 16, 2
+    nsamp = nfft * ntime
+    _, pm = _buffer(nsamp, nsub, seed=1)
+    starts = (np.arange(ntime) * nfft).astype(np.int32)
+    spec = make_tile_spec(np.fft.fftshift(np.fft.fftfreq(nfft, 1e-6)),
+                          (-250.0, 250.0), (-110.0, -40.0), 64)
+    fn = make_sharded_sti_fn(make_mesh(), nfft=nfft, ntime_valid=ntime,
+                             tile=spec)
+    with pytest.raises(ValueError, match="color-range operand"):
+        fn(jnp.asarray(pm), jnp.asarray(starts))
+    out = fn(jnp.asarray(pm), jnp.asarray(starts), jnp.asarray(spec.qparams))
+    assert np.asarray(out["tile"]).dtype == np.uint8
