@@ -397,3 +397,62 @@ def test_sharded_tile_mode_requires_qparams():
         fn(jnp.asarray(pm), jnp.asarray(starts))
     out = fn(jnp.asarray(pm), jnp.asarray(starts), jnp.asarray(spec.qparams))
     assert np.asarray(out["tile"]).dtype == np.uint8
+
+
+@pytest.mark.parametrize("seed", [2, 17, 29, 41])
+def test_randomized_sharded_matches_single_chip(seed):
+    """Seeded random-config differential sweep for the sharded tier:
+    random (nfft, nint, mode, window, mesh shape, contiguous layout,
+    padded ntime) through make_sharded_sti_fn must equal the single-chip
+    plane-major program — pinned mesh tests cannot see interactions a
+    random draw can (e.g. 2D mesh x parity x non-divisible ntime)."""
+    from pyspectrogram_tpu.ops.stft import make_sti_fn_pm
+
+    rng = np.random.default_rng(seed)
+    nfft = int(rng.choice([32, 64, 128]))
+    nint = int(rng.choice([1, 2, 3]))
+    mode = str(rng.choice(["welch", "parity"]))
+    window = ("kaiser", 1.7) if rng.random() < 0.5 else "hann"
+    chan_par = int(rng.choice([1, 2]))
+    nsub = int(rng.choice([1, 2])) * chan_par
+    contiguous = bool(rng.random() < 0.5)
+    ntime = int(rng.integers(3, 18))
+    mesh = make_mesh(time_parallel=8 // chan_par, chan_parallel=chan_par)
+
+    frame_len = nfft * nint
+    if contiguous:
+        # the contiguous layout packs column t's frame at t*frame_len
+        starts = (np.arange(ntime) * frame_len).astype(np.int32)
+        nsamp = ntime * frame_len
+    else:
+        nsamp = ntime * frame_len + int(rng.integers(0, frame_len))
+        starts = np.sort(rng.choice(
+            nsamp - frame_len + 1, size=ntime, replace=False)
+        ).astype(np.int32)
+    packed, pm = _buffer(nsamp, nsub, seed=seed + 7)
+    if contiguous:
+        # the contiguous tier shards the buffer itself over time, so the
+        # padding must extend the column ladder (mesh.pad_contiguous_block),
+        # not repeat the last start the way the gathered tier pads
+        from pyspectrogram_tpu.parallel.mesh import pad_contiguous_block
+
+        pm_dev, padded, nvalid = pad_contiguous_block(
+            pm, ntime, frame_len, mesh.shape["time"])
+    else:
+        pm_dev, (padded, nvalid) = pm, pad_starts(starts,
+                                                  mesh.shape["time"])
+
+    fn = make_sharded_sti_fn(mesh, nfft=nfft, nint=nint, mode=mode,
+                             window=window, ntime_valid=nvalid,
+                             contiguous=contiguous)
+    s_sh, _ = fn.input_shardings()
+    got = fn(jax.device_put(jnp.asarray(pm_dev), s_sh), jnp.asarray(padded))
+
+    want = make_sti_fn_pm(nfft=nfft, nint=nint, mode=mode, window=window)(
+        jnp.asarray(pm), jnp.asarray(starts))
+    np.testing.assert_allclose(
+        np.asarray(got["sxx_dbfs"])[:nvalid],
+        np.asarray(want["sxx_dbfs"]), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(got["sxx_med_dbfs"]), np.asarray(want["sxx_med_dbfs"]),
+        atol=1e-4)

@@ -442,3 +442,61 @@ def test_median_span_ladder_lives_in_streaming_sti():
     s._tile_fns.clear()
     view, med2 = s.refresh_view(state, 4, 2, total_cols=20)
     assert [key[-1] for key in s._tile_fns] == [16]
+
+
+@pytest.mark.parametrize("seed", [3, 17, 41])
+def test_randomized_stream_matches_batch(seed):
+    """Seeded random-config differential sweep for the streaming core:
+    random (nfft, nint, mode, window, hop incl. overlap-save, block
+    geometry, ring wrap) pushed block by block must equal the one-shot
+    batch program on the same samples — the pinned streaming tests cannot
+    see interactions a random draw can (e.g. overlap hop x welch x wrap)."""
+    rng = np.random.default_rng(seed)
+    nfft = int(rng.choice([32, 64, 96, 128]))
+    nint = int(rng.choice([1, 2, 3]))
+    mode = str(rng.choice(["welch", "parity"]))
+    window = ("kaiser", 1.7) if rng.random() < 0.5 else "hann"
+    nsub = int(rng.choice([1, 2]))
+    frame_len = nfft * nint
+    hop = (frame_len if rng.random() < 0.5
+           else frame_len // int(rng.choice([2, 4])))
+    cols_per_block = int(rng.integers(1, 5))
+    block_len = cols_per_block * hop
+    nblocks = int(rng.integers(2, 6))
+    total = nblocks * cols_per_block
+    # ring smaller than the column count half the time -> wrap exercised
+    ring_len = (total if rng.random() < 0.5
+                else max(cols_per_block, (total + 1) // 2))
+
+    x = _packed(nblocks * block_len, nsub, seed=seed + 100)
+    s = StreamingSti(nfft=nfft, nint=nint, nsub=nsub, block_len=block_len,
+                     hop=hop, ring_len=ring_len, mode=mode, window=window)
+    state = s.init_state()
+    chunks = []
+    for b in range(nblocks):
+        state, cols = s.push(state, jnp.asarray(
+            _pm(x[b * block_len : (b + 1) * block_len])))
+        chunks.append(np.asarray(cols))
+    got = np.concatenate(chunks, axis=0)
+    assert got.shape == (total, nsub, nfft)
+
+    # batch oracle: the stream's first column starts at -carry
+    # (zero-padded warmup); hop == frame_len makes the pad empty
+    carry = frame_len - hop
+    xp = np.concatenate(
+        [np.zeros((carry, nsub, 2), np.float32), x], axis=0)
+    starts = (np.arange(total) * hop).astype(np.int32)
+    batch_fn = stft.make_sti_fn(nfft=nfft, nint=nint, mode=mode,
+                                window=window)
+    batch = batch_fn(jnp.asarray(xp), jnp.asarray(starts))
+    np.testing.assert_allclose(got, np.asarray(batch["sxx_dbfs"]),
+                               atol=1e-4)
+
+    # ring snapshot + median over the newest valid columns
+    ring, nvalid = s.snapshot(state)
+    assert nvalid == min(total, ring_len)
+    np.testing.assert_allclose(ring[-nvalid:], got[-nvalid:], atol=1e-6)
+    trail = batch_fn(jnp.asarray(xp), jnp.asarray(starts[-nvalid:]))
+    np.testing.assert_allclose(s.median_psd(state),
+                               np.asarray(trail["sxx_med_dbfs"]),
+                               atol=1e-4)
