@@ -327,6 +327,11 @@ def median_over_time_psum(p: jax.Array, axis_name: str,
     :func:`median_over_time` (even-n mean of the two middles included).
     """
     ntime_l = p.shape[0]
+    if row_window is None and ntime_valid is None:
+        raise ValueError(
+            "median_over_time_psum needs the global row span: pass "
+            "ntime_valid (valid-prefix length) or row_window=(lo, hi) — "
+            "the shard cannot see the global row count on its own")
     lo_r, hi_r = (0, int(ntime_valid)) if row_window is None else (
         int(row_window[0]), int(row_window[1]))
     n = hi_r - lo_r

@@ -31,6 +31,8 @@ from pyspectrogram_tpu.ops.stft import (
     median_over_time_psum,
     to_dbfs,
 )
+from pyspectrogram_tpu.ops.windows import WindowSpec, get_window
+from pyspectrogram_tpu.parallel.mesh import CHAN_AXIS, TIME_AXIS
 
 #: gathered-median budget: below this many bytes for the FULL gathered
 #: power cube (ntime x nsub_l x nfft f32, replicated per device), the
@@ -40,8 +42,6 @@ from pyspectrogram_tpu.ops.stft import (
 #: nfft = 4096 the gathered cube is ~1.6 GB per device, which thrashes
 #: or OOMs exactly at the scale the sharded tier exists to serve.
 GATHERED_MEDIAN_MAX_BYTES = 256 * 1024 * 1024
-from pyspectrogram_tpu.ops.windows import WindowSpec, get_window
-from pyspectrogram_tpu.parallel.mesh import CHAN_AXIS, TIME_AXIS
 
 
 def make_local_sti(
