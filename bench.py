@@ -465,51 +465,50 @@ def check_snapshot(rows, path, tolerance, config=None, remeasure=None):
             print(f"# CHECK info      {key}: "
                   + (f"{delta}" if delta else "unchanged"), file=sys.stderr)
             continue
-        if "gs" in want:
-            lo = want["gs"] * (1 - tolerance)
-            best = have["gs"]
-            # A reading far ABOVE the pin is as suspect as one below it:
-            # contention can inflate the overhead probe and make fast
-            # rows look impossibly fast (1.7e9 GS/s in one contended
-            # run). Re-measure once; a genuine improvement reproduces.
-            hi = want["gs"] * 2.0
-            if best > hi and remeasure is not None:
-                try:
-                    g2, _, _ = remeasure(key)
-                    print(f"# CHECK suspect-high {key}: {best:.3f} -> "
-                          f"re-measured {g2:.3f} GS/s", file=sys.stderr)
-                    best = g2
-                    if best > hi:
-                        print(f"# CHECK {key} reproducibly above 2x pin "
-                              f"— consider re-snapshotting",
-                              file=sys.stderr)
-                except Exception as e:
-                    print(f"# CHECK suspect-high retry {key} FAILED: {e}",
+        lo = want["gs"] * (1 - tolerance)
+        best = have["gs"]
+        # A reading far ABOVE the pin is as suspect as one below it:
+        # contention can inflate the overhead probe and make fast
+        # rows look impossibly fast (1.7e9 GS/s in one contended
+        # run). Re-measure once; a genuine improvement reproduces.
+        hi = want["gs"] * 2.0
+        if best > hi and remeasure is not None:
+            try:
+                g2, _, _ = remeasure(key)
+                print(f"# CHECK suspect-high {key}: {best:.3f} -> "
+                      f"re-measured {g2:.3f} GS/s", file=sys.stderr)
+                best = g2
+                if best > hi:
+                    print(f"# CHECK {key} reproducibly above 2x pin "
+                          f"— consider re-snapshotting",
                           file=sys.stderr)
-                    ok = False
-                    continue
-            # A single low reading is usually run-to-run jitter (rows
-            # swing up to ~+/-8% through the tunnel, see the pallas/
-            # display row's 24.5-28.7 GS/s spread); a real regression
-            # stays below the floor on every re-measure.
-            retried = 0
-            while best < lo and remeasure is not None and retried < 2:
-                retried += 1
-                try:
-                    g2, _, _ = remeasure(key)
-                except Exception as e:
-                    print(f"# CHECK retry {key} FAILED: {e}",
-                          file=sys.stderr)
-                    break
-                print(f"# CHECK retry {retried} {key}: {g2:.3f} GS/s",
+            except Exception as e:
+                print(f"# CHECK suspect-high retry {key} FAILED: {e}",
                       file=sys.stderr)
-                best = max(best, g2)
-            status = "ok" if best >= lo else "REGRESSED"
-            if status != "ok":
                 ok = False
-            print(f"# CHECK {status:9s} {key}: {best:.3f} GS/s "
-                  f"(pinned {want['gs']:.3f}, floor {lo:.3f})",
+                continue
+        # A single low reading is usually run-to-run jitter (rows
+        # swing up to ~+/-8% through the tunnel, see the pallas/
+        # display row's 24.5-28.7 GS/s spread); a real regression
+        # stays below the floor on every re-measure.
+        retried = 0
+        while best < lo and remeasure is not None and retried < 2:
+            retried += 1
+            try:
+                g2, _, _ = remeasure(key)
+            except Exception as e:
+                print(f"# CHECK retry {key} FAILED: {e}",
+                      file=sys.stderr)
+                break
+            print(f"# CHECK retry {retried} {key}: {g2:.3f} GS/s",
                   file=sys.stderr)
+            best = max(best, g2)
+        status = "ok" if best >= lo else "REGRESSED"
+        if status != "ok":
+            ok = False
+        print(f"# CHECK {status:9s} {key}: {best:.3f} GS/s "
+              f"(pinned {want['gs']:.3f}, floor {lo:.3f})",
+              file=sys.stderr)
     print(f"# CHECK {'PASS' if ok else 'FAIL'} vs {path} "
           f"(tolerance {tolerance:.0%})", file=sys.stderr)
     return ok

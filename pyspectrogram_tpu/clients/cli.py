@@ -140,12 +140,16 @@ def cmd_sti(args) -> int:
     if args.npz:
         from pyspectrogram_tpu.display import save_result_npz
 
-        # the --t0/--t1 subset and the frequency window apply to the npz
-        # sidecar exactly like the PNG (shared writer with the GUI save
-        # sub-tab, display.save_result_npz)
+        # the --t0/--t1 subset applies to the npz sidecar exactly like
+        # the PNG (shared writer with the GUI save sub-tab). The frequency
+        # crop applies only when the user passed --frange explicitly: the
+        # config's default display window (±1000 kHz, reference parity)
+        # must not silently drop bins from a data export the user never
+        # asked to crop.
         save_result_npz(args.npz, res.freqs, res.times, res.sxx_dbfs,
                         res.sxx_med_dbfs, timerange=timerange,
-                        freqrange_khz=cfg.freq_window_khz)
+                        freqrange_khz=(tuple(args.frange)
+                                       if args.frange else None))
     print(json.dumps({
         "png": out, "shape": list(res.sxx_dbfs.shape),
         "peak_dbfs": float(res.sxx_med_dbfs[..., sub].max()),

@@ -427,15 +427,23 @@ class MainWindow(QtWidgets.QMainWindow):
                 self, "Resume stream state", "", "NumPy archive (*.npz)")
             if not state_path:
                 return
-            meta = checkpoint.peek_stream_meta(state_path)
-            if meta.get("kind") != "live_stream":
-                self._warn("Not a live-stream state file.")
+            try:
+                meta = checkpoint.peek_stream_meta(state_path)
+                if meta.get("kind") != "live_stream":
+                    self._warn("Not a live-stream state file.")
+                    return
+                sig = meta["signature"]
+                # touch every field the adoption below needs, so a foreign
+                # npz with a plausible header fails HERE (one dialog) and
+                # not mid-start with widgets already mutated
+                (int(sig[0]), int(sig[1]), float(sig[6]), float(sig[7]))
+            except (ValueError, KeyError, OSError, IndexError,
+                    TypeError) as e:
+                # same guarded preload as the CLI's cmd_watch: a corrupt,
+                # truncated, or foreign .npz must report, not escape the
+                # Qt clicked slot
+                self._warn(f"Cannot read stream state: {e}")
                 return
-            sig = meta["signature"]
-            st.nfft.setValue(int(sig[0]))
-            st.nint.setValue(int(sig[1]))
-            st.window_s.setValue(float(sig[6]))
-            st.live_check.setChecked(True)
         last = ""
         f = self._last_dir_file()
         if f.exists():
@@ -445,6 +453,14 @@ class MainWindow(QtWidgets.QMainWindow):
         if not drfdir:
             return
         f.write_text(drfdir)
+        if sig is not None:
+            # adopt the checkpoint's widget-visible knobs only now that
+            # every cancellable dialog is behind us — a Cancel on the
+            # directory picker must leave the user's knob values intact
+            st.nfft.setValue(int(sig[0]))
+            st.nint.setValue(int(sig[1]))
+            st.window_s.setValue(float(sig[6]))
+            st.live_check.setChecked(True)
 
         st.bridge = _Bridge()
         st.bridge.iterated.connect(

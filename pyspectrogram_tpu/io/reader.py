@@ -87,8 +87,6 @@ class DigitalRFReader:
 
         self._channel_props(channel)  # ChannelNotFoundError on unknowns
         subs = fmt.list_subdirs(self.top_dir / channel)
-        if not any(fmt.subdir_data_files(s) for s in subs):
-            raise FormatError(f"channel {channel} has no data files")
         # A live writer creates a file before its first index row lands
         # (reference scenario: readers chase a growing capture,
         # drfProc.py:169-179) — skip not-yet-populated files/subdirs at
@@ -114,6 +112,10 @@ class DigitalRFReader:
             if last is not None:
                 break
         if first is None or last is None:
+            # covers both no-files-at-all and files-without-index-rows:
+            # the edge loops above already visited every candidate, so a
+            # separate any() pre-scan would only re-list the same edge
+            # subdirs a second time on the per-tick live path
             raise FormatError(f"channel {channel} has no written samples yet")
         return first, last
 

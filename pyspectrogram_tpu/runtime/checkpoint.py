@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import zipfile
 from pathlib import Path
 from typing import Optional, Tuple, Union
 
@@ -49,7 +50,14 @@ def _open_npz(path: Union[str, Path]):
     path = Path(path)
     if not path.exists() and _npz_path(path) != path:
         path = _npz_path(path)  # saved under an appended .npz suffix
-    return np.load(path, allow_pickle=False)
+    try:
+        return np.load(path, allow_pickle=False)
+    except zipfile.BadZipFile as e:
+        # a truncated archive raises BadZipFile, which is neither a
+        # ValueError nor an OSError — normalize it so every caller's
+        # corrupt-state guard (CLI cmd_watch, GUI resume) catches it
+        raise ValueError(f"corrupt or truncated state file {path}: {e}") \
+            from e
 
 
 def save_session(

@@ -70,6 +70,18 @@ def test_synth_info_sti_psd(tmp_path, capsys):
     cropped = np.load(half_npz)
     assert 0 < cropped["sxx_dbfs"].shape[1] < 12
     assert len(cropped["times"]) == cropped["sxx_dbfs"].shape[1]
+    # ... but with no --frange the sidecar stays FULL-BAND: the config's
+    # default ±1000 kHz display window must not silently drop bins from
+    # a data export (this capture's band is ±500 kHz so nothing crops,
+    # and an explicit --frange does crop)
+    assert cropped["sxx_dbfs"].shape[0] == 512
+    fr_npz = tmp_path / "fr.npz"
+    _run(capsys, "sti", str(drf), "--out", str(half), "--nfft", "512",
+         "--ntime", "12", "--renderer", "pixels", "--npz", str(fr_npz),
+         "--frange", "-100", "100")
+    fr = np.load(fr_npz)
+    assert 0 < fr["sxx_dbfs"].shape[0] < 512
+    assert np.all(np.abs(fr["freqs"]) <= 100e3)
 
 
 def test_filter_roundtrip(tmp_path, capsys):

@@ -29,26 +29,34 @@ def test_streaming_chases_growing_capture(tmp_path):
 
     # record where each iteration's last frame ended (absolute samples);
     # the live path is incremental now (runtime.live), so track via the
-    # emitted payloads rather than pipeline.compute (never called live)
+    # emitted payloads rather than pipeline.compute (never called live).
+    # Completion is emission-driven (abort once enough tails were seen
+    # AND the window demonstrably advanced) rather than a fixed iteration
+    # count: ticks that land before the writer's next block legitimately
+    # emit nothing, so a fixed max_iterations is flaky under host load.
     tails = []
 
     def track(e):
         us = int(e.times[-1].astype("datetime64[us]").astype(np.int64))
         tails.append(us * sr // 1_000_000 + 256)
+        if len(tails) >= 6 and tails[-1] > tails[0]:
+            proc.abort()
 
     cb = ProcessorCallbacks(on_iterated=track)
     proc = SpectrogramProcessor(
         "streaming", tmp_path, tab_id=1,
         config=SpectrogramConfig(nfft=256, ntime=8, stream_seconds=0.05),
         callbacks=cb, streaming_sleep=0.02,
-        max_iterations=6,
+        max_iterations=400,  # backstop only; track() aborts long before
     )
 
     stop = threading.Event()
 
     def writer_thread():
+        # keep appending until the processor has what it needs, so growth
+        # between emissions is guaranteed even on a badly loaded host
         i = 1
-        while not stop.is_set() and i < 12:
+        while not stop.is_set() and i < 400:
             w.rf_write(tone_signal(block, sr, [12_500.0],
                                    start_sample=i * block).astype(np.complex64))
             i += 1
@@ -58,10 +66,10 @@ def test_streaming_chases_growing_capture(tmp_path):
     t.start()
     proc.run()
     stop.set()
-    t.join(5)
+    t.join(10)
 
     assert proc.reason == TerminateReason.OK
-    assert len(tails) == 6
+    assert len(tails) >= 6
     # the trailing window must have advanced as data grew
     assert tails[-1] > tails[0]
     # and every iteration's tail is within the (then-current) bounds + slack

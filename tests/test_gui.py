@@ -546,3 +546,54 @@ def test_gui_resume_adopts_checkpoint_eps(tone_capture, tmp_path):
     assert _wait(lambda: not st.processor.is_running)
     st.processor.join(10)
     assert win.close()
+
+
+def test_gui_resume_guards_bad_state_and_cancel(tone_capture, tmp_path):
+    """Resume-live must (a) report corrupt/foreign state files in a
+    dialog instead of letting the exception escape the clicked slot, and
+    (b) leave the tab's knob widgets untouched when the user cancels the
+    dataset directory picker after picking a state file."""
+    from pyspectrogram_tpu.io.reader import RFDataset
+    from pyspectrogram_tpu.runtime.live import LiveStreamEngine
+    from pyspectrogram_tpu.utils.config import SpectrogramConfig
+
+    top, meta = tone_capture
+    win = gui.MainWindow()
+    st = win.states[1]
+
+    # corrupt npz: truncated zip magic (raises BadZipFile deep inside
+    # np.load; checkpoint._open_npz normalizes it to ValueError)
+    bad = tmp_path / "corrupt.npz"
+    bad.write_bytes(b"PK\x03\x04" + b"\x00" * 20)
+    QFileDialog.open_file_name = (str(bad), "")
+    st.resume_btn.click()  # must not raise
+    warned = [e[2] for e in QMessageBox.journal if e[0] == "warning"]
+    assert warned and "Cannot read stream state" in warned[-1]
+    assert st.processor is None
+
+    # foreign npz with no live_stream header
+    foreign = tmp_path / "foreign.npz"
+    np.savez(foreign, data=np.zeros(3))
+    QFileDialog.open_file_name = (str(foreign), "")
+    st.resume_btn.click()
+    warned = [e[2] for e in QMessageBox.journal if e[0] == "warning"]
+    assert warned and ("Cannot read stream state" in warned[-1]
+                       or "Not a live-stream" in warned[-1])
+
+    # a valid state file + Cancel on the directory picker: the user's
+    # widget values survive (adoption happens only after the last dialog)
+    cfg = SpectrogramConfig(nfft=256, ntime=8, streaming=True,
+                            stream_seconds=0.02, channel=meta["channel"])
+    eng = LiveStreamEngine(RFDataset(top), cfg)
+    eng.tick(cfg)
+    ck = tmp_path / "ok_state.npz"
+    eng.save(ck)
+    st.nfft.setValue(1024)
+    st.live_check.setChecked(False)
+    QFileDialog.open_file_name = (str(ck), "")
+    QFileDialog.existing_directory = ""  # canned Cancel
+    st.resume_btn.click()
+    assert st.processor is None
+    assert st.nfft.value() == 1024  # not overwritten by the checkpoint
+    assert not st.live_check.isChecked()
+    assert win.close()
