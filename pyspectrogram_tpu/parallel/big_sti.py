@@ -30,11 +30,13 @@ a k1-slice, making stage 2 local. Results come back as the "k-matrix"
 contiguous shards of a coherent global array. ``to_freq_order`` converts
 an assembled k-matrix to the natural fftshifted frequency axis.
 
-Display tier: pass ``tile`` (a display.TileSpec) and the program gathers
-the tile's natural-order bins out of the k-matrix ON DEVICE, quantizes
-them (color range as a runtime operand) and returns a uint8
-(ntime, nsub, plot_n) tile — the float spectra never leave HBM, exactly
-like the single-device display path (north star, BASELINE.md).
+Display tier: pass ``tile`` (a display.TileSpec) and each SHARD gathers
+its own plot bins out of its k1-slice inside the shard_map, all-gathers
+only those (~plot_n floats — never the (ntime, nsub, nfft) cube),
+reassembles plot order with a static take, quantizes (color range as a
+runtime operand) and returns a uint8 (ntime, nsub, plot_n) tile — the
+float spectra never leave HBM and never replicate across devices,
+exactly like the single-device display path (north star, BASELINE.md).
 """
 
 from __future__ import annotations
@@ -71,14 +73,6 @@ def to_freq_order(kmatrix: np.ndarray) -> np.ndarray:
     a = np.asarray(kmatrix)
     n1, n2 = a.shape[-2:]
     return np.swapaxes(a, -1, -2).reshape(a.shape[:-2] + (n1 * n2,))
-
-
-def _kmatrix_flat_indices(natural_idx: np.ndarray, n1: int,
-                          n2: int) -> np.ndarray:
-    """Flat (n1*n2 row-major k-matrix) positions of natural fftshifted
-    bins: bin f lives at Xm[f % n1, f // n1] (inverse of to_freq_order)."""
-    f = np.asarray(natural_idx, np.int64)
-    return (f % n1) * n2 + f // n1
 
 
 def _dft_mats(n: int):
@@ -209,7 +203,38 @@ def _make_bigfft_sti_fn(
     else:
         d1_3 = d2_3 = ()
 
-    def local(x2, winr, twr_s, twi_s, *dmats):
+    if tile is not None:
+        # per-shard gather tables: plot bin f (natural fftshifted order)
+        # lives at k-matrix row k1 = f % n1 — i.e. on shard k1 // rows —
+        # and, in the UNROLLED linear power (the fftshift roll is folded
+        # into the index instead of paid as a full-array pass), at local
+        # flat position (k1 % rows) * n2 + (f // n1 - n2/2) % n2. Each
+        # shard gathers its own bins (padded to the max per-shard count),
+        # all-gathers only those (~plot_n floats total, never the
+        # (ntime, nsub, n1, n2) cube), and a tiny static take reassembles
+        # plot order. Gathering OUTSIDE the shard_map instead would make
+        # GSPMD replicate the full float cube onto every device to
+        # execute the flattened-axis gather — the exact large-float
+        # traffic tile mode exists to avoid (round-4 review finding).
+        f_nat = np.asarray(tile.plot_indices, np.int64)
+        rows = n1 // ndev
+        k1 = f_nat % n1
+        shard_of = k1 // rows
+        local_flat = (k1 % rows) * n2 + (f_nat // n1 - n2 // 2) % n2
+        m_pad = max(1, int(np.bincount(shard_of, minlength=ndev).max()))
+        idx_mat = np.zeros((ndev, m_pad), np.int32)
+        reorder = np.zeros(len(f_nat), np.int32)
+        fill = np.zeros(ndev, np.int64)
+        for pos, (s, lf) in enumerate(zip(shard_of, local_flat)):
+            idx_mat[s, fill[s]] = lf
+            reorder[pos] = s * m_pad + fill[s]
+            fill[s] += 1
+        idx_mat_j = jnp.asarray(idx_mat)
+        reorder_j = jnp.asarray(reorder)
+
+        from pyspectrogram_tpu.display.tile import quantize_db_tile
+
+    def local(x2, winr, twr_s, twi_s, qparams, *dmats):
         # x2 shard: (ntime, nsub, 2, nseg, n1, n2/ndev) — all p, a q-slice
         ntime, nsub = x2.shape[0], x2.shape[1]
         d1 = dmats[:3]
@@ -250,6 +275,18 @@ def _make_bigfft_sti_fn(
         for seg in range(1, nseg):
             p = p + one_seg(seg)
         p = p * inv_scale                  # (ntime, nsub, n1/ndev, n2)
+        if tile is not None:
+            # median from the unrolled power, rolled AFTER the (small)
+            # time reduction — same values as roll-then-median (the roll
+            # permutes k2, the median is elementwise over time)
+            med = to_dbfs(jnp.roll(median_over_time(p), n2 // 2,
+                                   axis=-1), eps)
+            sidx = jax.lax.axis_index(axis)
+            g = p.reshape(ntime, nsub, rows * n2)[..., idx_mat_j[sidx]]
+            g = jax.lax.all_gather(g, axis)    # (ndev, ntime, nsub, m)
+            g = jnp.moveaxis(g, 0, 2).reshape(ntime, nsub, ndev * m_pad)
+            db = to_dbfs(g[..., reorder_j], eps)
+            return quantize_db_tile(db, tile, qparams), med
         # fftshift: k + nfft/2 <=> k2 += n2/2 — a local roll along k2
         p = jnp.roll(p, n2 // 2, axis=-1)
         p_med = median_over_time(p)        # (nsub, n1/ndev, n2)
@@ -259,8 +296,11 @@ def _make_bigfft_sti_fn(
     fn = shard_map(
         local, mesh=mesh,
         in_specs=(P(None, None, None, None, None, axis),
-                  P(None, axis), P(None, axis), P(None, axis)) + dspecs,
-        out_specs=(P(None, None, axis, None), P(None, axis, None)),
+                  P(None, axis), P(None, axis), P(None, axis),
+                  P()) + dspecs,
+        out_specs=((P() if tile is not None
+                    else P(None, None, axis, None)),
+                   P(None, axis, None)),
         check_vma=False,
     )
 
@@ -272,22 +312,15 @@ def _make_bigfft_sti_fn(
     if tile is None:
         @jax.jit
         def sti(x2: jax.Array) -> dict:
-            sxx, med = fn(x2, win_j, twr_j, twi_j, *d_j)
+            sxx, med = fn(x2, win_j, twr_j, twi_j,
+                          jnp.zeros(2, jnp.float32), *d_j)
             return {"sxx_dbfs": sxx, "sxx_med_dbfs": med}
     else:
-        from pyspectrogram_tpu.display.tile import quantize_db_tile
-
-        flat_idx = jnp.asarray(
-            _kmatrix_flat_indices(tile.plot_indices, n1, n2))
-
         @jax.jit
         def _sti_tiled(x2: jax.Array, qparams) -> dict:
-            sxx, med = fn(x2, win_j, twr_j, twi_j, *d_j)
-            # gather the tile's natural-order bins out of the k-matrix on
-            # device (plot_n <= 2^15 elements), quantize, read back uint8
-            db = sxx.reshape(sxx.shape[:2] + (n1 * n2,))[..., flat_idx]
-            return {"tile": quantize_db_tile(db, tile, qparams),
-                    "sxx_med_dbfs": med}
+            t, med = fn(x2, win_j, twr_j, twi_j,
+                        jnp.asarray(qparams, jnp.float32), *d_j)
+            return {"tile": t, "sxx_med_dbfs": med}
 
         def sti(x2: jax.Array, qparams=None) -> dict:
             # the factory's tile is crop_key-canonicalized (cmin 0,

@@ -105,6 +105,15 @@ class LiveStreamEngine:
         # round the ring up to whole blocks: stores stay wrap-free
         ring_len = -(-self.window_cols // k) * k
 
+        # tail-view machinery: complete columns that do not yet fill a
+        # whole push block still surface in the display (see _tail_view)
+        self._tail_pending = 0
+        self._tail_fns: dict = {}
+        self._tail_cache_key = None
+        self._tail_cache = None
+        self.tail_samples_read = 0              # peek-read observability
+        self._cfg = cfg                         # numerics knobs for _tail_fn
+
         self.sti = StreamingSti(
             nfft=cfg.nfft, nint=cfg.nint, nsub=self.nsub,
             block_len=self.block_len, ring_len=ring_len, mode=cfg.mode,
@@ -267,14 +276,105 @@ class LiveStreamEngine:
             self.total_cols += self.cols_per_block
             self.next_sample += self.block_len
             n_blocks += 1
+        # complete columns beyond the cursor that do not yet fill a whole
+        # block (0..cols_per_block-1); the tail view surfaces them
+        self._tail_pending = int(
+            max(0, hi + 1 - self.next_sample) // self.hop)
         return n_blocks
+
+    # ------------------------------------------------------------- tail view
+    def _tail_fn(self, n: int, spec):
+        """Cached device program computing ``n`` contiguous columns'
+        display rows (uint8 tile with ``spec``, float dBFS without) via
+        the canonical single-chip dispatch (ops.stft.make_sti_fn_pm —
+        same kernel policy as the ring push). Keyed on the pow2 column
+        count and the tile crop plan; color range rides as the runtime
+        qparams operand, exactly like the snapshot programs."""
+        key = (n, None if spec is None else spec.crop_key())
+        fn = self._tail_fns.get(key)
+        if fn is None:
+            cfg = self._cfg
+            fn = stft.make_sti_fn_pm(
+                nfft=cfg.nfft, nint=cfg.nint, mode=cfg.mode,
+                window=cfg.window, ref=self.ref, eps=cfg.eps,
+                contiguous=True, precision=cfg.precision, tile=spec,
+            )
+            if len(self._tail_fns) >= 16:
+                self._tail_fns.pop(next(iter(self._tail_fns)))
+            self._tail_fns[key] = fn
+        return fn
+
+    def _tail_view(self, spec, stride: int):
+        """Display rows for the pending tail: complete columns past the
+        read cursor that do not yet fill a whole push block.
+
+        Without this, a capture that stops growing permanently hides its
+        last ``cols_per_block - 1`` columns — the block-granular ring
+        never ingests them, while the reference's recompute-the-window
+        loop showed all available data. The tail is computed as a
+        side view (the cursor does NOT advance): the same samples are
+        re-read into the ring once their block completes, so ring pushes
+        stay block-aligned and checkpoints stay exact (a resume re-reads
+        the tail from the saved cursor). Cost is bounded O(block) per
+        tick and cached — a fully stopped writer computes it once.
+
+        Returns (rows, cols, mask) continuing tick()'s stride grid
+        (absolute column j displayed iff (j - total + 1) % stride == 0),
+        or (None, None, None) when nothing lands on the grid. The median
+        stays ring-only: tail columns join it when their block completes
+        (<= cols_per_block-1 of up to ring_len columns).
+        """
+        import jax.numpy as jnp
+
+        from pyspectrogram_tpu.native import ingest as native_ingest
+
+        pending = self._tail_pending
+        grid = np.arange(stride - 1, pending, stride, dtype=np.int64)
+        if len(grid) == 0:
+            return None, None, None
+        qp = (None if spec is None
+              else tuple(np.asarray(spec.qparams, np.float32).tolist()))
+        key = (self.next_sample, pending,
+               None if spec is None else spec.crop_key(), qp)
+        if key == self._tail_cache_key:
+            rows, colmask = self._tail_cache
+        else:
+            raw, mask = self.ds.reader.read_vector_raw(
+                self.next_sample, pending * self.hop, self.chan,
+                return_mask=True)
+            self.tail_samples_read += pending * self.hop
+            if self.isub is not None:
+                raw = raw[:, self.isub : self.isub + 1]
+            pm = native_ingest.assemble_plane_major(
+                _assemblable(raw), np.asarray([0], np.int64),
+                pending * self.hop)
+            # pow2 ladder: O(log cols_per_block) compiled programs as the
+            # tail grows, not one per pending count
+            n = 1 << (pending - 1).bit_length()
+            if n > pending:
+                pm = np.concatenate(
+                    [pm, np.zeros((pm.shape[0], (n - pending) * self.hop),
+                                  pm.dtype)], axis=1)
+            out = self._tail_fn(n, spec)(
+                jnp.asarray(pm),
+                jnp.arange(n, dtype=jnp.int32) * self.hop,
+                *(() if spec is None else (spec.qparams,)))
+            # both outputs are row-major like the snapshot view:
+            # (n, nsub, plot_n) uint8 tile / (n, nsub, nfft) float dBFS
+            rows = np.asarray(out["tile" if spec is not None
+                                  else "sxx_dbfs"])[:pending]
+            colmask = mask.reshape(pending, self.hop).all(axis=1)
+            self._tail_cache_key = key
+            self._tail_cache = (rows, colmask)
+        cols = self.total_cols + grid
+        return rows[grid], cols, colmask[grid]
 
     # --------------------------------------------------------------- display
     def tick(self, cfg: SpectrogramConfig) -> Optional[StiResult]:
         """One refresh: ingest the delta, then build the display payload
         from the ring (no recompute of already-pushed columns). Returns
         None while the capture is still shorter than one column."""
-        self._push_new()
+        n_blocks = self._push_new()
         total = self.total_cols            # host-tracked: no readback
         if total == 0:
             return None
@@ -313,13 +413,25 @@ class LiveStreamEngine:
             med = self.sti.median_psd(self.state, n_cols=W,
                                       total_cols=total)  # (nsub, nfft)
         view = view[keep]
+        kept_cols = cols[keep]
+        mask = self.col_mask[kept_cols % self.sti.ring_len]
+        if n_blocks == 0 and self._tail_pending:
+            # a stalled/stopped producer: surface the complete columns
+            # that never filled a push block (cached — a fully stopped
+            # writer computes this once). Gated to block-less ticks so
+            # the steady-state tick cost (one fused dispatch + one
+            # readback) is unchanged while blocks are flowing.
+            t_rows, t_cols, t_mask = self._tail_view(spec, stride)
+            if t_rows is not None:
+                view = np.concatenate([view, t_rows], axis=0)
+                kept_cols = np.concatenate([kept_cols, t_cols])
+                mask = np.concatenate([mask, t_mask])
         if spec is not None:
             from pyspectrogram_tpu.display.tile import tile_freqs
 
             tile, plot_freqs = view, tile_freqs(spec, freqs)
         else:
             sxx_dbfs = stft.to_reference_layout(view)
-        kept_cols = cols[keep]
         starts = self.start_sample + kept_cols * self.hop
         return StiResult(
             iteration=self._iteration,
@@ -329,7 +441,7 @@ class LiveStreamEngine:
             sxx_med_dbfs=np.moveaxis(med, -1, 0),
             sample_rate=self.sr,
             frame_starts=np.asarray(starts),
-            mask=self.col_mask[kept_cols % self.sti.ring_len],
+            mask=mask,
             tile=tile,
             plot_freqs=plot_freqs,
         )

@@ -235,6 +235,42 @@ def test_bigfft_device_tile_matches_host_quantize():
     np.testing.assert_array_equal(np.asarray(out2["tile"]), want2)
 
 
+def test_bigfft_tile_mode_collectives_stay_tile_sized():
+    """Round-4 review finding: the tile gather must run per shard INSIDE
+    the shard_map — an outside gather over the flattened (sharded) freq
+    axis makes GSPMD replicate the full float dB cube onto every device.
+    Pin: no collective in the compiled tile program moves more than a
+    few tile-sizes of floats (the cube is 20x larger than the bound)."""
+    import re
+
+    from pyspectrogram_tpu.display.tile import make_tile_spec
+
+    nfft, ntime, nsub = 1 << 14, 16, 1
+    mesh = make_mesh(time_parallel=8, chan_parallel=1)
+    freqs = stft.shifted_freqs(nfft, 1_000_000)
+    # narrow window: plot_n ~ 10% of nfft so the full-cube replication
+    # the old outside-gather caused is unambiguously above the bound
+    spec = make_tile_spec(freqs, (-50.0, 50.0), (-80.0, -20.0))
+    fn = make_bigfft_sti_fn(mesh, "time", nfft=nfft, mode="welch",
+                            tile=spec.crop_key())
+    n1, n2 = fn.n1n2
+    x2 = jnp.zeros((ntime, nsub, 2, 1, n1, n2), jnp.float32)
+    txt = (jax.jit(lambda a, q: fn(a, q))
+           .lower(x2, spec.qparams).compile().as_text())
+    plot_n = len(spec.plot_indices)
+    cap = 4 * ntime * nsub * plot_n
+    oversized = []
+    for m in re.finditer(
+        r"f32\[([0-9,]+)\][^\n]*"
+        r"(all-gather|all-reduce|all-to-all|collective-permute)", txt
+    ):
+        n = int(np.prod([int(d) for d in m.group(1).split(",")]))
+        if n > cap:
+            oversized.append((m.group(2), n))
+    assert ntime * nsub * nfft > 2 * cap  # the cube WOULD trip the bound
+    assert not oversized, oversized
+
+
 def test_bigfft_multisub_on_chan_mesh_welch4_odd_ntime(tone_capture,
                                                        monkeypatch):
     """r3 weak #5: multi-subchannel request through the PIPELINE's bigfft

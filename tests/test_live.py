@@ -415,11 +415,19 @@ def test_checkpoint_resume_on_mesh(tmp_path):
     carry_sh, ring_sh, _ = eng2.sti._shardings()
     assert eng2.state.ring.sharding == ring_sh
     assert eng2.state.carry.sharding == carry_sh
-    res1 = eng2.tick(cfg)  # no new data: the view must be unchanged
-    np.testing.assert_allclose(res1.sxx_dbfs, res0.sxx_dbfs, atol=1e-5)
+    # no new data: the ring view is unchanged. The resumed tick pushed
+    # no blocks, so it ALSO surfaces the pending tail (complete columns
+    # that never filled a push block) as extra rows past res0's span.
+    res1 = eng2.tick(cfg)
+    n0 = res0.sxx_dbfs.shape[1]
+    np.testing.assert_allclose(res1.sxx_dbfs[:, :n0], res0.sxx_dbfs,
+                               atol=1e-5)
     np.testing.assert_allclose(res1.sxx_med_dbfs, res0.sxx_med_dbfs,
                                atol=1e-5)
-    np.testing.assert_array_equal(res1.frame_starts, res0.frame_starts)
+    np.testing.assert_array_equal(res1.frame_starts[:n0],
+                                  res0.frame_starts)
+    assert (res1.frame_starts[n0:] > res0.frame_starts[-1]).all()
+    assert (res1.frame_starts[n0:] >= eng2.next_sample).all()
 
 
 def test_checkpoint_resume_refuses_torn_and_wrong_geometry(tmp_path):
@@ -471,3 +479,102 @@ def test_live_int16_capture_normalization(tmp_path):
     assert res.sxx_dbfs.shape == (256, 8, 1)
     np.testing.assert_allclose(float(res.sxx_med_dbfs.max()),
                                20 * np.log10(2**14 / 2**15.5), atol=0.05)
+
+
+def test_tail_columns_surface_when_writer_stops(tmp_path):
+    """Complete columns that never fill a whole push block still surface
+    in the view once blocks stop flowing (round-4 review finding: the
+    block-granular engine permanently hid up to cols_per_block-1 columns
+    of a capture that stopped growing, where the reference's
+    recompute-the-window loop showed all available data)."""
+    import jax.numpy as jnp
+
+    from pyspectrogram_tpu.ops import stft
+
+    n0 = 8_192          # 128 cols at hop 64
+    w = _growing_writer(tmp_path, n0)
+    ds = RFDataset(tmp_path)
+    cfg = SpectrogramConfig(nfft=64, ntime=1000, stream_seconds=0.4,
+                            streaming=True)
+    eng = LiveStreamEngine(ds, cfg, target_block_samples=4096)  # k = 64
+    assert eng.cols_per_block == 64
+    res0 = eng.tick(cfg)                 # pushes 2 blocks, no tail
+    assert res0.sxx_dbfs.shape[1] == 128
+
+    # writer appends 37 columns' worth and stops: < 1 block pending
+    tail_cols = 37
+    w.rf_write(tone_signal(tail_cols * 64, SR, [12_500.0],
+                           start_sample=n0).astype(np.complex64))
+    ds.bnds_update()
+    res1 = eng.tick(cfg)                 # no block fits -> tail view
+    assert eng._tail_pending == tail_cols
+    assert res1.sxx_dbfs.shape[1] == 128 + tail_cols
+    # every column of the capture is now displayed, up to the last hop
+    lo, hi = ds.bnds["live"]
+    assert res1.frame_starts[-1] + 64 == hi + 1
+    assert np.all(np.diff(res1.frame_starts) == 64)
+    # tail rows equal a from-scratch recompute over the same frames
+    from pyspectrogram_tpu.models.sti import assemble_device_block
+
+    fn = stft.make_sti_fn_pm(nfft=64, nint=1, mode=cfg.mode,
+                             window=cfg.window, ref=ds.ref_dict["live"],
+                             contiguous=True)
+    pm, starts_rel, _ = assemble_device_block(
+        ds, "live", None, res1.frame_starts[128:], 64)
+    out = fn(jnp.asarray(pm), jnp.asarray(starts_rel))
+    want = stft.to_reference_layout(np.asarray(out["sxx_dbfs"]))
+    np.testing.assert_allclose(res1.sxx_dbfs[:, 128:], want, atol=1e-4)
+    # the median stays ring-only (tail columns join once their block
+    # completes) and the cursor still excludes the tail: a checkpoint
+    # resumes by re-reading these samples
+    assert eng.next_sample == START + n0
+    # idle tick: the cached tail is reused without re-reading
+    reads_before = eng.tail_samples_read
+    res2 = eng.tick(cfg)
+    assert eng.tail_samples_read == reads_before
+    np.testing.assert_allclose(res2.sxx_dbfs, res1.sxx_dbfs, atol=0)
+
+    # writer completes the block: the tail enters the ring and the
+    # ring-computed columns match what the tail view showed
+    w.rf_write(tone_signal((64 - tail_cols) * 64, SR, [12_500.0],
+                           start_sample=n0 + tail_cols * 64)
+               .astype(np.complex64))
+    ds.bnds_update()
+    res3 = eng.tick(cfg)                 # one block pushed, no tail
+    assert eng._tail_pending == 0
+    assert res3.sxx_dbfs.shape[1] == 128 + 64
+    np.testing.assert_allclose(res3.sxx_dbfs[:, 128:128 + tail_cols],
+                               res1.sxx_dbfs[:, 128:], atol=1e-4)
+
+
+def test_tail_columns_tile_mode(tmp_path):
+    """Tile-mode tail rows ride the same quantization spec as the ring
+    snapshot: uint8 rows appended to the device tile."""
+    from pyspectrogram_tpu.display.tile import make_tile_spec
+
+    n0 = 8_192
+    w = _growing_writer(tmp_path, n0)
+    ds = RFDataset(tmp_path)
+    cfg = SpectrogramConfig(nfft=64, ntime=1000, stream_seconds=0.4,
+                            streaming=True, display_tile=True)
+    cfg_f = cfg.replace(display_tile=False)
+    eng = LiveStreamEngine(ds, cfg, target_block_samples=4096)
+    eng.tick(cfg)
+    w.rf_write(tone_signal(21 * 64, SR, [12_500.0],
+                           start_sample=n0).astype(np.complex64))
+    ds.bnds_update()
+    res = eng.tick(cfg)
+    assert res.tile is not None and res.tile.dtype == np.uint8
+    assert res.tile.shape[0] == 128 + 21
+    assert res.mask.shape == res.times.shape
+
+    # quantizing the float tail independently gives the same uint8 rows
+    eng2 = LiveStreamEngine(ds, cfg_f, target_block_samples=4096)
+    eng2.tick(cfg_f)
+    resf = eng2.tick(cfg_f)
+    from pyspectrogram_tpu.display.tile import tile_from_db
+
+    spec = make_tile_spec(resf.freqs, cfg.freq_window_khz,
+                          cfg.color_range_db)
+    want = tile_from_db(np.moveaxis(resf.sxx_dbfs[:, 128:], 0, -1), spec)
+    np.testing.assert_array_equal(res.tile[128:], want)
