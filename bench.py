@@ -407,6 +407,7 @@ def run_all(args):
              for nfft in (1024, 4096, 65536)
              for impl in ("auto", "xla")
              for mode in ("welch", "parity")]
+            + ["sti/1024/pallas/display"]  # largest wide_group gain
             + [f"sti/4096/pallas/{p}" for p in ("balanced", "display")]
             + ["stream/4096/exact", "stream/4096/display",
                "stream/4096/overlap2048"])

@@ -302,13 +302,60 @@ def _small_consts(plan: dict, win2: np.ndarray, precision: str, nseg: int):
     return use_gauss, d_consts, [win2] + d_consts + [plan["twr"], plan["twi"]]
 
 
-def _tiled_consts(plan: dict, win2: np.ndarray, d_consts: list, tb: int):
+def _blockdiag(m: np.ndarray, g: int) -> np.ndarray:
+    """Block-diagonal stack of g copies of m. Supports the balanced
+    tier's (2, n, n) hi/lo split — blockdiag commutes with the split
+    (bf16(0) == 0) — and the Gauss dr+di sum (blockdiag(a) + blockdiag(b)
+    == blockdiag(a+b))."""
+    if g == 1:
+        return m
+    if m.ndim == 3:
+        return np.stack([_blockdiag(p, g) for p in m])
+    n = m.shape[0]
+    out = np.zeros((g * n, g * n), m.dtype)
+    for i in range(g):
+        out[i * n:(i + 1) * n, i * n:(i + 1) * n] = m
+    return out
+
+
+def wide_group(nfft: int, tb: int, precision: str) -> int:
+    """Columns chunk-stacked per stage-1 GEMM on the wide path.
+
+    The wide fold widens stage-1 to (n1, n1) @ (n1, tb*n2), but at small
+    nfft its M = K = n1 dimensions still underfill the 128x128 MXU: a
+    (32, 32) LHS pays a full padded pass per 128-lane tile, so at
+    nfft = 4096 only 1/16 of each pass does work (1/256 at 1024). Fix:
+    stack g = 128/n1 adjacent columns VERTICALLY (sublane axis) and make
+    stage-1 one blockdiag(D1 x g) (128, 128) @ (128, (tb/g)*n2) GEMM —
+    the same per-column products ride full contraction depth, g x fewer
+    MXU passes. The blockdiag zeros waste MACs, not passes (the MXU pads
+    small K/M to the full array either way). Stage-2's (tb*n1, n2) fold
+    is already full-fill and unchanged.
+
+    Display tier only (measured, same-process A/B on v5e): single-pass
+    bf16 GEMMs are stage-1-pass-bound, so fewer passes win — 1024
+    20.3 -> 24.4 (+19.8%), 4096 23.3 -> 24.5 (+4.9%), stream display
+    16.6 -> 17.5 (+5.9%) GS/s. On the multi-pass tiers the blockdiag's
+    wasted MACs cost real passes (exact bf16x6 -4.5%, balanced hi/lo
+    -2.4%, parity -5%), so those keep g = 1 (byte-identical to the
+    pre-grouping kernel)."""
+    if precision != "display" or nfft >= LANE * LANE:
+        return 1
+    return min(tb, LANE // (nfft // LANE))
+
+
+def _tiled_consts(plan: dict, win2: np.ndarray, d_consts: list, tb: int,
+                  g: int = 1):
     """The wide (lane-folded) variant's constants: window and twiddles
-    tile across the tb folded columns; stage matrices are column-count
-    independent."""
-    return ([np.tile(win2, (1, tb))] + d_consts
-            + [np.tile(plan["twr"], (1, tb)),
-               np.tile(plan["twi"], (1, tb))])
+    tile across the (g, tb/g) chunk-stacked column grid; stage-1
+    matrices blockdiag g copies (see :func:`wide_group`); stage-2
+    matrices are column-count independent."""
+    n_stage1 = len(d_consts) // 2
+    reps = (g, tb // g)
+    return ([np.tile(win2, reps)]
+            + [_blockdiag(m, g) for m in d_consts[:n_stage1]]
+            + list(d_consts[n_stage1:])
+            + [np.tile(plan["twr"], reps), np.tile(plan["twi"], reps)])
 
 
 def _mm_ops(precision: str):
@@ -404,7 +451,7 @@ def make_pallas_sti_psd(
     use_gauss, d_consts, consts = _small_consts(plan, win2, precision, nseg)
 
     def kernel(frames_ref, win_ref, *rest, nsub: int, tb: int = 1,
-               wide: bool = False, col_span: int = 0):
+               wide: bool = False, col_span: int = 0, g: int = 1):
         col_span = col_span or gather_len
         # MXU f32 matmuls default to single-pass bf16 (~3e-2 rel err on
         # the DFT). Tiers: "exact" = Precision.HIGHEST (bf16x6, ~1e-6);
@@ -431,7 +478,7 @@ def make_pallas_sti_psd(
 
                     accum[...] += _wide_seg_power(
                         load_col, win, twr, twi, cprod_l, cprod_r,
-                        n1, n2, tb)
+                        n1, n2, tb, g)
                     return 0
 
                 jax.lax.fori_loop(0, nseg, seg_body, 0)
@@ -472,8 +519,9 @@ def make_pallas_sti_psd(
         # per-column GEMMs are already ~85% of peak and the fold's
         # transpose costs more than it saves (12.1 -> 11.1).
         wide = tb > 1 and nfft <= 16384
+        g = wide_group(nfft, tb, precision) if wide else 1
         if wide:
-            consts_b = _tiled_consts(plan, win2, d_consts, tb)
+            consts_b = _tiled_consts(plan, win2, d_consts, tb, g)
             scratch = pltpu.VMEM((tb, n1, n2), jnp.float32)
         else:
             consts_b = consts
@@ -500,7 +548,7 @@ def make_pallas_sti_psd(
             )
         call = pl.pallas_call(
             functools.partial(kernel, nsub=nsub, tb=tb, wide=wide,
-                              col_span=col_span),
+                              col_span=col_span, g=g),
             grid=(ntime // tb,),
             in_specs=[frames_spec]
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(consts_b),
@@ -582,25 +630,37 @@ def _stage_prods(dref, precision: str, use_gauss: bool):
 
 
 def _wide_seg_power(load_col, win, twr, twi, cprod_l, cprod_r,
-                    n1: int, n2: int, tb: int):
+                    n1: int, n2: int, tb: int, g: int = 1):
     """One lane-folded segment, shared by the batch and stream kernels:
     gather tb columns via ``load_col(c) -> (xr, xi)`` raw (nfft,) rows,
-    widen + window, stage-1 as ONE (n1, n1) @ (n1, tb*n2) GEMM, twiddle
-    (consts arrive pre-tiled to (n1, tb*n2)), fold the columns under the
-    sublanes, stage-2 as ONE (tb*n1, n2) @ (n2, n2) GEMM; returns |X|^2
-    as (tb, n1, n2) float32."""
-    cols_r, cols_i = [], []
-    for c in range(tb):
-        xr, xi = load_col(c)
-        cols_r.append(xr.astype(jnp.float32).reshape(n1, n2))
-        cols_i.append(xi.astype(jnp.float32).reshape(n1, n2))
-    xwr = jnp.concatenate(cols_r, axis=1) * win
-    xwi = jnp.concatenate(cols_i, axis=1) * win
-    yr, yi = cprod_l((xwr, xwi))          # (n1, tb*n2)
+    chunk-stack them on a (g, tb/g) grid — column c = j*g + i sits at
+    block row i, block column j — widen + window, stage-1 as ONE
+    blockdiag (g*n1, g*n1) @ (g*n1, (tb/g)*n2) GEMM (full MXU fill, see
+    :func:`wide_group`), twiddle (consts arrive pre-tiled to the grid),
+    fold every column under the sublanes, stage-2 as ONE (tb*n1, n2) @
+    (n2, n2) GEMM; returns |X|^2 as (tb, n1, n2) float32."""
+    grps_r, grps_i = [], []
+    for j in range(tb // g):
+        rows_r, rows_i = [], []
+        for i in range(g):
+            xr, xi = load_col(j * g + i)
+            rows_r.append(xr.astype(jnp.float32).reshape(n1, n2))
+            rows_i.append(xi.astype(jnp.float32).reshape(n1, n2))
+        grps_r.append(rows_r[0] if g == 1
+                      else jnp.concatenate(rows_r, axis=0))
+        grps_i.append(rows_i[0] if g == 1
+                      else jnp.concatenate(rows_i, axis=0))
+    xwr = jnp.concatenate(grps_r, axis=1) * win   # (g*n1, (tb/g)*n2)
+    xwi = jnp.concatenate(grps_i, axis=1) * win
+    yr, yi = cprod_l((xwr, xwi))
     zr = yr * twr - yi * twi
     zi = yr * twi + yi * twr
-    zr = zr.reshape(n1, tb, n2).swapaxes(0, 1).reshape(tb * n1, n2)
-    zi = zi.reshape(n1, tb, n2).swapaxes(0, 1).reshape(tb * n1, n2)
+    # (g*n1, tb/g, n2) -> (tb/g, g, n1, n2) -> (tb*n1, n2): row c*n1 + k1
+    # is column c = j*g + i's stage-1 output row k1
+    zr = zr.reshape(g, n1, tb // g, n2).transpose(2, 0, 1, 3).reshape(
+        tb * n1, n2)
+    zi = zi.reshape(g, n1, tb // g, n2).transpose(2, 0, 1, 3).reshape(
+        tb * n1, n2)
     xmr, xmi = cprod_r((zr, zi))          # (tb*n1, n2)
     return (xmr * xmr + xmi * xmi).reshape(tb, n1, n2)
 
@@ -708,7 +768,7 @@ def make_pallas_stream_psd(
     use_gauss, d_consts, consts = _small_consts(plan, win2, precision, nseg)
 
     def kernel(frames_ref, win_ref, *rest, nsub: int, tb: int = 1,
-               wide: bool = False):
+               wide: bool = False, g: int = 1):
         out_ref, accum = rest[-2], rest[-1]
         twr, twi = rest[-4][...], rest[-3][...]
         cprod_l, cprod_r = _stage_prods(rest[:-4], precision, use_gauss)
@@ -732,7 +792,7 @@ def make_pallas_stream_psd(
 
                     accum[...] += _wide_seg_power(
                         load_col, win, twr, twi, cprod_l, cprod_r,
-                        n1, n2, tb)
+                        n1, n2, tb, g)
                     return 0
 
                 jax.lax.fori_loop(0, nseg, seg_body, 0)
@@ -773,14 +833,15 @@ def make_pallas_stream_psd(
         flops_seg = 8 * 2 * (n1 * n1 * n2 + n1 * n2 * n2)
         tb = _pick_stream_tb(k, nsub)
         wide = tb > 1
+        g = wide_group(nfft, tb, precision) if wide else 1
         if wide:
-            consts_b = _tiled_consts(plan, win2, d_consts, tb)
+            consts_b = _tiled_consts(plan, win2, d_consts, tb, g)
             scratch = pltpu.VMEM((tb, n1, n2), jnp.float32)
         else:
             consts_b = consts
             scratch = pltpu.VMEM((n1, n2), jnp.float32)
         call = pl.pallas_call(
-            functools.partial(kernel, nsub=nsub, tb=tb, wide=wide),
+            functools.partial(kernel, nsub=nsub, tb=tb, wide=wide, g=g),
             grid=(k // tb,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
             * (1 + len(consts_b)),

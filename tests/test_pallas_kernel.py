@@ -253,6 +253,52 @@ def test_display_precision_mode():
     assert d.max() < 0.5  # CPU interpret: both exact; TPU: ~0.12 dB
 
 
+def test_wide_group_policy():
+    """wide_group pins the measured display-tier chunk-stacking policy:
+    g = 128/n1 (capped at tb) on the single-pass display tier, g = 1 on
+    the multi-pass tiers where the blockdiag's wasted MACs cost real
+    passes (see the docstring's A/B numbers)."""
+    from pyspectrogram_tpu.kernels import sti_pallas as sp
+
+    assert sp.wide_group(1024, 8, "display") == 8     # tb binds
+    assert sp.wide_group(1024, 32, "display") == 16   # 128 / (1024/128)
+    assert sp.wide_group(4096, 32, "display") == 4
+    assert sp.wide_group(256, 128, "display") == 64
+    assert sp.wide_group(16384, 32, "display") == 1   # n1 = 128 full fill
+    assert sp.wide_group(1024, 32, "exact") == 1
+    assert sp.wide_group(1024, 32, "balanced") == 1
+    # blockdiag helper: 2D, batched-3D (balanced hi/lo), g=1 passthrough
+    m = np.arange(4, dtype=np.float32).reshape(2, 2)
+    bd = sp._blockdiag(m, 2)
+    assert bd.shape == (4, 4)
+    np.testing.assert_array_equal(bd[:2, :2], m)
+    np.testing.assert_array_equal(bd[2:, 2:], m)
+    assert bd[:2, 2:].sum() == 0 and bd[2:, :2].sum() == 0
+    b3 = sp._blockdiag(np.stack([m, 2 * m]), 2)
+    assert b3.shape == (2, 4, 4)
+    np.testing.assert_array_equal(b3[1][2:, 2:], 2 * m)
+    assert sp._blockdiag(m, 1) is m
+
+
+def test_display_grouped_matches_ungrouped():
+    """The g>1 chunk-stacked display kernel must match the g=1 gathered
+    path: same per-column stage-1 products, only the MXU pass layout
+    differs. nfft=1024, ntime=16 drives tb=16, g=16 (full grouping)."""
+    nfft, ntime = 1024, 16
+    rng = np.random.default_rng(21)
+    pm = rng.standard_normal((2, nfft * ntime)).astype(np.float32)
+    starts = (np.arange(ntime) * nfft).astype(np.int32)
+    grouped = make_pallas_sti_psd(nfft=nfft, interpret=True,
+                                  contiguous=True, precision="display")
+    plain = make_pallas_sti_psd(nfft=nfft, interpret=True,
+                                precision="display")
+    np.testing.assert_allclose(
+        np.asarray(grouped(jnp.asarray(pm), jnp.asarray(starts))),
+        np.asarray(plain(jnp.asarray(pm), jnp.asarray(starts))),
+        rtol=1e-5,
+    )
+
+
 def test_pallas_contiguous_tb_batched():
     """ntime divisible by 8 at small nfft triggers the column-batched
     kernel (tb=8); results must match the unbatched gathered path."""
