@@ -280,11 +280,14 @@ def test_wide_group_policy():
     assert sp._blockdiag(m, 1) is m
 
 
-def test_display_grouped_matches_ungrouped():
+@pytest.mark.parametrize("ntime", [16, 32])
+def test_display_grouped_matches_ungrouped(ntime):
     """The g>1 chunk-stacked display kernel must match the g=1 gathered
     path: same per-column stage-1 products, only the MXU pass layout
-    differs. nfft=1024, ntime=16 drives tb=16, g=16 (full grouping)."""
-    nfft, ntime = 1024, 16
+    differs. nfft=1024: ntime=16 drives tb=16, g=16 (one chunk column,
+    tb/g=1); ntime=32 drives tb=32, g=16 (tb/g=2 — exercises the
+    j-major chunk-grid de-interleave after stage-1)."""
+    nfft = 1024
     rng = np.random.default_rng(21)
     pm = rng.standard_normal((2, nfft * ntime)).astype(np.float32)
     starts = (np.arange(ntime) * nfft).astype(np.int32)
