@@ -341,7 +341,13 @@ def wide_group(nfft: int, tb: int, precision: str) -> int:
     pre-grouping kernel)."""
     if precision != "display" or nfft >= LANE * LANE:
         return 1
-    return min(tb, LANE // (nfft // LANE))
+    g = min(tb, LANE // (nfft // LANE))
+    # both tb pickers return powers of two and n1 is a power of two, so
+    # g | tb always holds; the (g, tb/g) grid silently drops columns if
+    # a future picker breaks that, hence the loud check
+    if tb % g:
+        raise ValueError(f"wide_group: g={g} must divide tb={tb}")
+    return g
 
 
 def _tiled_consts(plan: dict, win2: np.ndarray, d_consts: list, tb: int,
