@@ -302,6 +302,46 @@ def test_display_grouped_matches_ungrouped(ntime):
     )
 
 
+@pytest.mark.parametrize("seed", [31, 47, 59, 71])
+def test_randomized_pallas_config_matches_xla(seed):
+    """Seeded random-config differential sweep for the PALLAS dispatch:
+    random (pow2 nfft, nint, ntime, nsub, mode, precision, contiguity)
+    through make_sti_fn_pm must match the XLA path (itself oracle-pinned
+    in test_ops_stft). The pinned-size tests can't see interactions a
+    random draw can — e.g. the grouped display chunk-grid at a tb that
+    only a particular ntime divisibility selects, or per-column gathered
+    dispatch at an ntime no tb divides."""
+    rng = np.random.default_rng(seed)
+    nfft = int(rng.choice([256, 512, 1024, 2048, 4096]))
+    nint = int(rng.choice([1, 2, 3]))
+    ntime = int(rng.choice([3, 5, 8, 16, 24, 32]))
+    nsub = int(rng.choice([1, 2]))
+    mode = str(rng.choice(["welch", "parity"]))
+    precision = str(rng.choice(["exact", "balanced", "display"]))
+    contiguous = bool(rng.random() < 0.5)
+    frame_len = nfft * nint
+    if contiguous:
+        nsamp = frame_len * ntime
+        starts = (np.arange(ntime) * frame_len).astype(np.int32)
+    else:
+        nsamp = frame_len * ntime + frame_len
+        starts = np.sort(rng.choice(nsamp - frame_len + 1, size=ntime,
+                                    replace=False)).astype(np.int32)
+    pm = rng.standard_normal((nsub * 2, nsamp)).astype(np.float32)
+    kw = dict(nfft=nfft, nint=nint, mode=mode)
+    want = stft.make_sti_fn_pm(fft_impl="xla", **kw)(
+        jnp.asarray(pm), jnp.asarray(starts))
+    got = stft.make_sti_fn_pm(fft_impl="pallas", contiguous=contiguous,
+                              precision=precision, **kw)(
+        jnp.asarray(pm), jnp.asarray(starts))
+    # CPU interpret runs every tier's matmuls in f32; balanced's
+    # bf16-rounded hi/lo constants bound the split error at ~1e-3 dB
+    np.testing.assert_allclose(np.asarray(got["sxx_dbfs"]),
+                               np.asarray(want["sxx_dbfs"]), atol=0.05)
+    np.testing.assert_allclose(np.asarray(got["sxx_med_dbfs"]),
+                               np.asarray(want["sxx_med_dbfs"]), atol=0.05)
+
+
 def test_pallas_contiguous_tb_batched():
     """ntime divisible by 8 at small nfft triggers the column-batched
     kernel (tb=8); results must match the unbatched gathered path."""
