@@ -517,18 +517,24 @@ def _overlap_oracle(buf, nfft, nint, hop, k, mode="welch", beta=1.7):
     return cols
 
 
-@pytest.mark.parametrize("nfft,nint,hop,mode,k", [
-    (1024, 1, 512, "welch", 4),    # classic 50% overlap (wide tb=4)
-    (1024, 2, 1024, "welch", 4),   # hop = nfft, frame 2*nfft (welch)
-    (1024, 1, 384, "welch", 4),    # lane-aligned but not nfft-divisible
-    (2048, 2, 2048, "parity", 4),  # parity consumes first nfft only
-    (1024, 1, 512, "welch", 16),   # deeper fold in one grid step
-    (1024, 1, 512, "welch", 5),    # k divisible by no rung -> tb=1
+@pytest.mark.parametrize("nfft,nint,hop,mode,k,precision", [
+    (1024, 1, 512, "welch", 4, "exact"),    # classic 50% overlap (tb=4)
+    (1024, 2, 1024, "welch", 4, "exact"),   # hop = nfft, frame 2*nfft
+    (1024, 1, 384, "welch", 4, "exact"),    # lane-aligned, not nfft-div
+    (2048, 2, 2048, "parity", 4, "exact"),  # parity: first nfft only
+    (1024, 1, 512, "welch", 16, "exact"),   # deeper fold, one grid step
+    (1024, 1, 512, "welch", 5, "exact"),    # k divisible by no rung
+    (1024, 1, 512, "welch", 16, "display"),  # grouped chunk grid (g=16)
+    (1024, 1, 512, "welch", 32, "display"),  # grouped, tb/g=2
 ])
-def test_stream_kernel_overlap_hop_matches_oracle(nfft, nint, hop, mode, k):
+def test_stream_kernel_overlap_hop_matches_oracle(nfft, nint, hop, mode,
+                                                  k, precision):
     """The overlap-hop streaming kernel (r3 weak #4): VMEM-resident
     element-offset slicing equals the windowed-FFT oracle for hops the
-    block-granular batch kernel cannot express."""
+    block-granular batch kernel cannot express. The display rows drive
+    the wide_group chunk grid through the strided load_col path (CPU
+    interpret runs the tier's matmuls in f32, so the oracle tolerance
+    holds)."""
     from pyspectrogram_tpu.kernels.sti_pallas import (
         make_pallas_stream_psd,
         pallas_stream_supported,
@@ -541,7 +547,7 @@ def test_stream_kernel_overlap_hop_matches_oracle(nfft, nint, hop, mode, k):
     buf = rng.standard_normal(
         (nsub * 2, frame_len - hop + k * hop)).astype(np.float32)
     f = make_pallas_stream_psd(nfft=nfft, nint=nint, hop=hop, mode=mode,
-                               interpret=True)
+                               interpret=True, precision=precision)
     got = np.asarray(f(jnp.asarray(buf)))
     want = _overlap_oracle(buf, nfft, nint, hop, k, mode)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-7)
