@@ -108,6 +108,53 @@ def assemble_device_block(
     return samples_pm, starts_rel, np.asarray(fmask, bool)
 
 
+#: requests whose sample buffer is at least this large assemble through a
+#: chunked PrefetchFeeder (io.ingest): the host HDF5 read + native plane
+#: packing of chunk k+1 overlaps the host->device transfer of chunk k.
+#: Below it the pipeline overhead (thread + device-side concat pass)
+#: outweighs the overlap; 32 MB ~= one second of transfer on the ~30 MB/s
+#: tunneled transport, where the overlap win is largest.
+PREFETCH_MIN_BYTES = 32 << 20
+#: chunks per prefetched request: enough that read/transfer overlap,
+#: few enough that the per-chunk dispatch overhead stays negligible
+PREFETCH_CHUNKS = 4
+
+
+def assemble_device_block_prefetch(
+    ds: RFDataset, chan: str, isub: Optional[int], n_st: np.ndarray,
+    frame_len: int, n_chunks: int = PREFETCH_CHUNKS,
+):
+    """Chunked, overlapped variant of :func:`assemble_device_block`.
+
+    Splits the ``ntime`` columns into ``n_chunks`` contiguous ranges and
+    runs each range's read+assemble on a PrefetchFeeder background thread
+    (io.ingest), device_put included — so the HDF5 read of chunk k+1
+    overlaps the host->device transfer of chunk k (the pipeline-parallel
+    ingest the reference's read->compute thread split approximates,
+    SURVEY.md section 2.3 PP row). Returns (chunks, starts_rel, col_mask)
+    with ``chunks`` a list of on-device (nsub*2, cols_i*frame_len) arrays
+    to be concatenated on device (order preserved).
+    """
+    from pyspectrogram_tpu.io.ingest import PrefetchFeeder
+
+    ntime = len(n_st)
+    n_chunks = max(1, min(int(n_chunks), ntime))
+    edges = np.linspace(0, ntime, n_chunks + 1, dtype=np.int64)
+    masks: list = [None] * n_chunks
+
+    def produce(i: int):
+        lo, hi = int(edges[i]), int(edges[i + 1])
+        pm, _, fmask = assemble_device_block(ds, chan, isub, n_st[lo:hi],
+                                             frame_len)
+        masks[i] = fmask
+        return pm
+
+    with PrefetchFeeder(produce, n_chunks, depth=2) as feeder:
+        chunks = list(feeder)
+    starts_rel = np.arange(ntime, dtype=np.int32) * frame_len
+    return chunks, starts_rel, np.concatenate(masks)
+
+
 def _assemblable(raw: np.ndarray) -> np.ndarray:
     """Coerce a storage-dtype block to a layout the ingest kernels accept:
     complex64, int16-compound (kept raw: the device program normalizes),
@@ -155,8 +202,54 @@ class StiPipeline:
         entry = config.channel or self.ds.channels[0]
         return self.ds._split_entry(entry)
 
+    def _resolve_span(self, cfg: SpectrogramConfig, chan: str, sr: Fraction,
+                      sample_span: Optional[Tuple[int, int]] = None,
+                      ) -> Tuple[int, int]:
+        """The request's effective absolute sample span under the CURRENT
+        bounds (no refresh here — callers refresh first)."""
+        if sample_span is not None:
+            # sti_frame_starts spreads ntime starts over
+            # [st, en - frame_len]: feeding last_start + frame_len back
+            # reproduces the saved run's linspace endpoints exactly
+            return (int(sample_span[0]),
+                    int(sample_span[1]) + cfg.nfft * cfg.nint)
+        if cfg.streaming:
+            # trailing window anchored at the SELECTED CHANNEL's data
+            # end (the reference anchors at the wall clock,
+            # drfProc.py:291-293, which shows nothing for a
+            # paused/short capture; the dataset-global time_bnds
+            # would anchor past a channel that lags another channel's
+            # capture and show only void); clamping the start to the
+            # channel's data start keeps a YOUNG capture's columns on
+            # real data instead of mostly pre-capture void — a no-op
+            # once the capture outgrows the window
+            lo, hi = self.ds.bnds[chan]
+            end_time = float(hi / sr)
+            st_time = max(float(lo / sr), end_time - cfg.stream_seconds)
+        else:
+            # a None side means that edge of the capture (utils.config)
+            st_time, end_time = resolve_time_span(cfg.time_span,
+                                                  self.ds.time_bnds)
+        return time_to_sample(st_time, sr), time_to_sample(end_time, sr)
+
+    def request_key(self, cfg: SpectrogramConfig):
+        """Hashable identity of the EFFECTIVE request under the current
+        bounds: the config snapshot plus the resolved channel and sample
+        span. Two ticks with equal keys read the same samples through the
+        same program with the same display knobs — their results are
+        identical, so a delta-aware loop (runtime.processor) skips the
+        read/transfer/recompute entirely. Bounds growth that does not
+        move the resolved span (sub-sample growth, or an explicit
+        time_span inside unchanged bounds) keeps the key equal; any
+        change to the frame starts changes ``(s_samp, e_samp)`` and
+        forces a recompute. Call after ``bnds_update``."""
+        chan, isub = self.channel_of(cfg)
+        s_samp, e_samp = self._resolve_span(cfg, chan, self.ds.sr_dict[chan])
+        return (cfg, chan, isub, s_samp, e_samp)
+
     def compute(self, config: Optional[SpectrogramConfig] = None,
-                sample_span: Optional[Tuple[int, int]] = None) -> StiResult:
+                sample_span: Optional[Tuple[int, int]] = None,
+                refresh_bounds: bool = True) -> StiResult:
         """Run one full STI request (one loop iteration of the reference's
         worker, drfProc.py:275-314).
 
@@ -165,7 +258,13 @@ class StiPipeline:
         the time->sample conversion so a resumed session reproduces the
         original frame starts EXACTLY (sample indices near 2^50 lose
         sub-sample precision through a float64 seconds round-trip, and a
-        grown capture would otherwise widen a None time_span)."""
+        grown capture would otherwise widen a None time_span).
+
+        ``refresh_bounds=False`` skips the per-channel HDF5 directory stat
+        when the caller has already refreshed this tick (the processor
+        loop refreshes before emitting stats, runtime.processor.run — the
+        reference paid this stat twice per iteration too, drfProc.py:283
+        via read_sti's adj_bnds path)."""
         import jax.numpy as jnp
 
         cfg = config or self.config
@@ -174,41 +273,28 @@ class StiPipeline:
         sr = self.ds.sr_dict[chan]
         ref = self.ds.ref_dict[chan]
 
-        self.ds.bnds_update()
-        if sample_span is not None:
-            s_samp = int(sample_span[0])
-            # sti_frame_starts spreads ntime starts over
-            # [st, en - frame_len]: feeding last_start + frame_len back
-            # reproduces the saved run's linspace endpoints exactly
-            e_samp = int(sample_span[1]) + cfg.nfft * cfg.nint
-        else:
-            if cfg.streaming:
-                # trailing window anchored at the SELECTED CHANNEL's data
-                # end (the reference anchors at the wall clock,
-                # drfProc.py:291-293, which shows nothing for a
-                # paused/short capture; the dataset-global time_bnds
-                # would anchor past a channel that lags another channel's
-                # capture and show only void); clamping the start to the
-                # channel's data start keeps a YOUNG capture's columns on
-                # real data instead of mostly pre-capture void — a no-op
-                # once the capture outgrows the window
-                lo, hi = self.ds.bnds[chan]
-                end_time = float(hi / sr)
-                st_time = max(float(lo / sr),
-                              end_time - cfg.stream_seconds)
-            else:
-                # a None side means that edge of the capture (utils.config)
-                st_time, end_time = resolve_time_span(cfg.time_span,
-                                                      self.ds.time_bnds)
-            s_samp = time_to_sample(st_time, sr)
-            e_samp = time_to_sample(end_time, sr)
+        if refresh_bounds:
+            self.ds.bnds_update()
+        s_samp, e_samp = self._resolve_span(cfg, chan, sr, sample_span)
 
         n_st = self.ds.sti_frame_starts(s_samp, e_samp, cfg.nfft, cfg.nint,
                                         cfg.ntime)
         frame_len = cfg.nfft * cfg.nint
-        samples_pm, starts_rel, col_mask = assemble_device_block(
-            self.ds, chan, isub, n_st, frame_len
-        )
+        chunks = None
+        nbytes = (2 if isub is not None else 2 * len(self.ds.chan_2sub[chan])
+                  ) * cfg.ntime * frame_len * 4
+        if self.mesh is None and nbytes >= PREFETCH_MIN_BYTES:
+            # large single-chip request: overlap the HDF5 read/assembly
+            # with the host->device transfer (see
+            # assemble_device_block_prefetch); the mesh tiers place
+            # per-device shards, which device_put must do in one piece
+            chunks, starts_rel, col_mask = assemble_device_block_prefetch(
+                self.ds, chan, isub, n_st, frame_len)
+            samples_pm = None
+        else:
+            samples_pm, starts_rel, col_mask = assemble_device_block(
+                self.ds, chan, isub, n_st, frame_len
+            )
 
         freqs = stft.shifted_freqs(cfg.nfft, sr)
         spec = None
@@ -234,7 +320,9 @@ class StiPipeline:
                                   # t*frame_len, so the kernel skips the gather
                 tile=spec,        # display epilogue fused into the program
             )
-            out = fn(jnp.asarray(samples_pm), jnp.asarray(starts_rel))
+            dev = (jnp.concatenate(chunks, axis=1) if chunks is not None
+                   else jnp.asarray(samples_pm))
+            out = fn(dev, jnp.asarray(starts_rel))
 
         tile = plot_freqs = None
         if spec is not None:

@@ -415,12 +415,16 @@ class LiveStreamEngine:
         view = view[keep]
         kept_cols = cols[keep]
         mask = self.col_mask[kept_cols % self.sti.ring_len]
-        if n_blocks == 0 and self._tail_pending:
-            # a stalled/stopped producer: surface the complete columns
-            # that never filled a push block (cached — a fully stopped
-            # writer computes this once). Gated to block-less ticks so
-            # the steady-state tick cost (one fused dispatch + one
-            # readback) is unchanged while blocks are flowing.
+        if self._tail_pending:
+            # complete columns past the read cursor that do not yet fill
+            # a push block: surface them EVERY tick, so under continuous
+            # writing the newest complete column appears in the same tick
+            # it completes (the reference's recompute loop showed every
+            # complete column; hiding up to cols_per_block-1 of them
+            # while blocks flow was round 4's one display gap). Cost is
+            # bounded O(block) per tick — the tail read is < one block —
+            # and the (next_sample, pending) cache key makes a stalled
+            # writer's tail free after its first tick.
             t_rows, t_cols, t_mask = self._tail_view(spec, stride)
             if t_rows is not None:
                 view = np.concatenate([view, t_rows], axis=0)

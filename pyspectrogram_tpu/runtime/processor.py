@@ -89,6 +89,12 @@ class SpectrogramProcessor:
         # ~1 M floats/day unbounded; the percentile stats are over the
         # most recent window, which is what an operator wants anyway
         self.latencies_s = deque(maxlen=1 << 16)
+        # delta-aware written loop: the last computed (request key,
+        # result); ticks whose effective request is unchanged re-emit the
+        # cached result instead of re-reading/recomputing (run()).
+        self._last_key = None
+        self._last_result = None
+        self.skipped_recomputes = 0     # observability counter
 
         streaming = str(datasource).lower() == "streaming"
         self._config = config.replace(streaming=streaming)
@@ -163,7 +169,24 @@ class SpectrogramProcessor:
                 if self._live is not None:
                     result = self._live.tick(cfg)
                 else:
-                    result = self.pipeline.compute(cfg)
+                    # delta-aware written mode: when the EFFECTIVE request
+                    # (config snapshot + resolved channel/sample span) is
+                    # unchanged since the last computed result, re-emit
+                    # that result instead of re-reading, re-shipping and
+                    # recomputing identical arrays every 0.1 s tick — the
+                    # reference recomputes unconditionally
+                    # (drfProc.py:275-321), which leaves an idle tab
+                    # permanently transfer-bound on slow transports. The
+                    # compute skips its own bnds_update too: this loop
+                    # just refreshed (one directory stat per tick).
+                    key = self.pipeline.request_key(cfg)
+                    if key == self._last_key and self._last_result is not None:
+                        result = self._last_result
+                        self.skipped_recomputes += 1
+                    else:
+                        result = self.pipeline.compute(
+                            cfg, refresh_bounds=False)
+                        self._last_key, self._last_result = key, result
                 self.latencies_s.append(time.perf_counter() - t0)
                 if self._stop.is_set() and delivered:
                     # Stop arrived while compute was in flight (a remote

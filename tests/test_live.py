@@ -578,3 +578,48 @@ def test_tail_columns_tile_mode(tmp_path):
                           cfg.color_range_db)
     want = tile_from_db(np.moveaxis(resf.sxx_dbfs[:, 128:], 0, -1), spec)
     np.testing.assert_array_equal(res.tile[128:], want)
+
+
+def test_tail_surfaces_while_blocks_flow(tmp_path):
+    """Round-5 pin: under CONTINUOUS writing, the newest complete column
+    appears in the same tick it completes — even on ticks that also push
+    whole blocks (round 4 gated the tail view to block-less ticks, hiding
+    up to cols_per_block-1 of the newest columns in steady state)."""
+    import jax.numpy as jnp
+
+    from pyspectrogram_tpu.models.sti import assemble_device_block
+    from pyspectrogram_tpu.ops import stft
+
+    n0 = 8_192          # 128 cols at hop 64
+    w = _growing_writer(tmp_path, n0)
+    ds = RFDataset(tmp_path)
+    cfg = SpectrogramConfig(nfft=64, ntime=1000, stream_seconds=0.4,
+                            streaming=True)
+    eng = LiveStreamEngine(ds, cfg, target_block_samples=4096)  # k = 64
+    eng.tick(cfg)
+
+    # writer appends one whole block PLUS a partial tail, then the tick
+    # runs: the block enters the ring AND the 13 tail columns display
+    tail_cols = 13
+    w.rf_write(tone_signal((64 + tail_cols) * 64, SR, [12_500.0],
+                           start_sample=n0).astype(np.complex64))
+    ds.bnds_update()
+    res = eng.tick(cfg)
+    assert eng._tail_pending == tail_cols
+    assert res.sxx_dbfs.shape[1] == 128 + 64 + tail_cols
+    # every complete column of the capture is visible this tick
+    lo, hi = ds.bnds["live"]
+    assert res.frame_starts[-1] + 64 == hi + 1
+    assert np.all(np.diff(res.frame_starts) == 64)
+    # tail rows equal a from-scratch recompute over the same frames
+    fn = stft.make_sti_fn_pm(nfft=64, nint=1, mode=cfg.mode,
+                             window=cfg.window, ref=ds.ref_dict["live"],
+                             contiguous=True)
+    pm, starts_rel, _ = assemble_device_block(
+        ds, "live", None, res.frame_starts[-tail_cols:], 64)
+    out = fn(jnp.asarray(pm), jnp.asarray(starts_rel))
+    want = stft.to_reference_layout(np.asarray(out["sxx_dbfs"]))
+    np.testing.assert_allclose(res.sxx_dbfs[:, -tail_cols:], want,
+                               atol=1e-4)
+    # the cursor still excludes the tail (checkpoints re-read it)
+    assert eng.next_sample == START + n0 + 64 * 64

@@ -141,19 +141,20 @@ def test_processor_settings_update_threadsafe(tone_capture):
     top, meta = tone_capture
     events, cb = _collector()
     seen_shapes = []
-    cb.on_iterated = lambda e: seen_shapes.append(e.sxx_dbfs.shape)
     proc = SpectrogramProcessor(
         "written", top, tab_id=2, config=SpectrogramConfig(nfft=128, ntime=4),
         callbacks=cb, written_sleep=0.0, max_iterations=4,
     )
-    orig_compute = proc.pipeline.compute
 
-    def compute_and_flip(cfg):
-        if len(seen_shapes) == 1:
+    def see_and_flip(e):
+        seen_shapes.append(e.sxx_dbfs.shape)
+        if len(seen_shapes) == 2:
+            # swap settings mid-run, from the consumer side (the GUI's
+            # Update Settings path); the NEXT tick must pick up the new
+            # snapshot — incl. through the delta-aware skip cache
             proc.update_settings(nfft=64, ntime=5)
-        return orig_compute(cfg)
 
-    proc.pipeline.compute = compute_and_flip
+    cb.on_iterated = see_and_flip
     proc.run()
     assert seen_shapes[0] == (128, 4, 2)
     assert seen_shapes[-1] == (64, 5, 2)
@@ -327,8 +328,8 @@ def test_stop_mid_compute_delivers_first_frame_only(tone_capture):
     proc = SpectrogramProcessor("written", top, 0, cfg, callbacks=cb)
     orig = proc.pipeline.compute
 
-    def abort_during(c):
-        res = orig(c)
+    def abort_during(c, **kw):
+        res = orig(c, **kw)
         proc.abort()  # while this iteration is conceptually in flight
         return res
 
@@ -341,9 +342,12 @@ def test_stop_mid_compute_delivers_first_frame_only(tone_capture):
     proc2 = SpectrogramProcessor("written", top, 1, cfg, callbacks=cb2)
     orig2 = proc2.pipeline.compute
     calls = []
+    # defeat the delta-aware skip cache so the SECOND tick really
+    # computes (this test is about an in-flight compute racing a stop)
+    proc2.pipeline.request_key = lambda c: len(calls)
 
-    def abort_on_second(c):
-        res = orig2(c)
+    def abort_on_second(c, **kw):
+        res = orig2(c, **kw)
         calls.append(1)
         if len(calls) == 2:
             proc2.abort()
@@ -491,3 +495,115 @@ def test_streaming_anchors_at_channel_end_not_global(tmp_path):
     assert int(res.frame_starts[-1]) <= ds.bnds["early"][1]
     assert int(res.frame_starts[0]) >= ds.bnds["early"][0]
     assert float(res.sxx_med_dbfs[:, 0].max()) > -5.0  # tone visible
+
+
+def _count_raw_reads(ds):
+    """Wrap read_vector_raw to record each read's sample span."""
+    spans = []
+    orig = ds.reader.read_vector_raw
+
+    def counting(start, n, chan, **kw):
+        spans.append(int(n))
+        return orig(start, n, chan, **kw)
+
+    ds.reader.read_vector_raw = counting
+    return spans
+
+
+def test_written_loop_skips_unchanged_requests(tone_capture):
+    """Round-5 pin: on a STATIC capture with an unchanged config, the
+    written loop reads/computes once and re-emits the cached result on
+    every later tick — the reference re-reads, re-ships and recomputes
+    the identical request every 0.1 s (drfProc.py:275-321)."""
+    top, meta = tone_capture
+    events, cb = _collector()
+    # ntime dense enough that the capture-wide request coalesces into ONE
+    # bulk read (models.sti.assemble_device_block)
+    cfg = SpectrogramConfig(nfft=128, ntime=256)
+    proc = SpectrogramProcessor(
+        "written", top, tab_id=1, config=cfg, callbacks=cb,
+        written_sleep=0.0, max_iterations=5,
+    )
+    spans = _count_raw_reads(proc.ds)
+    bnds_calls = []
+    orig_bnds = proc.ds.bnds_update
+    proc.ds.bnds_update = lambda: (bnds_calls.append(1), orig_bnds())[1]
+    proc.run()
+    # every tick emits (payload parity with the reference loop) ...
+    assert [e.i for e in events["iterated"]] == [0, 1, 2, 3, 4]
+    # ... but only the FIRST tick touched the disk or the device
+    assert proc.skipped_recomputes == 4
+    assert len(spans) == 1
+    # all five emissions carry the same arrays (the cached result)
+    first = events["iterated"][0]
+    for e in events["iterated"][1:]:
+        assert e.sxx_dbfs is first.sxx_dbfs
+    # round-5 pin for the double-stat fix: ONE bounds refresh per tick
+    # (the processor's), not a second inside StiPipeline.compute
+    assert len(bnds_calls) == 5
+
+
+def test_written_loop_recomputes_when_bounds_grow(tmp_path):
+    """Growth chase is preserved: a tick whose resolved span moved (the
+    capture grew) recomputes; ticks in between (no growth) skip."""
+    from pyspectrogram_tpu.io.synthetic import tone_signal
+    from pyspectrogram_tpu.io.writer import DigitalRFWriter
+
+    sr = 100_000
+    n0 = 40_000
+    w = DigitalRFWriter(
+        tmp_path, "grow", np.complex64,
+        start_global_index=1_451_661_840 * sr,
+        sample_rate_numerator=sr, file_cadence_millisecs=100,
+        subdir_cadence_secs=1,
+    )
+    w.rf_write(tone_signal(n0, sr, [12_500.0]).astype(np.complex64))
+
+    events, cb = _collector()
+    cfg = SpectrogramConfig(nfft=64, ntime=8)
+    proc = SpectrogramProcessor(
+        "written", tmp_path, tab_id=2, config=cfg, callbacks=cb,
+        written_sleep=0.0, max_iterations=2,
+    )
+    spans = _count_raw_reads(proc.ds)
+    proc.run()
+    # tick 1 read (ntime sparse frames -> per-frame reads), tick 2 skipped
+    assert proc.skipped_recomputes == 1
+    assert len(spans) == cfg.ntime
+    end0 = events["iterated"][-1].times[-1]
+
+    # grow the capture; a fresh loop pass must recompute and chase
+    w.rf_write(tone_signal(20_000, sr, [12_500.0],
+                           start_sample=n0).astype(np.complex64))
+    proc2 = SpectrogramProcessor(
+        "written", tmp_path, tab_id=2, config=cfg, callbacks=cb,
+        written_sleep=0.0, max_iterations=1,
+    )
+    proc2.run()
+    assert events["iterated"][-1].times[-1] > end0
+    # (settings changes invalidating the cache is pinned by
+    # test_processor_settings_update_threadsafe: the post-flip tick
+    # recomputes through the skip cache at the new shape)
+
+
+def test_prefetch_assembly_matches_direct(tone_capture, monkeypatch):
+    """The chunked PrefetchFeeder assembly (overlapping read/assemble with
+    host->device transfer) is bit-identical to the direct path."""
+    from pyspectrogram_tpu.models import sti as sti_mod
+
+    top, meta = tone_capture
+    ds = RFDataset(top)
+    # ntime dense enough that each chunk's read coalesces into one span
+    cfg = SpectrogramConfig(nfft=128, nint=1, ntime=512)
+    direct = StiPipeline(ds, cfg).compute()
+
+    monkeypatch.setattr(sti_mod, "PREFETCH_MIN_BYTES", 0)
+    ds2 = RFDataset(top)
+    spans = _count_raw_reads(ds2)
+    pre = StiPipeline(ds2, cfg).compute()
+    # one coalesced read per chunk
+    assert len(spans) == sti_mod.PREFETCH_CHUNKS
+    np.testing.assert_array_equal(pre.sxx_dbfs, direct.sxx_dbfs)
+    np.testing.assert_array_equal(pre.sxx_med_dbfs, direct.sxx_med_dbfs)
+    np.testing.assert_array_equal(pre.frame_starts, direct.frame_starts)
+    assert pre.mask.shape == direct.mask.shape and pre.mask.all()
