@@ -558,11 +558,13 @@ class StreamingSti:
         (nsub, nfft) over the newest ``n_med`` valid columns (riding the
         floor-pow2 fill ladder while the window fills, :meth:`_span`;
         ``span_ladder=False`` forces the exact count).
-        Single-device only — with a mesh the median needs its shard_map,
-        so callers fall back to the two-call path there."""
-        if self.mesh is not None:
-            raise ValueError("refresh_view is single-device; use "
-                             "snapshot_strided + median_psd on a mesh")
+
+        With a ``mesh`` the same body runs inside a shard_map over the
+        ``chan`` axis — every step (trailing gather, quantize/dB, the
+        windowed median) is local to a device's subchannel slice, so the
+        meshed live tick is ONE dispatch too, with zero collectives
+        (round 4 fell back to two dispatches + a separate median
+        program on a mesh)."""
         self._check_span(n_disp, stride)
         total = (int(total_cols) if total_cols is not None
                  else int(state.total_cols))
@@ -579,8 +581,7 @@ class StreamingSti:
             ring_len, eps = self.ring_len, self.eps
             view_body = self._trailing_view_body(n_disp, stride, crop)
 
-            @jax.jit
-            def f(ring, total_cols, qparams):
+            def f_local(ring, total_cols, qparams):
                 view = view_body(ring, total_cols, qparams)
                 # newest n columns, straight from rotated storage (no
                 # de-roll: row of column c is c % ring_len)
@@ -588,6 +589,23 @@ class StreamingSti:
                 msel = jnp.take(ring, jnp.mod(mcols, ring_len), axis=0)
                 return view, to_dbfs(median_over_time(msel), eps)
 
+            if self.mesh is None:
+                f = jax.jit(f_local)
+            else:
+                # per-shard fused view+median, same pattern as
+                # _median_fn's meshed branch: a bare jit would gate the
+                # VMEM-resident median kernel off (GSPMD cannot
+                # partition the custom call)
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                from pyspectrogram_tpu.parallel.mesh import CHAN_AXIS
+
+                f = jax.jit(shard_map(
+                    f_local, mesh=self.mesh,
+                    in_specs=(P(None, CHAN_AXIS, None), P(), P()),
+                    out_specs=(P(None, CHAN_AXIS, None), P(CHAN_AXIS, None)),
+                    check_vma=False))
             fn = self._put(self._tile_fns, key, f, 16)
         q = spec.qparams if spec is not None else np.zeros(2, np.float32)
         view, med = fn(state.ring, state.total_cols, q)

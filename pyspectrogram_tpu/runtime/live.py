@@ -399,19 +399,15 @@ class LiveStreamEngine:
             spec = make_tile_spec(freqs, cfg.freq_window_khz,
                                   cfg.color_range_db)
         tile = plot_freqs = sxx_dbfs = None
-        if self.mesh is None:
-            # one fused device program for view + median: one dispatch
-            # per refresh and one fewer remote compile at cold start
-            # (steady-state latency measured unchanged — the separate
-            # readbacks already pipelined behind one round-trip)
-            view, med = self.sti.refresh_view(
-                self.state, n_disp, stride, spec=spec, n_med=W,
-                total_cols=total)
-        else:
-            view = self.sti.snapshot_strided(self.state, n_disp, stride,
-                                             spec=spec)
-            med = self.sti.median_psd(self.state, n_cols=W,
-                                      total_cols=total)  # (nsub, nfft)
+        # one fused device program for view + median: one dispatch per
+        # refresh and one fewer remote compile at cold start (steady-state
+        # latency measured unchanged — the separate readbacks already
+        # pipelined behind one round-trip). On a mesh the same program
+        # runs shard_map'd over chan, so the meshed tick is one dispatch
+        # too (models.streaming.refresh_view).
+        view, med = self.sti.refresh_view(
+            self.state, n_disp, stride, spec=spec, n_med=W,
+            total_cols=total)
         view = view[keep]
         kept_cols = cols[keep]
         mask = self.col_mask[kept_cols % self.sti.ring_len]
