@@ -52,6 +52,7 @@ from pyspectrogram_tpu.display import save_sti_png
 from pyspectrogram_tpu.runtime import (
     Iterated,
     ProcessorCallbacks,
+    SharedRefreshScheduler,
     SpectrogramProcessor,
     StatsUpdated,
     Terminated,
@@ -138,6 +139,11 @@ class MainWindow(QtWidgets.QMainWindow):
         # universal settings (reference wishlist README.md:18): apply
         # to every tab; persisted per user
         self.refresh_s = 0.1
+        # one refresh loop for ALL written-mode tabs: same-shape tabs
+        # merge into one batched device launch per cycle instead of the
+        # reference's N independent worker threads (runtime.scheduler;
+        # reference: drfview.py:177-178)
+        self.scheduler = SharedRefreshScheduler(self.refresh_s)
         self._build_menu()
         self.new_tab()
         self.showMaximized()
@@ -165,6 +171,7 @@ class MainWindow(QtWidgets.QMainWindow):
             self.refresh_s, 0.01, 10.0, 2)
         if ok:
             self.refresh_s = val
+            self.scheduler.refresh_s = val
             for st in self.states.values():
                 if st.processor:
                     st.processor.written_sleep = val
@@ -486,6 +493,10 @@ class MainWindow(QtWidgets.QMainWindow):
         st.processor = SpectrogramProcessor(
             datasource, drfdir, tab_id, cfg,
             callbacks=st.bridge.callbacks(),
+            # written tabs share the refresh scheduler so same-shape tabs
+            # batch into one device launch; streaming tabs keep their own
+            # thread (the processor decides, runtime.processor.start)
+            scheduler=self.scheduler,
         )
         if not st.processor.is_running:
             return  # terminated already emitted with the reason
@@ -855,6 +866,7 @@ class MainWindow(QtWidgets.QMainWindow):
         for st in self.states.values():
             if st.processor and st.processor.is_running:
                 st.processor.abort()
+        self.scheduler.stop()
         event.accept()
 
 

@@ -696,6 +696,23 @@ def _write_shifted(out_ref, c: int, sub: int, p, n2: int):
     out_ref[c, sub, h:, :] = o[:h, :]
 
 
+def _pick_stream_tb(nfft: int, k: int) -> int:
+    """Lane-fold width for the stream kernel (shared by the factory's
+    build and the pallas_stream_supported gate, so the gate's VMEM
+    estimate counts the constants the kernel actually ships). Same
+    rationale as pick_contiguous_tb: per-column tiny GEMMs are
+    launch-bound at small nfft. The buffer already rides VMEM whole, so
+    the fold's only VMEM premium is the folded temps (~6 live
+    (n1, tb*n2) f32 intermediates + the (tb, n1, n2) accum); keep them
+    within a quarter of the block budget."""
+    if nfft > 16384:
+        return 1
+    for tb in (128, 64, 32, 16, 8, 4, 2):
+        if k % tb == 0 and 8 * tb * nfft * 4 <= MAX_BLOCK_BYTES // 4:
+            return tb
+    return 1
+
+
 def pallas_stream_supported(nfft: int, nint: int, hop: int, k: int,
                             nsub: int, mode: str = "welch",
                             precision: str = "exact") -> bool:
@@ -722,15 +739,27 @@ def pallas_stream_supported(nfft: int, nint: int, hop: int, k: int,
     buf_len = frame_len - hop + k * hop
     # count the ACTUAL constant set the kernel ships: 3 stage matrices
     # per stage under Gauss (dr, di, dr+di) else 2, each doubled by the
-    # balanced tier's hi/lo split; plus twiddle r/i + window
+    # balanced tier's hi/lo split; plus twiddle r/i + window. The wide
+    # (lane-folded) build inflates that set — window/twiddles tile to
+    # tb columns (3*nfft*tb floats) and the display tier's grouping
+    # blockdiags stage-1 to (g*n1)^2 — so the gate reproduces the
+    # factory's tb/g choice instead of assuming the per-column set
+    # (advisor r4: a borderline wide display config could otherwise be
+    # admitted past the real VMEM need).
     nseg = nint if mode == "welch" else 1
     stage_mats = 3 if _use_gauss(precision, nseg) else 2
     split = 2 if precision == "balanced" else 1
-    const_bytes = (stage_mats * split * (n1 * n1 + n2 * n2)
-                   + 3 * n1 * n2) * 4
+    tb = _pick_stream_tb(nfft, k)
+    g = wide_group(nfft, tb, precision) if tb > 1 else 1
+    const_bytes = (stage_mats * split * (g * g * n1 * n1 + n2 * n2)
+                   + 3 * nfft * tb) * 4
+    # fold temps: ~6 live (n1, tb*n2) f32 intermediates + the
+    # (tb, n1, n2) accum on the wide path (the tb picker bounds these to
+    # a quarter of the block budget); per-column scratch otherwise
+    temps = 8 * tb * nfft * 4 if tb > 1 else 4 * n1 * n2 * 4
     need = (nsub * 2 * buf_len * 4        # resident buffer
-            + nsub * nfft * 4             # one out column block
-            + const_bytes + 4 * n1 * n2 * 4)  # consts + scratch/temps
+            + nsub * nfft * tb * 4        # out block: tb columns/step
+            + const_bytes + temps)
     return need <= MAX_BLOCK_BYTES
 
 
@@ -821,23 +850,10 @@ def make_pallas_stream_psd(
             jax.lax.fori_loop(0, nseg, seg_body, 0)
             _write_shifted(out_ref, 0, sub, accum[...] * inv_scale, n2)
 
-    def _pick_stream_tb(k: int, nsub: int) -> int:
-        # same rationale as pick_contiguous_tb: per-column tiny GEMMs
-        # are launch-bound at small nfft. The buffer already rides VMEM
-        # whole, so the fold's only VMEM premium is the folded temps
-        # (~6 live (n1, tb*n2) f32 intermediates + the (tb, n1, n2)
-        # accum); keep them within a quarter of the block budget.
-        if nfft > 16384:
-            return 1
-        for tb in (128, 64, 32, 16, 8, 4, 2):
-            if k % tb == 0 and 8 * tb * nfft * 4 <= MAX_BLOCK_BYTES // 4:
-                return tb
-        return 1
-
     @functools.lru_cache(maxsize=8)
     def build(k: int, nsub: int):
         flops_seg = 8 * 2 * (n1 * n1 * n2 + n1 * n2 * n2)
-        tb = _pick_stream_tb(k, nsub)
+        tb = _pick_stream_tb(nfft, k)
         wide = tb > 1
         g = wide_group(nfft, tb, precision) if wide else 1
         if wide:

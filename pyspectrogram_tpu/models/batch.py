@@ -46,6 +46,7 @@ def make_batched_sti_fn_pm(
     eps: float = 1e-15,
     fft_impl: str = "auto",
     precision: str = "exact",
+    tile=None,
 ):
     """Build ``f(samples_merged, inv_ref_sq) -> dict`` for B STIs at once.
 
@@ -61,7 +62,34 @@ def make_batched_sti_fn_pm(
 
     Returns {"sxx_dbfs": (B, ntime, nsub, nfft),
              "sxx_med_dbfs": (B, nsub, nfft)}.
+
+    With ``tile`` (a display.TileSpec — all B requests must share the crop
+    plan, i.e. equal sample rate and frequency window), the display
+    epilogue fuses into the same program and the signature grows a
+    PER-REQUEST color operand: ``f(samples_merged, inv_ref_sq, qparams)``
+    with qparams (B, 2) float32 rows of ``TileSpec.qparams`` — tabs with
+    different color ranges share one compiled program (the program keys on
+    ``tile.crop_key()`` only, same contract as stft.make_sti_fn_pm).
+    Output swaps ``sxx_dbfs`` for ``tile``: (B, ntime, nsub, plot_n) uint8
+    — the float spectra never leave HBM.
     """
+    if tile is not None:
+        canon = tile.crop_key()
+        if tile != canon:
+            inner_fn = make_batched_sti_fn_pm(
+                nfft=nfft, nint=nint, ntime=ntime, mode=mode, window=window,
+                eps=eps, fft_impl=fft_impl, precision=precision, tile=canon)
+            default_qp = tile.qparams
+
+            def batched_default(samples_merged, inv_ref_sq, qparams=None):
+                if qparams is None:
+                    qparams = np.broadcast_to(
+                        default_qp, (np.shape(inv_ref_sq)[0], 2))
+                return inner_fn(samples_merged, inv_ref_sq,
+                                np.asarray(qparams, np.float32))
+
+            return batched_default
+
     frame_len = nfft * nint
     inner = stft.make_sti_fn_pm(
         nfft=nfft, nint=nint, mode=mode, window=window, ref=1.0, eps=eps,
@@ -69,8 +97,7 @@ def make_batched_sti_fn_pm(
         return_linear=True,
     )
 
-    @jax.jit
-    def batched(samples_merged: jax.Array, inv_ref_sq: jax.Array) -> dict:
+    def scaled_powers(samples_merged, inv_ref_sq):
         nplanes, Ltot = samples_merged.shape
         nsub = nplanes // 2
         B = inv_ref_sq.shape[0]
@@ -81,7 +108,27 @@ def make_batched_sti_fn_pm(
         out = inner(samples_merged, starts)
         p = out["sxx"].reshape(B, ntime, nsub, nfft)
         p = p * inv_ref_sq.astype(p.dtype)[:, None, None, None]
-        p_med = jax.vmap(stft.median_over_time)(p)
+        return p, jax.vmap(stft.median_over_time)(p)
+
+    if tile is not None:
+        from pyspectrogram_tpu.display.tile import quantize_tile_linear
+
+        @jax.jit
+        def batched_tile(samples_merged: jax.Array, inv_ref_sq: jax.Array,
+                         qparams: jax.Array) -> dict:
+            p, p_med = scaled_powers(samples_merged, inv_ref_sq)
+            return {
+                "tile": jax.vmap(
+                    lambda pb, qp: quantize_tile_linear(pb, tile, eps, qp)
+                )(p, qparams),
+                "sxx_med_dbfs": stft.to_dbfs(p_med, eps),
+            }
+
+        return batched_tile
+
+    @jax.jit
+    def batched(samples_merged: jax.Array, inv_ref_sq: jax.Array) -> dict:
+        p, p_med = scaled_powers(samples_merged, inv_ref_sq)
         return {
             "sxx_dbfs": stft.to_dbfs(p, eps),
             "sxx_med_dbfs": stft.to_dbfs(p_med, eps),
@@ -204,8 +251,19 @@ class BatchedStiPipeline:
         self.config = config
         self.mesh = mesh
 
-    def compute(self, time_spans: Optional[Sequence] = None):
-        """Returns a list of StiResult, one per request (same order)."""
+    def compute(self, time_spans: Optional[Sequence] = None,
+                color_ranges: Optional[Sequence] = None,
+                refresh_bounds: bool = True):
+        """Returns a list of StiResult, one per request (same order).
+
+        ``color_ranges``: per-request (cmin, cmax) dBFS color ranges for
+        display-tile mode (defaults to the shared config's); tile mode is
+        on when ``config.display_tile`` is set — the requests must then
+        share a crop plan (equal sample rates), and each result carries a
+        uint8 ``tile`` instead of float spectra, exactly like the
+        single-request tile tier (models.sti).
+        ``refresh_bounds=False`` skips the per-request bounds stat when
+        the caller already refreshed this cycle (runtime.scheduler)."""
         from pyspectrogram_tpu.io.time_util import (
             samples_to_datetime64,
             time_to_sample,
@@ -213,12 +271,17 @@ class BatchedStiPipeline:
         from pyspectrogram_tpu.models.sti import StiResult, assemble_device_block
 
         cfg = self.config
+        if cfg.display_tile and self.mesh is not None:
+            raise ValueError(
+                "display-tile batching is single-chip only (the mesh tier "
+                "reads back float spectra) — unset display_tile or mesh")
         frame_len = cfg.nfft * cfg.nint
-        blocks, refs, metas = [], [], []
+        blocks, refs, metas, specs = [], [], [], []
         for i, (ds, entry) in enumerate(self.requests):
             chan, isub = ds._split_entry(entry or ds.channels[0])
             sr = ds.sr_dict[chan]
-            ds.bnds_update()
+            if refresh_bounds:
+                ds.bnds_update()
             # None sides mean that edge of the capture (utils.config)
             st_time, end_time = resolve_time_span(
                 time_spans[i] if (time_spans is not None
@@ -233,6 +296,27 @@ class BatchedStiPipeline:
             blocks.append(pm)
             refs.append(1.0 / float(ds.ref_dict[chan]) ** 2)
             metas.append((sr, n_st, col_mask))
+            if cfg.display_tile:
+                from pyspectrogram_tpu.display.tile import make_tile_spec
+
+                specs.append(make_tile_spec(
+                    stft.shifted_freqs(cfg.nfft, sr), cfg.freq_window_khz,
+                    color_ranges[i] if color_ranges is not None
+                    else cfg.color_range_db))
+
+        # tile mode needs ONE crop plan shared by the whole launch (the
+        # color ranges ride per-request as runtime operands); an empty
+        # frequency window (spec None) falls back to the float path like
+        # the single-request tier
+        spec = None
+        if cfg.display_tile and specs and all(s is not None for s in specs):
+            crops = {s.crop_key() for s in specs}
+            if len(crops) != 1:
+                raise ValueError(
+                    "display-tile batching needs one shared crop plan — "
+                    "the requests' sample rates differ")
+            (spec,) = crops
+            qparams = np.stack([s.qparams for s in specs])
 
         nsubs = {b.shape[0] for b in blocks}
         if len(nsubs) != 1:
@@ -280,21 +364,37 @@ class BatchedStiPipeline:
             fn = make_batched_sti_fn_pm(
                 nfft=cfg.nfft, nint=cfg.nint, ntime=cfg.ntime, mode=cfg.mode,
                 window=cfg.window, eps=cfg.eps, precision=cfg.precision,
+                tile=spec,
             )
-            out = fn(jnp.asarray(merged), inv_refs)
-            sxx_b = np.asarray(out["sxx_dbfs"])
+            if spec is not None:
+                out = fn(jnp.asarray(merged), inv_refs, qparams)
+                tile_b = np.asarray(out["tile"])
+            else:
+                out = fn(jnp.asarray(merged), inv_refs)
+                sxx_b = np.asarray(out["sxx_dbfs"])
         med_b = np.asarray(out["sxx_med_dbfs"])
 
         results = []
         for i, (sr, n_st, col_mask) in enumerate(metas):
+            freqs = stft.shifted_freqs(cfg.nfft, sr)
+            if spec is not None:
+                from pyspectrogram_tpu.display.tile import tile_freqs
+
+                sxx_dbfs = None  # floats intentionally stay on device
+                tile_i, plotf = tile_b[i], tile_freqs(specs[i], freqs)
+            else:
+                sxx_dbfs = stft.to_reference_layout(sxx_b[i])
+                tile_i = plotf = None
             results.append(StiResult(
                 iteration=0,
                 times=samples_to_datetime64(n_st, sr),
-                freqs=stft.shifted_freqs(cfg.nfft, sr),
-                sxx_dbfs=stft.to_reference_layout(sxx_b[i]),
+                freqs=freqs,
+                sxx_dbfs=sxx_dbfs,
                 sxx_med_dbfs=np.moveaxis(med_b[i], -1, 0),
                 sample_rate=sr,
                 frame_starts=np.asarray(n_st),
                 mask=col_mask,
+                tile=tile_i,
+                plot_freqs=plotf,
             ))
         return results

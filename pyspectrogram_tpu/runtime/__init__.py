@@ -1,5 +1,6 @@
 from pyspectrogram_tpu.runtime.live import LiveStreamEngine
 from pyspectrogram_tpu.runtime.processor import SpectrogramProcessor
+from pyspectrogram_tpu.runtime.scheduler import SharedRefreshScheduler
 from pyspectrogram_tpu.runtime.signals import (
     Iterated,
     ProcessorCallbacks,
@@ -11,6 +12,7 @@ __all__ = [
     "Iterated",
     "LiveStreamEngine",
     "ProcessorCallbacks",
+    "SharedRefreshScheduler",
     "SpectrogramProcessor",
     "StatsUpdated",
     "Terminated",

@@ -68,12 +68,19 @@ class SpectrogramProcessor:
         streaming_sleep: float = 0.08,
         max_iterations: Optional[int] = None,
         mesh=None,
+        scheduler=None,
     ):
         """``mesh`` (a parallel.make_mesh Mesh) runs every iteration's
         compute multi-chip: written mode dispatches through
         StiPipeline(mesh=...) (column/chan sharding or the dist-FFT
         tier), streaming mode chan-shards the live ring
-        (StreamingSti(mesh=...))."""
+        (StreamingSti(mesh=...)).
+
+        ``scheduler`` (a runtime.scheduler.SharedRefreshScheduler) makes
+        written-mode ``start()`` register with the shared refresh loop
+        instead of spawning a per-tab thread, so same-shape tabs merge
+        into one batched device launch per cycle; streaming mode ignores
+        it (the live engine's ring is stateful per tick)."""
         self.tab_id = tab_id
         self.callbacks = callbacks or ProcessorCallbacks()
         self.written_sleep = written_sleep
@@ -95,6 +102,11 @@ class SpectrogramProcessor:
         self._last_key = None
         self._last_result = None
         self.skipped_recomputes = 0     # observability counter
+        # shared-scheduler mode (runtime.scheduler): per-processor
+        # iteration counter + delivered flag the scheduler maintains
+        self._scheduler = scheduler
+        self._sched_i = -1
+        self._sched_delivered = False
 
         streaming = str(datasource).lower() == "streaming"
         self._config = config.replace(streaming=streaming)
@@ -142,7 +154,13 @@ class SpectrogramProcessor:
 
     def start(self) -> "SpectrogramProcessor":
         """Spawn the worker thread (the reference runs on a QThreadPool,
-        reference: drfview.py:1183)."""
+        reference: drfview.py:1183) — or, with a shared ``scheduler`` in
+        written mode, register with its refresh loop so same-shape tabs
+        batch into one device launch per cycle (runtime.scheduler)."""
+        if (self._scheduler is not None and self.is_running
+                and getattr(self, "_live", None) is None):
+            self._scheduler.register(self)
+            return self
         self._thread = threading.Thread(target=self.run, daemon=True)
         self._thread.start()
         return self
@@ -208,17 +226,7 @@ class SpectrogramProcessor:
                         return
                     self._stop.wait(self.streaming_sleep)
                     continue
-                self.callbacks.emit_iterated(Iterated(
-                    i=i,
-                    tab_id=self.tab_id,
-                    times=result.times,
-                    freqs=result.freqs,
-                    sxx_dbfs=result.sxx_dbfs,
-                    sxx_med_dbfs=result.sxx_med_dbfs,
-                    tile=result.tile,
-                    plot_freqs=result.plot_freqs,
-                    mask=result.mask,
-                ))
+                self._emit_iterated(i, result)
                 delivered = True
                 if self._stop.is_set():
                     return
@@ -311,8 +319,27 @@ class SpectrogramProcessor:
     def join(self, timeout: Optional[float] = None) -> None:
         if self._thread is not None:
             self._thread.join(timeout)
+        elif self._scheduler is not None:
+            # scheduler mode has no per-tab thread: "join" = wait out the
+            # refresh cycle currently serving this processor (if any)
+            self._scheduler.drain(self, timeout)
 
     # ------------------------------------------------------------ internal
+    def _emit_iterated(self, i: int, result) -> None:
+        """One Iterated payload from an StiResult (shared by run() and the
+        shared-scheduler delivery path, runtime.scheduler)."""
+        self.callbacks.emit_iterated(Iterated(
+            i=i,
+            tab_id=self.tab_id,
+            times=result.times,
+            freqs=result.freqs,
+            sxx_dbfs=result.sxx_dbfs,
+            sxx_med_dbfs=result.sxx_med_dbfs,
+            tile=result.tile,
+            plot_freqs=result.plot_freqs,
+            mask=result.mask,
+        ))
+
     def _emit_stats(self, cfg: SpectrogramConfig) -> None:
         chan, _ = self.pipeline.channel_of(cfg)
         self.callbacks.emit_stats(StatsUpdated(
@@ -329,6 +356,8 @@ class SpectrogramProcessor:
         self.reason = reason
         self.is_running = False
         self._stop.set()
+        if self._scheduler is not None:
+            self._scheduler.unregister(self)
         # wake any run() blocked in _ready.wait(): a failed __init__ must
         # not stall synchronous callers
         self._ready.set()

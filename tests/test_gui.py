@@ -424,6 +424,54 @@ def test_live_streaming_tab(tmp_path):
     assert win.close()
 
 
+def test_multi_tab_merged_launch(tone_capture):
+    """Three same-shape written tabs share the refresh scheduler: one
+    cycle = ONE merged batched device launch serving all three (the
+    models.batch tier, measured 2.7x the N-dispatch pattern — reachable
+    from the multi-tab client now, reference: drfview.py:177-178)."""
+    top, meta = tone_capture
+    win = gui.MainWindow()
+    win.scheduler.autostart = False  # drive deterministic cycles
+    win.new_tab()
+    win.new_tab()
+    assert win.tabs.count() == 3
+    for tab_id in (1, 2, 3):
+        _start(win, top, tab_id=tab_id, ntime=100)
+    assert all(win.states[t].processor.is_running for t in (1, 2, 3))
+    assert win.scheduler.merged_launches == 0
+
+    win.scheduler.tick_once()
+    assert win.scheduler.merged_launches == 1
+    assert win.scheduler.merged_requests == 3
+    assert win.scheduler.solo_launches == 0
+    for t in (1, 2, 3):
+        st = win.states[t]
+        assert st.last is not None and st.last.i == 0
+        # GUI tabs run display-tile mode: the merged launch carried the
+        # fused uint8 epilogue, floats never left the device
+        assert st.last.tile is not None and st.last.sxx_dbfs is None
+        assert len(st.sti_ax.collections) == 1  # waterfall rendered
+
+    # static capture: the next cycle recomputes nothing (delta-aware)
+    win.scheduler.tick_once()
+    assert win.scheduler.merged_launches == 1
+    assert all(win.states[t].processor.skipped_recomputes == 1
+               for t in (1, 2, 3))
+
+    # a settings change on one tab recomputes that tab solo next cycle
+    st2 = win.states[2]
+    st2.nfft.setValue(512)
+    win.pull_settings(2)
+    win.scheduler.tick_once()
+    assert win.scheduler.merged_launches == 1
+    assert win.scheduler.solo_launches == 1
+    assert st2.last.plot_freqs.shape[0] > 0
+
+    for t in (1, 2, 3):
+        win.states[t].processor.abort()
+    assert win.close()
+
+
 def test_save_t1_user_pin_survives_new_results(tone_capture):
     """A user edit of End time stops follow-the-newest via an explicit
     flag; programmatic updates (range growth, follow writes) never set it

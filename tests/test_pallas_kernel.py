@@ -566,6 +566,15 @@ def test_stream_kernel_support_gates():
     assert not pallas_stream_supported(1 << 16, 1, 1 << 15, 4, 2)
     # VMEM budget: an absurdly long buffer is refused
     assert not pallas_stream_supported(16384, 1, 8192, 4096, 2)
+    # wide-path accounting (advisor r4): the gate must count what the
+    # lane-folded build actually ships — tb-tiled window/twiddles, fold
+    # temps, and the display tier's blockdiag'd (g*n1)^2 stage-1 — so a
+    # long-k display push whose buffer ALONE would fit is refused...
+    assert not pallas_stream_supported(1024, 1, 512, 2560, 2,
+                                       precision="display")
+    # ...while the same shape at a short k fits comfortably
+    assert pallas_stream_supported(1024, 1, 512, 128, 2,
+                                   precision="display")
 
 
 def test_pick_impl_shared_policy(monkeypatch):
