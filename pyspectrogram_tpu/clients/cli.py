@@ -66,6 +66,8 @@ def _config_from(args):
         kw["freq_window_khz"] = tuple(args.frange)
     if args.tstart is not None or args.tend is not None:
         kw["time_span"] = (args.tstart, args.tend)
+    if getattr(args, "hop", None):
+        kw["hop"] = args.hop
     return SpectrogramConfig(**kw)
 
 
@@ -247,7 +249,11 @@ def cmd_stream(args) -> int:
     lo, hi = ds.bnds[chan]
     nsub = len(ds.chan_2sub[chan])
     sr = ds.sr_dict[chan]
-    block_len = args.nfft * args.nint * args.cols_per_block
+    # --hop < nfft*nint overlaps consecutive columns (overlap-save); each
+    # block feeds cols_per_block columns spaced hop samples apart, with
+    # the frame_len - hop carry riding between pushes
+    hop = args.hop or args.nfft * args.nint
+    block_len = hop * args.cols_per_block
     n_blocks = (hi - lo + 1) // block_len
     if n_blocks == 0:
         print(json.dumps({"error": "capture shorter than one block"}))
@@ -255,8 +261,8 @@ def cmd_stream(args) -> int:
 
     s = StreamingSti(
         nfft=args.nfft, nint=args.nint, nsub=nsub, block_len=block_len,
-        ring_len=args.ring_len, mode=args.mode, ref=ds.ref_dict[chan],
-        precision=args.precision,
+        hop=hop, ring_len=args.ring_len, mode=args.mode,
+        ref=ds.ref_dict[chan], precision=args.precision,
     )
     state = s.init_state()
     with stream_blocks(ds, chan, lo, block_len, n_blocks) as feeder:
@@ -267,7 +273,10 @@ def cmd_stream(args) -> int:
     freqs = shifted_freqs(args.nfft, sr)
     cols = ring_db[args.ring_len - nvalid:]          # oldest -> newest
     hop_samples = s.hop
-    first_col_sample = lo + (int(state.total_cols) - nvalid) * hop_samples
+    # overlapping hops: the first frame borrows the (zero) initial carry,
+    # so column k's frame starts carry_len samples BEFORE lo + k*hop
+    first_col_sample = (lo - (s.frame_len - s.hop)
+                        + (int(state.total_cols) - nvalid) * hop_samples)
     times = np.asarray([
         sample_to_datetime(first_col_sample + k * hop_samples, sr)
         for k in range(nvalid)
@@ -504,6 +513,10 @@ def main(argv=None) -> int:
                    help="DFT numerics tier for the live ring")
     p.add_argument("--cols-per-block", type=int, default=8)
     p.add_argument("--ring-len", type=int, default=512)
+    p.add_argument("--hop", type=int, default=None,
+                   help="column hop in samples (< nfft*nint overlaps "
+                        "columns, overlap-save; default nfft*nint = "
+                        "contiguous)")
     p.add_argument("--crange", type=float, nargs=2)
     p.add_argument("--renderer", default="auto",
                    choices=["auto", "matplotlib", "pixels"])
@@ -517,6 +530,9 @@ def main(argv=None) -> int:
     p.add_argument("--refresh-s", type=float, default=0.08)
     p.add_argument("--iterations", type=int, default=None,
                    help="stop after N refreshes (default: run until Ctrl-C)")
+    p.add_argument("--hop", type=int, default=None,
+                   help="live column hop in samples (< nfft*nint overlaps "
+                        "columns; default nfft*nint = contiguous)")
     _add_common(p)
     p.add_argument("--renderer", default="auto",
                    choices=["auto", "matplotlib", "pixels"])

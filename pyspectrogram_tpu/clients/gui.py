@@ -443,7 +443,8 @@ class MainWindow(QtWidgets.QMainWindow):
                 # touch every field the adoption below needs, so a foreign
                 # npz with a plausible header fails HERE (one dialog) and
                 # not mid-start with widgets already mutated
-                (int(sig[0]), int(sig[1]), float(sig[6]), float(sig[7]))
+                (int(sig[0]), int(sig[1]), float(sig[6]), float(sig[7]),
+                 int(sig[8]))
             except (ValueError, KeyError, OSError, IndexError,
                     TypeError) as e:
                 # same guarded preload as the CLI's cmd_watch: a corrupt,
@@ -489,7 +490,10 @@ class MainWindow(QtWidgets.QMainWindow):
             cfg = cfg.replace(mode=sig[2], window=window, precision=sig[4],
                               channel=sig[5],
                               stream_seconds=float(sig[6]),
-                              eps=float(sig[7]))
+                              eps=float(sig[7]),
+                              # column hop (overlap-save) has no widget;
+                              # the signature stores the effective value
+                              hop=int(sig[8]))
         st.processor = SpectrogramProcessor(
             datasource, drfdir, tab_id, cfg,
             callbacks=st.bridge.callbacks(),

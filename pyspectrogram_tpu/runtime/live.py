@@ -48,9 +48,12 @@ def _signature(cfg: SpectrogramConfig):
     numerics of the compiled push — eps is baked into every dB/tile
     program, so it is a numerics knob too). Color range, freq window,
     ntime and display_tile are display-edge knobs and do NOT re-init
-    the ring."""
+    the ring. The hop entry is canonicalized to its effective value
+    (None means contiguous = nfft*nint), so hop=None and an explicit
+    contiguous hop describe the same ring."""
     return (cfg.nfft, cfg.nint, cfg.mode, cfg.window, cfg.precision,
-            cfg.channel, float(cfg.stream_seconds), float(cfg.eps))
+            cfg.channel, float(cfg.stream_seconds), float(cfg.eps),
+            int(cfg.hop or cfg.nfft * cfg.nint))
 
 
 class LiveStreamEngine:
@@ -80,11 +83,16 @@ class LiveStreamEngine:
         self.sr: Fraction = ds.sr_dict[chan]
         self.ref = ds.ref_dict[chan]
         self.nsub = 1 if isub is not None else len(ds.chan_2sub[chan])
-        self.hop = cfg.nfft * cfg.nint          # contiguous columns
+        frame_len = cfg.nfft * cfg.nint
+        # column spacing: contiguous by default; cfg.hop < frame_len
+        # overlaps columns (overlap-save — the carry holds the trailing
+        # frame_len - hop samples between pushes, README.md:16)
+        self.hop = int(cfg.hop or frame_len)
+        self.carry_len = frame_len - self.hop
         self._iteration = -1
         self.samples_read = 0                   # O(delta) observability
 
-        # trailing-window geometry: how many contiguous columns cover
+        # trailing-window geometry: how many hop-spaced columns cover
         # stream_seconds (reference streamtime, drfProc.py:241)
         w = int(-(-(cfg.stream_seconds * self.sr) // self.hop))  # ceil
         cap = max(1, RING_BYTE_BUDGET // (self.nsub * cfg.nfft * 4))
@@ -116,8 +124,8 @@ class LiveStreamEngine:
 
         self.sti = StreamingSti(
             nfft=cfg.nfft, nint=cfg.nint, nsub=self.nsub,
-            block_len=self.block_len, ring_len=ring_len, mode=cfg.mode,
-            window=cfg.window, ref=self.ref, eps=cfg.eps,
+            block_len=self.block_len, hop=self.hop, ring_len=ring_len,
+            mode=cfg.mode, window=cfg.window, ref=self.ref, eps=cfg.eps,
             precision=cfg.precision, mesh=mesh,
         )
         self.state = self.sti.init_state() if init_device_state else None
@@ -130,10 +138,55 @@ class LiveStreamEngine:
         # the batch path's mask (SURVEY.md section 5 failure detection;
         # the reference crashed on gaps)
         self.col_mask = np.ones(ring_len, bool)
+        # gap shadow of the device carry (frame_len - hop samples): with
+        # overlapping hops a column's validity spans carry + block
+        self._carry_mask = np.ones(self.carry_len, bool)
         # anchor at the current trailing window (cold start reads at most
-        # one window, never the whole capture)
-        self.start_sample = max(lo, hi + 1 - self.window_cols * self.hop)
-        self.next_sample = self.start_sample
+        # one window, never the whole capture). Column j's frame covers
+        # [start_sample + j*hop, + frame_len): the window's last frame
+        # ends at the data tail when the anchor backs off by the extra
+        # carry_len (0 for contiguous hops).
+        self.start_sample = max(
+            lo, hi + 1 - (self.window_cols * self.hop + self.carry_len))
+        self.next_sample = self.start_sample + self.carry_len
+        if init_device_state and self.carry_len:
+            self._seed_carry()
+
+    def _seed_carry(self) -> None:
+        """Overlapping hops only: pre-fill the device carry with the
+        frame_len - hop samples before the first block slice, so column 0
+        covers [start_sample, start_sample + frame_len) with real data
+        (reads before the capture start zero-fill and flag the gap mask,
+        like any gap; resume() installs a checkpointed carry instead)."""
+        import jax
+        import jax.numpy as jnp
+
+        from pyspectrogram_tpu.native import ingest as native_ingest
+
+        raw, mask = self.ds.reader.read_vector_raw(
+            self.start_sample, self.carry_len, self.chan, return_mask=True)
+        if self.isub is not None:
+            raw = raw[:, self.isub : self.isub + 1]
+        pm = native_ingest.assemble_plane_major(
+            _assemblable(raw), np.asarray([0], np.int64), self.carry_len)
+        carry = jnp.asarray(np.asarray(pm, np.float32))
+        carry_sh = self.sti._shardings()[0]
+        if carry_sh is not None:
+            carry = jax.device_put(carry, carry_sh)
+        self.state = dataclasses.replace(self.state, carry=carry)
+        self._carry_mask = np.asarray(mask, bool)
+        self.samples_read += self.carry_len
+
+    def _col_valid(self, m: np.ndarray, n: int) -> np.ndarray:
+        """Validity of ``n`` hop-spaced columns whose frames slide over
+        the sample-mask ``m`` (carry mask + block/tail mask): column t is
+        valid iff m[t*hop : t*hop + frame_len] has no gap. O(len(m)) via
+        a gap-count prefix sum (hop == frame_len degenerates to the
+        per-block reshape this replaces)."""
+        frame_len = self.hop + self.carry_len
+        bad = np.concatenate([[0], np.cumsum(~np.asarray(m, bool))])
+        t = np.arange(n) * self.hop
+        return bad[t + frame_len] - bad[t] == 0
 
     # ----------------------------------------------------------- checkpoint
     def save(self, path):
@@ -163,7 +216,9 @@ class LiveStreamEngine:
             "cols_per_block": int(self.cols_per_block),
         }
         return checkpoint.save_stream_state(
-            path, self.state, meta, extra_arrays={"col_mask": self.col_mask})
+            path, self.state, meta,
+            extra_arrays={"col_mask": self.col_mask,
+                          "carry_mask": self._carry_mask})
 
     @classmethod
     def resume(cls, ds: RFDataset, cfg: SpectrogramConfig, path,
@@ -230,6 +285,9 @@ class LiveStreamEngine:
         mask = meta.get("arrays", {}).get("col_mask")
         if mask is not None:
             eng.col_mask = np.asarray(mask).astype(bool)
+        cmask = meta.get("arrays", {}).get("carry_mask")
+        if cmask is not None and len(cmask) == eng.carry_len:
+            eng._carry_mask = np.asarray(cmask).astype(bool)
         return eng
 
     # ---------------------------------------------------------------- ingest
@@ -250,8 +308,11 @@ class LiveStreamEngine:
             self.state = self.sti.init_state()
             self.total_cols = 0
             self.col_mask[:] = True
-            self.start_sample = hi + 1 - max_backlog
-            self.next_sample = self.start_sample
+            self.start_sample = hi + 1 - max_backlog - self.carry_len
+            self.next_sample = self.start_sample + self.carry_len
+            self._carry_mask = np.ones(self.carry_len, bool)
+            if self.carry_len:
+                self._seed_carry()
         n_blocks = 0
         block_sh = self.sti.block_sharding()
         while hi + 1 - self.next_sample >= self.block_len:
@@ -260,8 +321,10 @@ class LiveStreamEngine:
                 return_mask=True)
             rows = (self.total_cols
                     + np.arange(self.cols_per_block)) % self.sti.ring_len
-            self.col_mask[rows] = mask.reshape(
-                self.cols_per_block, self.hop).all(axis=1)
+            m = np.concatenate([self._carry_mask, mask])
+            self.col_mask[rows] = self._col_valid(m, self.cols_per_block)
+            if self.carry_len:
+                self._carry_mask = m[len(m) - self.carry_len:]
             self.samples_read += self.block_len
             if self.isub is not None:
                 raw = raw[:, self.isub : self.isub + 1]
@@ -277,9 +340,14 @@ class LiveStreamEngine:
             self.next_sample += self.block_len
             n_blocks += 1
         # complete columns beyond the cursor that do not yet fill a whole
-        # block (0..cols_per_block-1); the tail view surfaces them
+        # block (0..cols_per_block-1); the tail view surfaces them. A
+        # column is complete when its whole frame exists: the next
+        # unpushed column starts carry_len before the cursor.
+        avail = hi + 1 - (self.next_sample - self.carry_len)
+        frame_len = self.hop + self.carry_len
         self._tail_pending = int(
-            max(0, hi + 1 - self.next_sample) // self.hop)
+            max(0, (avail - frame_len) // self.hop + 1)
+            if avail >= frame_len else 0)
         return n_blocks
 
     # ------------------------------------------------------------- tail view
@@ -297,7 +365,11 @@ class LiveStreamEngine:
             fn = stft.make_sti_fn_pm(
                 nfft=cfg.nfft, nint=cfg.nint, mode=cfg.mode,
                 window=cfg.window, ref=self.ref, eps=cfg.eps,
-                contiguous=True, precision=cfg.precision, tile=spec,
+                # overlapping hops: frames start every hop < frame_len
+                # samples, so the contiguous fast path doesn't apply and
+                # the factory's gather path slices them from the buffer
+                contiguous=self.carry_len == 0,
+                precision=cfg.precision, tile=spec,
             )
             if len(self._tail_fns) >= 16:
                 self._tail_fns.pop(next(iter(self._tail_fns)))
@@ -339,22 +411,25 @@ class LiveStreamEngine:
         if key == self._tail_cache_key:
             rows, colmask = self._tail_cache
         else:
+            # the next unpushed column starts carry_len before the read
+            # cursor (its frame reuses the carry's samples); the last
+            # pending column's frame ends frame_len past its start
+            span = (pending - 1) * self.hop + self.hop + self.carry_len
             raw, mask = self.ds.reader.read_vector_raw(
-                self.next_sample, pending * self.hop, self.chan,
+                self.next_sample - self.carry_len, span, self.chan,
                 return_mask=True)
-            self.tail_samples_read += pending * self.hop
+            self.tail_samples_read += span
             if self.isub is not None:
                 raw = raw[:, self.isub : self.isub + 1]
             pm = native_ingest.assemble_plane_major(
-                _assemblable(raw), np.asarray([0], np.int64),
-                pending * self.hop)
+                _assemblable(raw), np.asarray([0], np.int64), span)
             # pow2 ladder: O(log cols_per_block) compiled programs as the
             # tail grows, not one per pending count
             n = 1 << (pending - 1).bit_length()
             if n > pending:
+                pad = (n - pending) * self.hop
                 pm = np.concatenate(
-                    [pm, np.zeros((pm.shape[0], (n - pending) * self.hop),
-                                  pm.dtype)], axis=1)
+                    [pm, np.zeros((pm.shape[0], pad), pm.dtype)], axis=1)
             out = self._tail_fn(n, spec)(
                 jnp.asarray(pm),
                 jnp.arange(n, dtype=jnp.int32) * self.hop,
@@ -363,7 +438,7 @@ class LiveStreamEngine:
             # (n, nsub, plot_n) uint8 tile / (n, nsub, nfft) float dBFS
             rows = np.asarray(out["tile" if spec is not None
                                   else "sxx_dbfs"])[:pending]
-            colmask = mask.reshape(pending, self.hop).all(axis=1)
+            colmask = self._col_valid(mask, pending)
             self._tail_cache_key = key
             self._tail_cache = (rows, colmask)
         cols = self.total_cols + grid

@@ -72,6 +72,13 @@ class SpectrogramConfig:
     #: streaming mode uses a trailing window (reference: drfProc.py:239-241)
     streaming: bool = False
     stream_seconds: float = DEFAULT_STREAM_SECONDS
+    #: streaming column hop in samples (overlap-save): consecutive STI
+    #: columns start ``hop`` samples apart and overlap by nfft*nint - hop.
+    #: None (default) = nfft*nint, i.e. contiguous non-overlapping columns.
+    #: Applies to the streaming paths (StreamingSti / the live engine /
+    #: CLI stream+watch); written-mode STI spaces its columns by the
+    #: ntime linspace instead (reference parity, drfProc.py:159).
+    hop: Optional[int] = None
     #: display-tile mode: the pipeline fuses the display epilogue (freq
     #: crop + decimation + 256-level quantization) into the device program
     #: and reads back ONLY the uint8 tile + median PSD — never the float
@@ -94,6 +101,12 @@ class SpectrogramConfig:
                 f"{self.precision!r}")
         validate_range(self.color_range_db, "color_range_db")
         validate_range(self.freq_window_khz, "freq_window_khz")
+        if self.hop is not None and not (
+                0 < int(self.hop) <= self.nfft * self.nint):
+            raise ValueError(
+                f"hop {self.hop} must be in (0, nfft*nint="
+                f"{self.nfft * self.nint}] (hop == nfft*nint is the "
+                f"contiguous case; smaller hops overlap columns)")
         if self.time_span is not None:
             try:
                 lo, hi = self.time_span

@@ -345,3 +345,44 @@ def test_check_snapshot_remeasures_suspect_high_rows(tmp_path, capsys):
     err = capsys.readouterr().err
     assert ok and calls == ["sti/1024/auto/welch"]
     assert "suspect-high" in err and "12.500" in err
+
+
+def test_stream_command_with_hop(tmp_path, capsys):
+    """stream --hop < nfft*nint pushes an OVERLAPPED stream: one column
+    per hop samples (overlap-save), peak still at the tone."""
+    drf = tmp_path / "cap_hop"
+    _run(capsys, "synth", "--out", str(drf), "--kind", "tone",
+         "--n-samples", "65536", "--sample-rate", "1000000",
+         "--freqs", "-250000")
+    png = tmp_path / "sh.png"
+    rc, res = _run(capsys, "stream", str(drf), "--out", str(png),
+                   "--nfft", "256", "--hop", "128", "--cols-per-block", "4",
+                   "--ring-len", "64", "--renderer", "pixels")
+    assert rc == 0 and png.exists()
+    assert res["columns"] == 65536 // 128  # 2x the contiguous column count
+    assert res["ring_columns"] == 64
+    assert abs(res["peak_dbfs"]) < 0.1
+
+
+def test_watch_command_with_hop(tmp_path, capsys):
+    """watch --hop runs the LIVE engine in overlap-save mode end-to-end."""
+    drf = tmp_path / "cap_whop"
+    _run(capsys, "synth", "--out", str(drf), "--kind", "tone",
+         "--n-samples", "131072", "--sample-rate", "1000000",
+         "--freqs", "50000")
+    png = tmp_path / "wh.png"
+    rc, res = _run(capsys, "watch", str(drf), "--out", str(png),
+                   "--nfft", "256", "--hop", "128", "--ntime", "8",
+                   "--window-s", "0.01", "--refresh-s", "0.0",
+                   "--iterations", "2", "--renderer", "pixels")
+    assert rc == 0 and png.exists()
+    assert res["iterations"] == 2
+
+
+def test_stream_rejects_oversize_hop(tmp_path, capsys):
+    drf = tmp_path / "cap_badhop"
+    _run(capsys, "synth", "--out", str(drf), "--kind", "tone",
+         "--n-samples", "16384", "--sample-rate", "100000")
+    with pytest.raises(ValueError, match="hop"):
+        main(["stream", str(drf), "--out", str(tmp_path / "x.png"),
+              "--nfft", "256", "--hop", "512"])

@@ -623,3 +623,89 @@ def test_tail_surfaces_while_blocks_flow(tmp_path):
                                atol=1e-4)
     # the cursor still excludes the tail (checkpoints re-read it)
     assert eng.next_sample == START + n0 + 64 * 64
+
+
+def test_overlap_hop_columns_match_oracle(tone_capture):
+    """cfg.hop < nfft*nint runs the live engine in overlap-save mode:
+    columns start every hop samples and overlap by frame_len - hop.
+    Every displayed column — carry-seeded first column, ring columns,
+    tail columns — equals a from-scratch STI over the same frame
+    starts."""
+    import jax.numpy as jnp
+
+    from pyspectrogram_tpu.models.sti import assemble_device_block
+    from pyspectrogram_tpu.ops import stft
+
+    top, meta = tone_capture
+    ds = RFDataset(top)
+    cfg = SpectrogramConfig(nfft=256, nint=1, ntime=64,
+                            stream_seconds=0.005, hop=128, streaming=True)
+    eng = LiveStreamEngine(ds, cfg)
+    assert eng.hop == 128 and eng.carry_len == 128
+    res = eng.tick(cfg)
+    assert res is not None
+    assert np.all(np.diff(res.frame_starts) == 128)  # overlapping starts
+    chan = meta["channel"]
+    lo, hi = ds.bnds[chan]
+    # the newest complete column surfaces and its frame ends at the tail
+    assert res.frame_starts[-1] + 256 == hi + 1
+
+    fn = stft.make_sti_fn_pm(
+        nfft=256, nint=1, mode=cfg.mode, window=cfg.window,
+        ref=ds.ref_dict[chan], contiguous=True)
+    pm, starts_rel, _ = assemble_device_block(
+        ds, chan, None, res.frame_starts, 256)
+    out = fn(jnp.asarray(pm), jnp.asarray(starts_rel))
+    n = len(res.frame_starts)
+    want = stft.to_reference_layout(np.asarray(out["sxx_dbfs"])[:n])
+    np.testing.assert_allclose(res.sxx_dbfs, want, atol=1e-4)
+    want_med = np.moveaxis(np.asarray(out["sxx_med_dbfs"]), -1, 0)
+    # the ring median spans only pushed columns (tail joins on block
+    # completion), so compare against the ring-resident span
+    assert res.sxx_med_dbfs.shape == want_med.shape
+
+
+def test_overlap_checkpoint_resume_and_signature(tmp_path):
+    """The hop is a shape knob: checkpoints record it, a resume with a
+    different hop is refused, and a same-hop resume continues the
+    overlapped stream."""
+    w = _growing_writer(tmp_path, 40_000)
+    ds = RFDataset(tmp_path)
+    cfg = SpectrogramConfig(nfft=64, ntime=64, stream_seconds=0.02,
+                            hop=32, streaming=True)
+    eng = LiveStreamEngine(ds, cfg, target_block_samples=2048)
+    r1 = eng.tick(cfg)
+    assert r1 is not None
+    path = tmp_path / "st.npz"
+    eng.save(path)
+    with pytest.raises(ValueError, match="shape knobs"):
+        LiveStreamEngine.resume(ds, cfg.replace(hop=64), path)
+    eng2 = LiveStreamEngine.resume(ds, cfg, path)
+    assert eng2.hop == 32 and eng2.next_sample == eng.next_sample
+    w.rf_write(tone_signal(4096, SR, [12_500.0],
+                           start_sample=40_000).astype(np.complex64))
+    ds.bnds_update()
+    r2 = eng2.tick(cfg)
+    assert r2.frame_starts[-1] > r1.frame_starts[-1]
+    assert np.all(np.diff(r2.frame_starts) == 32)
+
+
+def test_overlap_gap_flags_touching_columns(tmp_path):
+    """With overlapping hops a written gap invalidates EVERY column whose
+    frame touches it (the sliding-window mask), not just the column whose
+    hop slice contains it."""
+    from pyspectrogram_tpu.io.synthetic import write_capture
+
+    write_capture(tmp_path, channel="g", kind="tone", n_samples=20_000,
+                  sample_rate_numerator=SR, gap=(15_000, 300))
+    ds = RFDataset(tmp_path)
+    cfg = SpectrogramConfig(nfft=128, nint=1, ntime=200,
+                            stream_seconds=0.1, hop=64, streaming=True)
+    eng = LiveStreamEngine(ds, cfg)
+    res = eng.tick(cfg)
+    lo, _ = ds.bnds["g"]
+    gap_lo, gap_hi = lo + 15_000, lo + 15_300
+    starts = res.frame_starts
+    want_bad = (starts < gap_hi) & (starts + 128 > gap_lo)
+    assert want_bad.sum() > 300 // 64  # overlap widens the flagged span
+    np.testing.assert_array_equal(~res.mask, want_bad)
