@@ -1,16 +1,25 @@
-"""Drive the full GUI client headlessly.
+"""Drive the full GUI client — on the headless Qt kit AND, when PyQt5 is
+installed, on real Qt bindings.
 
 Round 1's GUI had never been executed (VERDICT: rows 7/8/11/14 partial).
 These tests run the real ``clients.gui.MainWindow`` — tab construction,
 processor start over a synthetic capture, live redraw with real matplotlib
 Agg rendering, the settings round-trip with validation/revert and the
 slider->time-bounds mapping, the Nyquist clamp, PNG save, tab management,
-and the close confirmation — on the headless Qt kit
-(clients._qt_headless). With PyQt5 installed the same code runs on real
-Qt; nothing here is mocked except the modal dialogs' canned answers.
+and the close confirmation. Without PyQt5 they run on the headless widget
+kit (clients._qt_headless); with PyQt5 importable the SAME tests run over
+real Qt on the offscreen platform (the real-bindings smoke lane — it
+verifies the headless kit's documented-Qt semantics against real Qt).
+Nothing is mocked except the modal dialogs' canned answers, whose state
+store is the headless kit's classes in both lanes.
 """
 
+import os
 import time
+
+# must be set before the first real-Qt QApplication is constructed; a
+# no-op on the headless kit
+os.environ.setdefault("QT_QPA_PLATFORM", "offscreen")
 
 import numpy as np
 import pytest
@@ -24,27 +33,85 @@ from pyspectrogram_tpu.clients._qt_headless import (
 from pyspectrogram_tpu.utils.errors import TerminateReason
 
 
+def _ensure_app():
+    """Real-Qt lane: one QApplication for the whole test process."""
+    app = gui.QtWidgets.QApplication.instance()
+    if app is None:
+        app = gui.QtWidgets.QApplication(["pstpu-gui-tests"])
+    return app
+
+
 @pytest.fixture(autouse=True)
 def _dialog_state(tmp_path, monkeypatch):
-    """Reset canned dialog answers and isolate last-dir persistence."""
-    assert gui.HEADLESS, "these tests target the headless Qt kit"
+    """Reset canned dialog answers and isolate last-dir persistence.
+
+    The headless kit's dialog classes double as the canned-answer store
+    for BOTH lanes; on real Qt the modal statics are monkeypatched to
+    consult that store (a real modal would hang a headless CI run)."""
     QMessageBox.journal = []
     QMessageBox.answer = QMessageBox.Yes
     QFileDialog.existing_directory = ""
     QFileDialog.save_file_name = ("", "")
     QFileDialog.save_file_queue = []
+    QFileDialog.open_file_name = ("", "")
     QInputDialog.double_answer = (0.0, False)
     QInputDialog.text_answer = ("", False)
     monkeypatch.setattr(
         gui.MainWindow, "_last_dir_file",
         lambda self: tmp_path / "last_dir.txt",
     )
+    if not gui.HEADLESS:  # pragma: no cover - real-PyQt5 smoke lane
+        _ensure_app()
+        RW = gui.QtWidgets
+
+        def warning(parent, title, text, *a, **k):
+            QMessageBox.journal.append(("warning", title, text))
+            return RW.QMessageBox.Ok
+
+        def question(parent, title, text, *a, **k):
+            QMessageBox.journal.append(("question", title, text))
+            return (RW.QMessageBox.Yes
+                    if QMessageBox.answer == QMessageBox.Yes
+                    else RW.QMessageBox.No)
+
+        def get_double(parent, title, label, value=0.0, mn=0.0, mx=1.0,
+                       decimals=1, **k):
+            v, ok = QInputDialog.double_answer
+            return (min(max(v, mn), mx), ok)
+
+        def get_save(*a, **k):
+            if QFileDialog.save_file_queue:
+                return QFileDialog.save_file_queue.pop(0)
+            return QFileDialog.save_file_name
+
+        monkeypatch.setattr(RW.QMessageBox, "warning",
+                            staticmethod(warning))
+        monkeypatch.setattr(RW.QMessageBox, "question",
+                            staticmethod(question))
+        monkeypatch.setattr(
+            RW.QFileDialog, "getExistingDirectory",
+            staticmethod(lambda *a, **k: QFileDialog.existing_directory))
+        monkeypatch.setattr(
+            RW.QFileDialog, "getOpenFileName",
+            staticmethod(lambda *a, **k: QFileDialog.open_file_name))
+        monkeypatch.setattr(RW.QFileDialog, "getSaveFileName",
+                            staticmethod(get_save))
+        monkeypatch.setattr(RW.QInputDialog, "getDouble",
+                            staticmethod(get_double))
+        monkeypatch.setattr(
+            RW.QInputDialog, "getText",
+            staticmethod(lambda *a, **k: QInputDialog.text_answer))
     yield
 
 
 def _wait(pred, timeout=30.0):
     t0 = time.time()
     while time.time() - t0 < timeout:
+        if not gui.HEADLESS:  # pragma: no cover - real-Qt lane
+            # cross-thread pyqtSignal emissions are QUEUED on real Qt and
+            # deliver only when the event loop spins (the headless kit
+            # delivers synchronously)
+            gui.QtWidgets.QApplication.processEvents()
         if pred():
             return True
         time.sleep(0.05)
@@ -329,6 +396,8 @@ def test_save_subtab_subset_and_artifacts(tone_capture, tmp_path):
     assert win.close()
 
 
+@pytest.mark.skipif(not gui.HEADLESS,
+                    reason="requires the headless kit (PyQt5 installed)")
 def test_require_qt_raises_headless():
     with pytest.raises(ImportError):
         gui.require_qt()
