@@ -191,6 +191,38 @@ def test_mesh_streaming_matches_single_device():
     assert diff.max() <= 1 and (diff > 0).mean() < 0.01
 
 
+def test_mesh_streaming_overlap_hop_matches_single_device():
+    """Overlap-save (hop < frame_len) on the chan-sharded mesh: the
+    carry shards with the planes, so overlapped pushes must equal the
+    single-device stream column for column."""
+    import jax
+
+    from pyspectrogram_tpu.parallel import make_mesh
+
+    nfft, nsub, hop, k = 128, 4, 64, 8
+    block_len = hop * k
+    single = StreamingSti(nfft=nfft, nsub=nsub, block_len=block_len,
+                          hop=hop, ring_len=16)
+    mesh = make_mesh(time_parallel=2, chan_parallel=4)
+    multi = StreamingSti(nfft=nfft, nsub=nsub, block_len=block_len,
+                         hop=hop, ring_len=16, mesh=mesh)
+    rng = np.random.default_rng(23)
+    st_s, st_m = single.init_state(), multi.init_state()
+    bsh = multi.block_sharding()
+    for _ in range(4):
+        b = 0.1 * rng.standard_normal((nsub * 2, block_len)).astype(
+            np.float32)
+        st_s, cols_s = single.push(st_s, jnp.asarray(b))
+        st_m, cols_m = multi.push(st_m, jax.device_put(jnp.asarray(b), bsh))
+        np.testing.assert_allclose(np.asarray(cols_m), np.asarray(cols_s),
+                                   atol=1e-4)
+    # the sharded carry carries the SAME trailing samples per plane
+    np.testing.assert_allclose(np.asarray(st_m.carry),
+                               np.asarray(st_s.carry), atol=1e-6)
+    np.testing.assert_allclose(multi.median_psd(st_m),
+                               single.median_psd(st_s), atol=1e-4)
+
+
 def test_mesh_streaming_median_bisection_path():
     """Mesh median with > 32 valid columns (the bisection tier that the
     pallas kernel accelerates per shard on TPU — r3 weak #1): shard_map'd
