@@ -260,6 +260,13 @@ class MainWindow(QtWidgets.QMainWindow):
         st.window_s.setValue(st.config.stream_seconds)
         panel.addRow(st.live_check)
         panel.addRow("Live window (s)", st.window_s)
+        # overlap-save column hop for live tabs (SpectrogramConfig.hop):
+        # 0 = contiguous columns (the default); a smaller hop overlaps
+        # consecutive columns by nfft*nint - hop samples
+        st.hop_w = QtWidgets.QSpinBox()
+        st.hop_w.setRange(0, NFFT_RANGE[1])
+        st.hop_w.setValue(0)
+        panel.addRow("Live hop (samples, 0=contig)", st.hop_w)
         # counterpart of the save sub-tab's stream-state artifact: pick a
         # saved state, adopt its shape knobs, continue the stream
         st.resume_btn = QtWidgets.QPushButton("Resume live from state…")
@@ -468,6 +475,10 @@ class MainWindow(QtWidgets.QMainWindow):
             st.nfft.setValue(int(sig[0]))
             st.nint.setValue(int(sig[1]))
             st.window_s.setValue(float(sig[6]))
+            # the signature stores the EFFECTIVE hop (= nfft*nint for
+            # contiguous streams) — mirror it into the widget so a later
+            # Update Settings doesn't silently reset the resumed shape
+            st.hop_w.setValue(int(sig[8]))
             st.live_check.setChecked(True)
 
         st.bridge = _Bridge()
@@ -566,6 +577,7 @@ class MainWindow(QtWidgets.QMainWindow):
             color_range_db=(st.cmin.value(), st.cmax.value()),
             freq_window_khz=(st.fmin.value(), st.fmax.value()),
             stream_seconds=st.window_s.value(),
+            hop=st.hop_w.value() or None,
             # live view renders from on-device uint8 tiles: crop,
             # decimation and color quantization run inside the device
             # program and only the tile + median PSD are read back
@@ -587,6 +599,10 @@ class MainWindow(QtWidgets.QMainWindow):
             st.fmax.setValue(int(old.freq_window_khz[1]))
             self._warn("Maximum frequency must exceed the minimum.")
             return
+        if st.hop_w.value() > st.nfft.value() * st.nint.value():
+            st.hop_w.setValue(int(old.hop or 0))
+            self._warn("Hop must not exceed FFT length x integrations.")
+            return
         st.config = self._config_from_widgets(st)
         if st.processor and st.processor.is_running:
             tb = st.processor.ds.time_bnds
@@ -602,8 +618,10 @@ class MainWindow(QtWidgets.QMainWindow):
                 # the range is a runtime operand, see TileSpec.crop_key)
                 color_range_db=st.config.color_range_db,
                 freq_window_khz=st.config.freq_window_khz,
-                # live tabs: window change rebuilds the ring (shape knob)
+                # live tabs: window/hop changes rebuild the ring (shape
+                # knobs in the live signature, runtime.live)
                 stream_seconds=st.config.stream_seconds,
+                hop=st.config.hop,
             )
 
     # -------------------------------------------------------- slots

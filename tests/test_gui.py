@@ -493,6 +493,54 @@ def test_live_streaming_tab(tmp_path):
     assert win.close()
 
 
+def test_live_hop_widget_drives_overlap(tmp_path):
+    """The live hop spinbox (overlap-save, SpectrogramConfig.hop) reaches
+    the engine: columns start hop samples apart; an oversize hop reverts
+    with a warning like the other validations."""
+    from pyspectrogram_tpu.io.synthetic import tone_signal
+    from pyspectrogram_tpu.io.writer import DigitalRFWriter
+
+    sr = 100_000
+    w = DigitalRFWriter(
+        tmp_path / "cap", "live", np.complex64,
+        start_global_index=1_451_661_840 * sr,
+        sample_rate_numerator=sr, file_cadence_millisecs=100,
+        subdir_cadence_secs=1,
+    )
+    w.rf_write(tone_signal(40_000, sr, [12_500.0]).astype(np.complex64))
+
+    win = gui.MainWindow()
+    st = win.states[1]
+    st.live_check.setChecked(True)
+    st.window_s.setValue(0.05)
+    st.nfft.setValue(256)
+    st.hop_w.setValue(128)
+    QFileDialog.existing_directory = str(tmp_path / "cap")
+    st.start_btn.click()
+    assert st.processor is not None and st.processor.config.hop == 128
+    assert _wait(lambda: st.last is not None)
+    eng = st.processor._live.engine
+    assert eng.hop == 128 and eng.carry_len == 128
+    # columns are hop-spaced: 128 samples @ 100 kS/s = 1280 us apart
+    assert np.all(np.diff(st.last.times).astype("timedelta64[us]")
+                  == np.timedelta64(1280, "us"))
+    st.stop_btn.click()
+    assert _wait(lambda: not st.processor.is_running)
+    st.processor.join(10)
+
+    # adopt the valid hop into the tab config, then attempt an oversize
+    # one: revert + warn (the config would refuse it anyway)
+    win.pull_settings(1)
+    assert st.config.hop == 128
+    st.hop_w.setValue(1024)  # > nfft*nint = 256
+    n_warn = len(QMessageBox.journal)
+    win.pull_settings(1)
+    assert len(QMessageBox.journal) == n_warn + 1
+    assert "Hop" in QMessageBox.journal[-1][2]
+    assert st.hop_w.value() == 128  # reverted to the last good value
+    assert win.close()
+
+
 def test_multi_tab_merged_launch(tone_capture):
     """Three same-shape written tabs share the refresh scheduler: one
     cycle = ONE merged batched device launch serving all three (the
