@@ -191,3 +191,44 @@ def test_batched_mesh_psum_median_matches_gathered(monkeypatch):
     make_batched_sti_fn_mesh.cache_clear()
     np.testing.assert_array_equal(np.asarray(got["sxx_med_dbfs"]),
                                   np.asarray(want["sxx_med_dbfs"]))
+
+
+def test_batched_pipeline_tile_mode_matches_single(tmp_path):
+    """display_tile batching: one launch carries the fused uint8 epilogue
+    with PER-REQUEST color ranges; tiles and medians must equal the
+    single-request tile tier bit for bit / to tolerance."""
+    tops = []
+    for i in range(2):
+        top = tmp_path / f"tcap{i}"
+        write_capture(top, channel=f"t{i}", kind="tone", n_samples=1 << 15,
+                      sample_rate_numerator=500_000)
+        tops.append(top)
+    cfg = SpectrogramConfig(nfft=256, nint=1, ntime=16, display_tile=True)
+    cranges = [(-110.0, -40.0), (-95.0, -25.0)]
+    requests = [(RFDataset(t), None) for t in tops]
+    batch = BatchedStiPipeline(requests, cfg).compute(color_ranges=cranges)
+    for (ds, _), got, cr in zip(requests, batch, cranges):
+        assert got.sxx_dbfs is None and got.tile is not None
+        want = StiPipeline(ds, cfg.replace(color_range_db=cr)).compute()
+        np.testing.assert_array_equal(got.tile, want.tile)
+        np.testing.assert_allclose(got.plot_freqs, want.plot_freqs)
+        np.testing.assert_allclose(got.sxx_med_dbfs, want.sxx_med_dbfs,
+                                   atol=1e-4)
+
+
+def test_batched_tile_requires_shared_crop(tmp_path):
+    """Tile-mode batching needs ONE crop plan: requests whose sample
+    rates differ are refused loudly (the scheduler groups by crop plan,
+    so it never hits this; direct API callers get the clear error)."""
+    write_capture(tmp_path / "a", channel="a", n_samples=1 << 14,
+                  sample_rate_numerator=100_000)
+    write_capture(tmp_path / "b", channel="b", n_samples=1 << 14,
+                  sample_rate_numerator=250_000)
+    # a window NARROWER than both Nyquists keeps a different bin count
+    # per sample rate -> genuinely different crop plans
+    cfg = SpectrogramConfig(nfft=256, nint=1, ntime=8, display_tile=True,
+                            freq_window_khz=(-20.0, 20.0))
+    reqs = [(RFDataset(tmp_path / "a"), None),
+            (RFDataset(tmp_path / "b"), None)]
+    with pytest.raises(ValueError, match="crop plan"):
+        BatchedStiPipeline(reqs, cfg).compute()

@@ -239,3 +239,27 @@ def test_growing_capture_recomputes(tmp_path):
     t1 = seen["iterated"][1].times
     assert t1[-1] > t0[-1]  # the window chased the new data
     p.abort()
+
+
+def test_merged_failure_falls_back_to_solo(tone_capture, monkeypatch):
+    """A merged-launch failure must not take down the tabs: the scheduler
+    falls back to per-tab solo dispatches in the same cycle."""
+    import pyspectrogram_tpu.models.batch as batch_mod
+
+    top, _ = tone_capture
+    sched = SharedRefreshScheduler(autostart=False)
+    a = _proc(top, sched, 0, CFG)
+    b = _proc(top, sched, 1, CFG)
+
+    class Boom(batch_mod.BatchedStiPipeline):
+        def compute(self, *args, **kw):
+            raise RuntimeError("merged boom")
+
+    monkeypatch.setattr(batch_mod, "BatchedStiPipeline", Boom)
+    sched.tick_once()
+    assert sched.merged_launches == 0 and sched.solo_launches == 2
+    for p, seen in (a, b):
+        assert p.is_running and len(seen["iterated"]) == 1
+        assert seen["iterated"][0].sxx_dbfs is not None
+    for p, _ in (a, b):
+        p.abort()
