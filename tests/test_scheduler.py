@@ -263,3 +263,26 @@ def test_merged_failure_falls_back_to_solo(tone_capture, monkeypatch):
         assert seen["iterated"][0].sxx_dbfs is not None
     for p, _ in (a, b):
         p.abort()
+
+
+def test_meshed_tab_keeps_sharded_dispatch(tone_capture):
+    """A meshed pipeline never batches (group key None): it keeps its
+    own sharded dispatch while single-chip tabs group normally, and the
+    meshed result matches the single-chip one."""
+    from pyspectrogram_tpu.parallel import make_mesh
+
+    top, _ = tone_capture
+    mesh = make_mesh(time_parallel=4, chan_parallel=2)
+    sched = SharedRefreshScheduler(autostart=False)
+    a = _proc(top, sched, 0, CFG)
+    cbs, seen = _collector()
+    b = SpectrogramProcessor("written", top, 1, CFG, callbacks=cbs,
+                             scheduler=sched, mesh=mesh)
+    assert b.is_running
+    b.start()
+    sched.tick_once()
+    assert sched.merged_launches == 0 and sched.solo_launches == 2
+    np.testing.assert_allclose(seen["iterated"][0].sxx_dbfs,
+                               a[1]["iterated"][0].sxx_dbfs, atol=2e-3)
+    a[0].abort()
+    b.abort()
