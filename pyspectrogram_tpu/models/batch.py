@@ -276,7 +276,8 @@ class BatchedStiPipeline:
                 "display-tile batching is single-chip only (the mesh tier "
                 "reads back float spectra) — unset display_tile or mesh")
         frame_len = cfg.nfft * cfg.nint
-        blocks, refs, metas, specs = [], [], [], []
+        plans, refs, metas, specs = [], [], [], []
+        nsub_each = []
         for i, (ds, entry) in enumerate(self.requests):
             chan, isub = ds._split_entry(entry or ds.channels[0])
             sr = ds.sr_dict[chan]
@@ -291,11 +292,11 @@ class BatchedStiPipeline:
             e_samp = time_to_sample(end_time, sr)
             n_st = ds.sti_frame_starts(s_samp, e_samp, cfg.nfft, cfg.nint,
                                        cfg.ntime)
-            pm, _, col_mask = assemble_device_block(ds, chan, isub, n_st,
-                                                    frame_len)
-            blocks.append(pm)
+            plans.append((ds, chan, isub, n_st))
+            nsub_each.append(1 if isub is not None
+                             else len(ds.chan_2sub[chan]))
             refs.append(1.0 / float(ds.ref_dict[chan]) ** 2)
-            metas.append((sr, n_st, col_mask))
+            metas.append((sr, n_st))
             if cfg.display_tile:
                 from pyspectrogram_tpu.display.tile import make_tile_spec
 
@@ -303,6 +304,11 @@ class BatchedStiPipeline:
                     stft.shifted_freqs(cfg.nfft, sr), cfg.freq_window_khz,
                     color_ranges[i] if color_ranges is not None
                     else cfg.color_range_db))
+
+        if len(set(nsub_each)) != 1:
+            raise ValueError(
+                f"batched requests need equal subchannel counts, got "
+                f"{set(nsub_each)}")
 
         # tile mode needs ONE crop plan shared by the whole launch (the
         # color ranges ride per-request as runtime operands); an empty
@@ -318,21 +324,49 @@ class BatchedStiPipeline:
             (spec,) = crops
             qparams = np.stack([s.qparams for s in specs])
 
-        nsubs = {b.shape[0] for b in blocks}
-        if len(nsubs) != 1:
-            raise ValueError(
-                f"batched requests need equal subchannel counts, got {nsubs}")
-        # side-by-side merged layout (see make_batched_sti_fn_pm) — built
-        # on the host where the copy is unavoidable anyway
-        B, L = len(blocks), blocks[0].shape[1]
-        dtypes = {b.dtype for b in blocks}
-        mdtype = blocks[0].dtype if len(dtypes) == 1 else np.float32
-        frame_len_total = B * L
+        # -------- assembly: read + pack every request's sample buffer.
+        # A large single-chip batch streams request-by-request through a
+        # PrefetchFeeder (io.ingest): the HDF5 read+pack of request i+1
+        # overlaps the host->device transfer of request i, and the
+        # merged buffer becomes a device-side concat — no extra host
+        # copy of the whole batch (the same overlap the single-request
+        # tier gets above PREFETCH_MIN_BYTES, models.sti). Small batches
+        # keep the one-copy host merge; mesh batches must device_put in
+        # one sharded piece either way.
+        from pyspectrogram_tpu.models.sti import PREFETCH_MIN_BYTES
+
+        B = len(plans)
+        masks: list = [None] * B
+
+        def produce(i: int):
+            ds_i, chan_i, isub_i, n_st_i = plans[i]
+            pm, _, col_mask = assemble_device_block(ds_i, chan_i, isub_i,
+                                                    n_st_i, frame_len)
+            masks[i] = col_mask
+            return pm
+
+        est_bytes = 2 * nsub_each[0] * B * cfg.ntime * frame_len * 4
+        merged_dev = None
+        if self.mesh is None and B > 1 and est_bytes >= PREFETCH_MIN_BYTES:
+            from pyspectrogram_tpu.io.ingest import PrefetchFeeder
+
+            with PrefetchFeeder(produce, B, depth=2) as feeder:
+                dev_blocks = list(feeder)
+            if len({b.dtype for b in dev_blocks}) != 1:
+                # mixed storage dtypes promote value-preserving to f32,
+                # matching the host-merge path's mdtype rule
+                dev_blocks = [b.astype(jnp.float32) for b in dev_blocks]
+            L = dev_blocks[0].shape[1]
+            merged_dev = jnp.concatenate(dev_blocks, axis=1)
+        else:
+            blocks = [produce(i) for i in range(B)]
+            L = blocks[0].shape[1]
+
         if self.mesh is not None:
             from pyspectrogram_tpu.parallel.mesh import CHAN_AXIS
 
             chan = dict(self.mesh.shape).get(CHAN_AXIS, 1)
-            nsub = blocks[0].shape[0] // 2
+            nsub = nsub_each[0]
             if nsub % chan:
                 # an indivisible split scatters r/i plane pairs across
                 # devices and each shard pairs a sub's imag plane with
@@ -347,11 +381,17 @@ class BatchedStiPipeline:
                 B=B, mode=cfg.mode, window=cfg.window, eps=cfg.eps,
                 precision=cfg.precision,
             )
-            frame_len_total = fn.padded_cols * frame_len
-        merged = np.zeros((blocks[0].shape[0], frame_len_total), mdtype)
-        for b, blk in enumerate(blocks):
-            merged[:, b * L : (b + 1) * L] = blk
         inv_refs = jnp.asarray(np.asarray(refs, np.float32))
+        if merged_dev is None:
+            # side-by-side merged layout (see make_batched_sti_fn_pm) —
+            # built on the host where the copy is unavoidable anyway
+            frame_len_total = (fn.padded_cols * frame_len
+                               if self.mesh is not None else B * L)
+            dtypes = {b.dtype for b in blocks}
+            mdtype = blocks[0].dtype if len(dtypes) == 1 else np.float32
+            merged = np.zeros((blocks[0].shape[0], frame_len_total), mdtype)
+            for b, blk in enumerate(blocks):
+                merged[:, b * L : (b + 1) * L] = blk
         if self.mesh is not None:
             import jax
 
@@ -366,16 +406,18 @@ class BatchedStiPipeline:
                 window=cfg.window, eps=cfg.eps, precision=cfg.precision,
                 tile=spec,
             )
+            dev = (merged_dev if merged_dev is not None
+                   else jnp.asarray(merged))
             if spec is not None:
-                out = fn(jnp.asarray(merged), inv_refs, qparams)
+                out = fn(dev, inv_refs, qparams)
                 tile_b = np.asarray(out["tile"])
             else:
-                out = fn(jnp.asarray(merged), inv_refs)
+                out = fn(dev, inv_refs)
                 sxx_b = np.asarray(out["sxx_dbfs"])
         med_b = np.asarray(out["sxx_med_dbfs"])
 
         results = []
-        for i, (sr, n_st, col_mask) in enumerate(metas):
+        for i, ((sr, n_st), col_mask) in enumerate(zip(metas, masks)):
             freqs = stft.shifted_freqs(cfg.nfft, sr)
             if spec is not None:
                 from pyspectrogram_tpu.display.tile import tile_freqs

@@ -232,3 +232,29 @@ def test_batched_tile_requires_shared_crop(tmp_path):
             (RFDataset(tmp_path / "b"), None)]
     with pytest.raises(ValueError, match="crop plan"):
         BatchedStiPipeline(reqs, cfg).compute()
+
+
+def test_batched_prefetch_path_matches_host_merge(tmp_path, monkeypatch):
+    """Above PREFETCH_MIN_BYTES the batch assembles request-by-request
+    through the PrefetchFeeder (reads overlap transfers) and merges ON
+    DEVICE — results must be identical to the host-merge path, incl.
+    the mixed-dtype promote."""
+    import pyspectrogram_tpu.models.sti as sti_mod
+
+    tops = []
+    for i, dtype in enumerate([np.complex64, np.complex64,
+                               np.dtype([("r", np.int16),
+                                         ("i", np.int16)])]):
+        top = tmp_path / f"pcap{i}"
+        write_capture(top, channel=f"p{i}", kind="tone", n_samples=1 << 14,
+                      sample_rate_numerator=100_000, dtype=dtype)
+        tops.append(top)
+    cfg = SpectrogramConfig(nfft=256, nint=1, ntime=8)
+    reqs = [(RFDataset(t), None) for t in tops]
+    want = BatchedStiPipeline(reqs, cfg).compute()       # host merge
+    monkeypatch.setattr(sti_mod, "PREFETCH_MIN_BYTES", 1)
+    got = BatchedStiPipeline(reqs, cfg).compute()        # prefetch path
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g.sxx_dbfs, w.sxx_dbfs)
+        np.testing.assert_array_equal(g.sxx_med_dbfs, w.sxx_med_dbfs)
+        np.testing.assert_array_equal(g.mask, w.mask)
