@@ -430,6 +430,11 @@ class MainWindow(QtWidgets.QMainWindow):
         if running >= MAX_TABS:
             self._warn("All processing threads are busy.")
             return
+        if st.hop_w.value() > st.nfft.value() * st.nint.value():
+            # same guard as pull_settings: the config would refuse this
+            # hop, and a ValueError must not escape the clicked slot
+            self._warn("Hop must not exceed FFT length x integrations.")
+            return
         state_path = sig = None
         if resume_state:
             # adopt the checkpoint's shape knobs (header-only read), then
@@ -447,6 +452,10 @@ class MainWindow(QtWidgets.QMainWindow):
                     self._warn("Not a live-stream state file.")
                     return
                 sig = meta["signature"]
+                if len(sig) == 8:
+                    # pre-hop checkpoints (<= round 4) were always
+                    # contiguous: effective hop = nfft*nint
+                    sig = list(sig) + [int(sig[0]) * int(sig[1])]
                 # touch every field the adoption below needs, so a foreign
                 # npz with a plausible header fails HERE (one dialog) and
                 # not mid-start with widgets already mutated
@@ -477,8 +486,14 @@ class MainWindow(QtWidgets.QMainWindow):
             st.window_s.setValue(float(sig[6]))
             # the signature stores the EFFECTIVE hop (= nfft*nint for
             # contiguous streams) — mirror it into the widget so a later
-            # Update Settings doesn't silently reset the resumed shape
-            st.hop_w.setValue(int(sig[8]))
+            # Update Settings doesn't silently reset the resumed shape.
+            # Contiguous maps to the widget's 0, NOT the literal
+            # nfft*nint: a big frame's effective hop can exceed the
+            # spinbox range and a clamped value would silently turn the
+            # resumed stream into an overlap-save one.
+            hop_eff = int(sig[8])
+            st.hop_w.setValue(
+                0 if hop_eff == int(sig[0]) * int(sig[1]) else hop_eff)
             st.live_check.setChecked(True)
 
         st.bridge = _Bridge()
@@ -888,7 +903,9 @@ class MainWindow(QtWidgets.QMainWindow):
         for st in self.states.values():
             if st.processor and st.processor.is_running:
                 st.processor.abort()
-        self.scheduler.stop()
+        # signal-only: an in-flight cycle may hold a 20-80 s remote
+        # compile and the close must not freeze on it (daemon thread)
+        self.scheduler.stop(wait=False)
         event.accept()
 
 

@@ -241,7 +241,14 @@ class LiveStreamEngine:
         eng = cls(ds, cfg, mesh=mesh,
                   cols_per_block=int(meta["cols_per_block"]),
                   init_device_state=False)
-        if json.loads(json.dumps(eng.sig)) != meta["signature"]:
+        saved_sig = meta["signature"]
+        if len(saved_sig) == len(eng.sig) - 1:
+            # pre-hop checkpoints (<= round 4) were always contiguous:
+            # their effective hop is nfft*nint, so normalize instead of
+            # refusing every existing checkpoint
+            saved_sig = list(saved_sig) + [
+                int(saved_sig[0]) * int(saved_sig[1])]
+        if json.loads(json.dumps(eng.sig)) != saved_sig:
             raise ValueError(
                 f"checkpoint was written with different shape knobs "
                 f"({meta['signature']} vs {list(eng.sig)}); pass the "
@@ -449,7 +456,7 @@ class LiveStreamEngine:
         """One refresh: ingest the delta, then build the display payload
         from the ring (no recompute of already-pushed columns). Returns
         None while the capture is still shorter than one column."""
-        n_blocks = self._push_new()
+        self._push_new()
         total = self.total_cols            # host-tracked: no readback
         if total == 0:
             return None

@@ -79,12 +79,15 @@ class SharedRefreshScheduler:
             if proc in self._procs:
                 self._procs.remove(proc)
 
-    def stop(self) -> None:
+    def stop(self, wait: bool = True) -> None:
         """Stop the refresh thread (used by client shutdown); registered
-        processors are left as-is."""
+        processors are left as-is. ``wait=False`` only signals: an
+        in-flight cycle may hold a 20-80 s remote compile, and a GUI
+        main thread must not block on it (the thread is a daemon — it
+        dies with the process either way)."""
         self._stop_evt.set()
         t = self._thread
-        if t is not None and t is not threading.current_thread():
+        if wait and t is not None and t is not threading.current_thread():
             t.join()
 
     def drain(self, proc, timeout: Optional[float] = None) -> None:
@@ -98,7 +101,13 @@ class SharedRefreshScheduler:
     # ---------------------------------------------------------------- loop
     def _run(self) -> None:
         while not self._stop_evt.is_set():
-            self.tick_once()
+            try:
+                self.tick_once()
+            except Exception:
+                # a cycle-level bug must not silently stop EVERY tab's
+                # refreshes (per-tab failures already terminate just
+                # that tab via _fail)
+                logger.exception("refresh cycle failed; continuing")
             self._stop_evt.wait(self.refresh_s)
 
     def tick_once(self) -> None:
@@ -229,7 +238,13 @@ class SharedRefreshScheduler:
             # processor.run's stop-vs-inflight-frame handling
             return
         p._sched_i += 1
-        p._emit_iterated(p._sched_i, result)
+        try:
+            p._emit_iterated(p._sched_i, result)
+        except Exception:
+            # a raising client callback terminates ITS tab (same as the
+            # thread-mode loop's LOOP_EXCEPTION), never the shared loop
+            self._fail(p)
+            return
         p._sched_delivered = True
         if (p.max_iterations is not None
                 and p._sched_i + 1 >= p.max_iterations):

@@ -770,3 +770,58 @@ def test_gui_resume_guards_bad_state_and_cancel(tone_capture, tmp_path):
     assert st.nfft.value() == 1024  # not overwritten by the checkpoint
     assert not st.live_check.isChecked()
     assert win.close()
+
+
+def test_start_refuses_oversize_hop(tone_capture):
+    """An oversize live hop at Start warns and aborts the start instead
+    of letting the config ValueError escape the clicked slot."""
+    top, _ = tone_capture
+    win = gui.MainWindow()
+    st = win.states[1]
+    st.nfft.setValue(256)
+    st.hop_w.setValue(4096)  # > nfft*nint
+    QFileDialog.existing_directory = str(top)
+    n_warn = len(QMessageBox.journal)
+    st.start_btn.click()
+    assert st.processor is None
+    assert len(QMessageBox.journal) == n_warn + 1
+    assert "Hop" in QMessageBox.journal[-1][2]
+    assert win.close()
+
+
+def test_gui_resume_accepts_pre_hop_checkpoint(tone_capture, tmp_path):
+    """The GUI resume flow normalizes pre-hop (8-entry) checkpoint
+    signatures to contiguous instead of reporting them unreadable, and
+    maps a contiguous effective hop to the widget's 0."""
+    import json
+
+    from pyspectrogram_tpu.io.reader import RFDataset
+    from pyspectrogram_tpu.runtime.live import LiveStreamEngine
+    from pyspectrogram_tpu.utils.config import SpectrogramConfig
+
+    top, meta = tone_capture
+    cfg = SpectrogramConfig(nfft=256, ntime=8, streaming=True,
+                            stream_seconds=0.02, channel=meta["channel"])
+    eng = LiveStreamEngine(RFDataset(top), cfg)
+    eng.tick(cfg)
+    ck = tmp_path / "legacy_state.npz"
+    eng.save(ck)
+    with np.load(ck, allow_pickle=False) as z:
+        arrays = {k: z[k] for k in z.files}
+    header = json.loads(bytes(arrays["header"].tobytes()).decode())
+    header["meta"]["signature"] = header["meta"]["signature"][:8]
+    arrays["header"] = np.frombuffer(json.dumps(header).encode(), np.uint8)
+    np.savez(ck, **arrays)
+
+    win = gui.MainWindow()
+    st = win.states[1]
+    QFileDialog.open_file_name = (str(ck), "")
+    QFileDialog.existing_directory = str(top)
+    st.resume_btn.click()
+    assert st.processor is not None
+    assert st.processor._live.engine is not None  # signature accepted
+    assert st.hop_w.value() == 0                  # contiguous, not clamped
+    st.stop_btn.click()
+    assert _wait(lambda: not st.processor.is_running)
+    st.processor.join(10)
+    assert win.close()

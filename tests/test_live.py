@@ -709,3 +709,30 @@ def test_overlap_gap_flags_touching_columns(tmp_path):
     want_bad = (starts < gap_hi) & (starts + 128 > gap_lo)
     assert want_bad.sum() > 300 // 64  # overlap widens the flagged span
     np.testing.assert_array_equal(~res.mask, want_bad)
+
+
+def test_resume_accepts_pre_hop_checkpoint(tmp_path):
+    """Checkpoints saved before the hop signature entry (8-entry
+    signatures, rounds <= 4) resume as the contiguous streams they were,
+    instead of being refused by the length mismatch."""
+    import json
+
+    _growing_writer(tmp_path, 40_000)
+    ds = RFDataset(tmp_path)
+    cfg = SpectrogramConfig(nfft=64, ntime=16, stream_seconds=0.02,
+                            streaming=True)
+    eng = LiveStreamEngine(ds, cfg, target_block_samples=2048)
+    eng.tick(cfg)
+    path = eng.save(tmp_path / "st.npz")
+    # forge the pre-round-5 header: drop the signature's hop entry
+    with np.load(path, allow_pickle=False) as z:
+        arrays = {k: z[k] for k in z.files}
+    header = json.loads(bytes(arrays["header"].tobytes()).decode())
+    assert len(header["meta"]["signature"]) == 9
+    header["meta"]["signature"] = header["meta"]["signature"][:8]
+    arrays["header"] = np.frombuffer(json.dumps(header).encode(), np.uint8)
+    np.savez(path, **arrays)
+
+    eng2 = LiveStreamEngine.resume(ds, cfg, path)
+    assert eng2.hop == 64 and eng2.carry_len == 0
+    assert eng2.next_sample == eng.next_sample
