@@ -34,6 +34,17 @@ from pyspectrogram_tpu.ops import stft
 from pyspectrogram_tpu.ops.windows import WindowSpec
 from pyspectrogram_tpu.utils.config import resolve_time_span
 
+#: single-chip batches at or above this size assemble request-by-request
+#: through a PrefetchFeeder (reads overlap transfers, device-side merge).
+#: Measured on the tunneled v5e (1024-pt display-tile tabs, ms/cycle,
+#: merge vs feeder): 0.9 MB 77.5 vs 85.3 (per-request put overhead
+#: dominates — keep the host merge), 2.5 MB 127.7 vs 116.6, 5.7 MB
+#: 235.9 vs 208.8 (-11.5%), 22.9 MB ~equal (the transfer itself dwarfs
+#: the overlappable read). The crossover sits between 1 and 2.5 MB; the
+#: single-request tier keeps its own 32 MB knob (models.sti) because its
+#: intra-request chunking pays a different overhead.
+BATCH_PREFETCH_MIN_BYTES = 2 << 20
+
 
 @functools.lru_cache(maxsize=64)
 def make_batched_sti_fn_pm(
@@ -325,16 +336,14 @@ class BatchedStiPipeline:
             qparams = np.stack([s.qparams for s in specs])
 
         # -------- assembly: read + pack every request's sample buffer.
-        # A large single-chip batch streams request-by-request through a
-        # PrefetchFeeder (io.ingest): the HDF5 read+pack of request i+1
-        # overlaps the host->device transfer of request i, and the
-        # merged buffer becomes a device-side concat — no extra host
-        # copy of the whole batch (the same overlap the single-request
-        # tier gets above PREFETCH_MIN_BYTES, models.sti). Small batches
-        # keep the one-copy host merge; mesh batches must device_put in
+        # A single-chip batch above BATCH_PREFETCH_MIN_BYTES streams
+        # request-by-request through a PrefetchFeeder (io.ingest): the
+        # HDF5 read+pack of request i+1 overlaps the host->device
+        # transfer of request i, and the merged buffer becomes a
+        # device-side concat — no extra host copy of the whole batch.
+        # Small batches keep the one-copy host merge (per-request puts
+        # cost more than they overlap); mesh batches must device_put in
         # one sharded piece either way.
-        from pyspectrogram_tpu.models.sti import PREFETCH_MIN_BYTES
-
         B = len(plans)
         masks: list = [None] * B
 
@@ -347,7 +356,8 @@ class BatchedStiPipeline:
 
         est_bytes = 2 * nsub_each[0] * B * cfg.ntime * frame_len * 4
         merged_dev = None
-        if self.mesh is None and B > 1 and est_bytes >= PREFETCH_MIN_BYTES:
+        if (self.mesh is None and B > 1
+                and est_bytes >= BATCH_PREFETCH_MIN_BYTES):
             from pyspectrogram_tpu.io.ingest import PrefetchFeeder
 
             with PrefetchFeeder(produce, B, depth=2) as feeder:

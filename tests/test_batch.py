@@ -235,11 +235,11 @@ def test_batched_tile_requires_shared_crop(tmp_path):
 
 
 def test_batched_prefetch_path_matches_host_merge(tmp_path, monkeypatch):
-    """Above PREFETCH_MIN_BYTES the batch assembles request-by-request
+    """Above BATCH_PREFETCH_MIN_BYTES the batch assembles request-by-request
     through the PrefetchFeeder (reads overlap transfers) and merges ON
     DEVICE — results must be identical to the host-merge path, incl.
     the mixed-dtype promote."""
-    import pyspectrogram_tpu.models.sti as sti_mod
+    from pyspectrogram_tpu.models import batch as batch_mod
 
     tops = []
     for i, dtype in enumerate([np.complex64, np.complex64,
@@ -252,7 +252,7 @@ def test_batched_prefetch_path_matches_host_merge(tmp_path, monkeypatch):
     cfg = SpectrogramConfig(nfft=256, nint=1, ntime=8)
     reqs = [(RFDataset(t), None) for t in tops]
     want = BatchedStiPipeline(reqs, cfg).compute()       # host merge
-    monkeypatch.setattr(sti_mod, "PREFETCH_MIN_BYTES", 1)
+    monkeypatch.setattr(batch_mod, "BATCH_PREFETCH_MIN_BYTES", 1)
     got = BatchedStiPipeline(reqs, cfg).compute()        # prefetch path
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g.sxx_dbfs, w.sxx_dbfs)
