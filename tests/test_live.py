@@ -625,7 +625,13 @@ def test_tail_surfaces_while_blocks_flow(tmp_path):
     assert eng.next_sample == START + n0 + 64 * 64
 
 
-def test_overlap_hop_columns_match_oracle(tone_capture):
+@pytest.mark.parametrize("nfft,nint,hop", [
+    (256, 1, 128),   # half-frame overlap
+    (256, 1, 64),    # 4x overlap
+    (128, 2, 128),   # overlap across Welch segment boundaries
+    (128, 2, 96),    # non-divisor hop, nint > 1
+])
+def test_overlap_hop_columns_match_oracle(tone_capture, nfft, nint, hop):
     """cfg.hop < nfft*nint runs the live engine in overlap-save mode:
     columns start every hop samples and overlap by frame_len - hop.
     Every displayed column — carry-seeded first column, ring columns,
@@ -638,23 +644,24 @@ def test_overlap_hop_columns_match_oracle(tone_capture):
 
     top, meta = tone_capture
     ds = RFDataset(top)
-    cfg = SpectrogramConfig(nfft=256, nint=1, ntime=64,
-                            stream_seconds=0.005, hop=128, streaming=True)
+    frame_len = nfft * nint
+    cfg = SpectrogramConfig(nfft=nfft, nint=nint, ntime=100,
+                            stream_seconds=0.005, hop=hop, streaming=True)
     eng = LiveStreamEngine(ds, cfg)
-    assert eng.hop == 128 and eng.carry_len == 128
+    assert eng.hop == hop and eng.carry_len == frame_len - hop
     res = eng.tick(cfg)
     assert res is not None
-    assert np.all(np.diff(res.frame_starts) == 128)  # overlapping starts
+    assert np.all(np.diff(res.frame_starts) == hop)  # overlapping starts
     chan = meta["channel"]
     lo, hi = ds.bnds[chan]
     # the newest complete column surfaces and its frame ends at the tail
-    assert res.frame_starts[-1] + 256 == hi + 1
+    assert res.frame_starts[-1] + frame_len == hi + 1
 
     fn = stft.make_sti_fn_pm(
-        nfft=256, nint=1, mode=cfg.mode, window=cfg.window,
+        nfft=nfft, nint=nint, mode=cfg.mode, window=cfg.window,
         ref=ds.ref_dict[chan], contiguous=True)
     pm, starts_rel, _ = assemble_device_block(
-        ds, chan, None, res.frame_starts, 256)
+        ds, chan, None, res.frame_starts, frame_len)
     out = fn(jnp.asarray(pm), jnp.asarray(starts_rel))
     n = len(res.frame_starts)
     want = stft.to_reference_layout(np.asarray(out["sxx_dbfs"])[:n])
