@@ -825,3 +825,49 @@ def test_gui_resume_accepts_pre_hop_checkpoint(tone_capture, tmp_path):
     assert _wait(lambda: not st.processor.is_running)
     st.processor.join(10)
     assert win.close()
+
+
+def test_mixed_live_and_written_tabs(tmp_path, tone_capture):
+    """The two concurrency models coexist: a live tab runs its own
+    incremental-engine thread while written tabs share the scheduler —
+    both deliver, and the live tab never registers with the scheduler."""
+    from pyspectrogram_tpu.io.synthetic import tone_signal
+    from pyspectrogram_tpu.io.writer import DigitalRFWriter
+
+    sr = 100_000
+    w = DigitalRFWriter(
+        tmp_path / "cap", "live", np.complex64,
+        start_global_index=1_451_661_840 * sr,
+        sample_rate_numerator=sr, file_cadence_millisecs=100,
+        subdir_cadence_secs=1,
+    )
+    w.rf_write(tone_signal(40_000, sr, [12_500.0]).astype(np.complex64))
+    top, _ = tone_capture
+
+    win = gui.MainWindow()
+    win.scheduler.autostart = False
+    win.new_tab()
+    win.new_tab()
+    # tab 1: live over the growing capture (own worker thread)
+    st1 = win.states[1]
+    st1.live_check.setChecked(True)
+    st1.window_s.setValue(0.05)
+    st1.nfft.setValue(256)
+    QFileDialog.existing_directory = str(tmp_path / "cap")
+    st1.start_btn.click()
+    assert st1.processor._thread is not None  # own thread, not scheduler
+    # tabs 2+3: written over the static capture (shared scheduler)
+    for t in (2, 3):
+        _start(win, top, tab_id=t, ntime=100)
+        assert win.states[t].processor._thread is None
+    with win.scheduler._lock:
+        assert st1.processor not in win.scheduler._procs
+
+    assert _wait(lambda: st1.last is not None)   # live thread delivers
+    win.scheduler.tick_once()                    # written tabs deliver
+    assert win.scheduler.merged_launches == 1
+    assert all(win.states[t].last is not None for t in (2, 3))
+    for t in (1, 2, 3):
+        win.states[t].processor.abort()
+    assert _wait(lambda: not st1.processor.is_running)
+    assert win.close()

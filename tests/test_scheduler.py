@@ -286,3 +286,29 @@ def test_meshed_tab_keeps_sharded_dispatch(tone_capture):
                                a[1]["iterated"][0].sxx_dbfs, atol=2e-3)
     a[0].abort()
     b.abort()
+
+
+def test_one_broken_member_terminates_only_its_tab(tone_capture,
+                                                   monkeypatch):
+    """When a merged launch fails because ONE member's reads raise, the
+    solo fallback lets healthy tabs deliver and terminates only the
+    broken one (LOOP_EXCEPTION), like the per-tab thread loop would."""
+    top, _ = tone_capture
+    sched = SharedRefreshScheduler(autostart=False)
+    a = _proc(top, sched, 0, CFG)
+    b = _proc(top, sched, 1, CFG)
+
+    def boom(*args, **kw):
+        raise OSError("disk pulled")
+
+    monkeypatch.setattr(b[0].ds.reader, "read_vector_raw", boom)
+    sched.tick_once()
+    # a delivered via the solo fallback; b terminated with the real code
+    assert a[0].is_running and len(a[1]["iterated"]) == 1
+    assert not b[0].is_running
+    assert b[0].reason == TerminateReason.LOOP_EXCEPTION
+    assert len(b[1]["terminated"]) == 1
+    # the next cycle serves the healthy tab alone (b unregistered)
+    sched.tick_once()
+    assert len(a[1]["iterated"]) == 2
+    a[0].abort()
