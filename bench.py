@@ -185,6 +185,62 @@ def bench_streaming(nfft=4096, nint=1, nsub=2, cols_per_block=8,
     return sps, float(np.percentile(per_block, 50))
 
 
+def bench_multitab(B=7, nfft=1024, ntime=100, iters=15):
+    """End-to-end merged multi-tab refresh (runtime.scheduler): B
+    GUI-shaped display-tile tabs over one capture, one merged
+    BatchedStiPipeline launch per cycle vs B per-tab dispatches (the
+    reference's 7-thread pattern, drfview.py:178). Host-IO + transfer
+    bound on the tunnel, so this is an INFO row (not GS/s-gated).
+
+    Returns {"merged_ms", "solo_ms", "speedup"} per refresh cycle."""
+    import tempfile
+
+    from pyspectrogram_tpu.io.reader import RFDataset
+    from pyspectrogram_tpu.io.synthetic import write_capture
+    from pyspectrogram_tpu.models import StiPipeline
+    from pyspectrogram_tpu.runtime import (
+        ProcessorCallbacks,
+        SharedRefreshScheduler,
+        SpectrogramProcessor,
+    )
+    from pyspectrogram_tpu.utils.config import SpectrogramConfig
+
+    top = tempfile.mkdtemp()
+    write_capture(top, channel="ant0", kind="tone", n_samples=1 << 20,
+                  sample_rate_numerator=1_000_000, freqs_hz=[125_000.0])
+    cfg = SpectrogramConfig(nfft=nfft, nint=1, ntime=ntime,
+                            display_tile=True)
+    sched = SharedRefreshScheduler(autostart=False)
+    tabs = []
+    for i in range(B):
+        p = SpectrogramProcessor(
+            "written", top, i,
+            cfg.replace(color_range_db=(-110.0 - i, -40.0)),
+            callbacks=ProcessorCallbacks(on_iterated=lambda e: None),
+            scheduler=sched)
+        p.start()
+        tabs.append(p)
+    sched.tick_once()                           # compile the merged path
+    solos = [StiPipeline(p.ds, p.config) for p in tabs]
+    for s in solos:
+        s.compute()                             # compile the solo path
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        for p in tabs:
+            p._last_key = None                  # dirty every cycle
+        sched.tick_once()
+    merged_ms = (time.perf_counter() - t0) / iters * 1e3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        for s in solos:
+            s.compute(refresh_bounds=False)
+    solo_ms = (time.perf_counter() - t0) / iters * 1e3
+    for p in tabs:
+        p.abort()
+    return {"merged_ms": round(merged_ms, 1), "solo_ms": round(solo_ms, 1),
+            "speedup": round(solo_ms / merged_ms, 2)}
+
+
 def bench_display(nfft=4096, nsub=2, ring_len=256,
                   frange_khz=(-250.0, 250.0), repeats=7):
     """Readback cost of one display refresh: full float snapshot (what a
@@ -430,6 +486,14 @@ def run_all(args):
             speedup=d["speedup"])
     except Exception as e:
         print(f"# display FAILED: {e}", file=sys.stderr)
+    try:
+        m = bench_multitab()
+        print(f"# multi-tab (B=7)   merged {m['merged_ms']:.1f} ms/cycle "
+              f"vs {m['solo_ms']:.1f} as 7 dispatches "
+              f"({m['speedup']}x)", file=sys.stderr)
+        row("mtab/7/display", **m)
+    except Exception as e:
+        print(f"# multitab FAILED: {e}", file=sys.stderr)
     return rows
 
 

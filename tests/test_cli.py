@@ -386,3 +386,15 @@ def test_stream_rejects_oversize_hop(tmp_path, capsys):
     with pytest.raises(ValueError, match="hop"):
         main(["stream", str(drf), "--out", str(tmp_path / "x.png"),
               "--nfft", "256", "--hop", "512"])
+
+
+def test_bench_multitab_smoke():
+    """bench_multitab (the mtab/7/display info row) runs on CPU with tiny
+    shapes: merged and solo cycles both measure, speedup is positive."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench
+
+    m = bench.bench_multitab(B=2, nfft=128, ntime=8, iters=2)
+    assert m["merged_ms"] > 0 and m["solo_ms"] > 0 and m["speedup"] > 0
