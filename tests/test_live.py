@@ -718,6 +718,38 @@ def test_overlap_gap_flags_touching_columns(tmp_path):
     np.testing.assert_array_equal(~res.mask, want_bad)
 
 
+def test_overlap_hop_on_mesh_matches_single_device(tmp_path):
+    """A chan-sharded overlap-save stream seeds its carry under the mesh
+    layout (live.py _seed_carry's device_put branch) and every displayed
+    column — carry-seeded first column included — equals the
+    single-device engine's over the same capture."""
+    from pyspectrogram_tpu.io.synthetic import write_capture
+    from pyspectrogram_tpu.parallel import make_mesh
+
+    cap = tmp_path / "cap"
+    write_capture(cap, channel="m", kind="tone", n_samples=40_000,
+                  sample_rate_numerator=SR, num_subchannels=4)
+    cfg = SpectrogramConfig(nfft=64, ntime=200, stream_seconds=0.05,
+                            hop=32, streaming=True)
+    mesh = make_mesh(time_parallel=2, chan_parallel=4)
+    eng_m = LiveStreamEngine(RFDataset(cap), cfg, mesh=mesh,
+                             target_block_samples=4096)
+    assert eng_m.carry_len == 32
+    carry_sh, _, _ = eng_m.sti._shardings()
+    assert eng_m.state.carry.sharding == carry_sh  # seeded carry is placed
+    res_m = eng_m.tick(cfg)
+    assert res_m is not None
+
+    eng_1 = LiveStreamEngine(RFDataset(cap), cfg, target_block_samples=4096)
+    res_1 = eng_1.tick(cfg)
+    np.testing.assert_array_equal(res_m.frame_starts, res_1.frame_starts)
+    assert np.all(np.diff(res_m.frame_starts) == 32)
+    np.testing.assert_allclose(res_m.sxx_dbfs, res_1.sxx_dbfs, atol=1e-4)
+    np.testing.assert_allclose(res_m.sxx_med_dbfs, res_1.sxx_med_dbfs,
+                               atol=1e-4)
+    np.testing.assert_array_equal(res_m.mask, res_1.mask)
+
+
 def test_resume_accepts_pre_hop_checkpoint(tmp_path):
     """Checkpoints saved before the hop signature entry (8-entry
     signatures, rounds <= 4) resume as the contiguous streams they were,
