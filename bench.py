@@ -185,7 +185,8 @@ def bench_streaming(nfft=4096, nint=1, nsub=2, cols_per_block=8,
     return sps, float(np.percentile(per_block, 50))
 
 
-def bench_multitab(B=7, nfft=1024, ntime=100, iters=15):
+def bench_multitab(B=7, nfft=1024, ntime=100, iters=15,
+                   cache_root="/tmp/pstpu_mtab"):
     """End-to-end merged multi-tab refresh (runtime.scheduler): B
     GUI-shaped display-tile tabs over one capture, one merged
     BatchedStiPipeline launch per cycle vs B per-tab dispatches (the
@@ -193,7 +194,8 @@ def bench_multitab(B=7, nfft=1024, ntime=100, iters=15):
     bound on the tunnel, so this is an INFO row (not GS/s-gated).
 
     Returns {"merged_ms", "solo_ms", "speedup"} per refresh cycle."""
-    import tempfile
+    import json as _json
+    from pathlib import Path
 
     from pyspectrogram_tpu.io.reader import RFDataset
     from pyspectrogram_tpu.io.synthetic import write_capture
@@ -205,38 +207,53 @@ def bench_multitab(B=7, nfft=1024, ntime=100, iters=15):
     )
     from pyspectrogram_tpu.utils.config import SpectrogramConfig
 
-    top = tempfile.mkdtemp()
-    write_capture(top, channel="ant0", kind="tone", n_samples=1 << 20,
-                  sample_rate_numerator=1_000_000, freqs_hz=[125_000.0])
+    # ~10 window-spans of data, capped at the pinned row's 2^20; small
+    # smoke shapes get a proportionally small capture. Marker-cached like
+    # bench_e2e so repeated runs reuse the written capture.
+    n_samples = min(1 << 20, max(nfft * ntime * 10, 1 << 13))
+    top = Path(cache_root) / f"n{n_samples}"
+    marker = top / "complete.json"
+    if not marker.exists():
+        import shutil
+
+        shutil.rmtree(top, ignore_errors=True)
+        top.mkdir(parents=True, exist_ok=True)
+        write_capture(top, channel="ant0", kind="tone",
+                      n_samples=n_samples,
+                      sample_rate_numerator=1_000_000,
+                      freqs_hz=[125_000.0])
+        marker.write_text(_json.dumps({"n_samples": n_samples}))
     cfg = SpectrogramConfig(nfft=nfft, nint=1, ntime=ntime,
                             display_tile=True)
     sched = SharedRefreshScheduler(autostart=False)
     tabs = []
-    for i in range(B):
-        p = SpectrogramProcessor(
-            "written", top, i,
-            cfg.replace(color_range_db=(-110.0 - i, -40.0)),
-            callbacks=ProcessorCallbacks(on_iterated=lambda e: None),
-            scheduler=sched)
-        p.start()
-        tabs.append(p)
-    sched.tick_once()                           # compile the merged path
-    solos = [StiPipeline(p.ds, p.config) for p in tabs]
-    for s in solos:
-        s.compute()                             # compile the solo path
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        for p in tabs:
-            p._last_key = None                  # dirty every cycle
-        sched.tick_once()
-    merged_ms = (time.perf_counter() - t0) / iters * 1e3
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    try:
+        for i in range(B):
+            p = SpectrogramProcessor(
+                "written", str(top), i,
+                cfg.replace(color_range_db=(-110.0 - i, -40.0)),
+                callbacks=ProcessorCallbacks(on_iterated=lambda e: None),
+                scheduler=sched)
+            p.start()
+            tabs.append(p)
+        sched.tick_once()                       # compile the merged path
+        solos = [StiPipeline(p.ds, p.config) for p in tabs]
         for s in solos:
-            s.compute(refresh_bounds=False)
-    solo_ms = (time.perf_counter() - t0) / iters * 1e3
-    for p in tabs:
-        p.abort()
+            s.compute()                         # compile the solo path
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            for p in tabs:
+                p._last_key = None              # dirty every cycle
+            sched.tick_once()
+        merged_ms = (time.perf_counter() - t0) / iters * 1e3
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            for s in solos:
+                s.compute(refresh_bounds=False)
+        solo_ms = (time.perf_counter() - t0) / iters * 1e3
+    finally:
+        for p in tabs:
+            p.abort()
     return {"merged_ms": round(merged_ms, 1), "solo_ms": round(solo_ms, 1),
             "speedup": round(solo_ms / merged_ms, 2)}
 

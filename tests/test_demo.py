@@ -10,7 +10,8 @@ def test_demo_runs_and_writes_artifacts(tmp_path, capsys):
     demo_path = Path(__file__).resolve().parents[1] / "examples" / "demo.py"
     spec = importlib.util.spec_from_file_location("pstpu_demo", demo_path)
     demo = importlib.util.module_from_spec(spec)
-    sys.modules["pstpu_demo"] = spec.loader.exec_module(demo) or demo
+    sys.modules["pstpu_demo"] = demo   # register BEFORE exec, per importlib docs
+    spec.loader.exec_module(demo)
     demo.main(str(tmp_path))
     out = capsys.readouterr().out
     assert "peak at +125.0 kHz" in out

@@ -512,7 +512,7 @@ def test_live_hop_widget_drives_overlap(tmp_path):
     win = gui.MainWindow()
     st = win.states[1]
     st.live_check.setChecked(True)
-    st.window_s.setValue(0.05)
+    st.window_s.setValue(0.1)   # the spinbox minimum (0.05 would clamp)
     st.nfft.setValue(256)
     st.hop_w.setValue(128)
     QFileDialog.existing_directory = str(tmp_path / "cap")
@@ -851,7 +851,7 @@ def test_mixed_live_and_written_tabs(tmp_path, tone_capture):
     # tab 1: live over the growing capture (own worker thread)
     st1 = win.states[1]
     st1.live_check.setChecked(True)
-    st1.window_s.setValue(0.05)
+    st1.window_s.setValue(0.1)  # the spinbox minimum (0.05 would clamp)
     st1.nfft.setValue(256)
     QFileDialog.existing_directory = str(tmp_path / "cap")
     st1.start_btn.click()
