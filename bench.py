@@ -249,7 +249,10 @@ def bench_multitab(B=7, nfft=1024, ntime=100, iters=15,
         t0 = time.perf_counter()
         for _ in range(iters):
             for s in solos:
-                s.compute(refresh_bounds=False)
+                # refresh_bounds=True: the merged cycle pays a per-tab
+                # bnds_update (scheduler._tick), and so would N per-tab
+                # threads — a bare compute would understate the baseline
+                s.compute()
         solo_ms = (time.perf_counter() - t0) / iters * 1e3
     finally:
         for p in tabs:

@@ -492,8 +492,14 @@ class MainWindow(QtWidgets.QMainWindow):
             # spinbox range and a clamped value would silently turn the
             # resumed stream into an overlap-save one.
             hop_eff = int(sig[8])
-            st.hop_w.setValue(
-                0 if hop_eff == int(sig[0]) * int(sig[1]) else hop_eff)
+            frame = int(sig[0]) * int(sig[1])
+            # a genuinely-overlapped hop on a big frame (nfft*nint >
+            # NFFT_RANGE[1]) exceeds the default spinbox max — widen the
+            # range BEFORE adopting it, or setValue clamps and the next
+            # Update Settings rebuilds the ring with a DIFFERENT overlap
+            # than the checkpointed stream
+            st.hop_w.setRange(0, max(st.hop_w.maximum(), frame))
+            st.hop_w.setValue(0 if hop_eff == frame else hop_eff)
             st.live_check.setChecked(True)
 
         st.bridge = _Bridge()

@@ -119,6 +119,29 @@ class DigitalRFReader:
             raise FormatError(f"channel {channel} has no written samples yet")
         return first, last
 
+    def data_version(self, channel: str) -> Tuple[int, int]:
+        """Cheap content fingerprint of a channel's INTERIOR: (number of
+        cadence subdirectories, newest interior-subdir mtime). Bounds
+        alone cannot see a backfill — an out-of-order writer filling a
+        gap between unchanged (first, last) samples — but such writes
+        land as new HDF5 files, which bump their cadence directory's
+        mtime (or create a new directory). The FINAL subdirectory is
+        deliberately excluded from the mtime max: a steady appender
+        touches it every block, and appends already move the bounds the
+        delta-aware loop (models.sti.request_key) keys on. Same
+        O(#subdirs) cost class as :meth:`get_bounds`. Known blind spots
+        (accepted, documented): in-place row appends to an interior
+        file, and backfills confined to the final subdirectory — both
+        touch no interior directory."""
+        self._channel_props(channel)  # ChannelNotFoundError on unknowns
+        subs = fmt.list_subdirs(self.top_dir / channel)
+        interior_ns = 0
+        for sub in subs[:-1]:
+            m = sub.stat().st_mtime_ns
+            if m > interior_ns:
+                interior_ns = m
+        return len(subs), interior_ns
+
     # ---- reads ---------------------------------------------------------
     def read(self, start_sample: int, n_samples: int, channel: str
              ) -> "OrderedDict[int, np.ndarray]":
@@ -237,6 +260,7 @@ class RFDataset:
         self.sr_dict: Dict[str, Fraction] = {}
         self.ref_dict: Dict[str, float] = {}
         self.bnds: Dict[str, Tuple[int, int]] = {}
+        self.data_version: Dict[str, Tuple[int, int]] = {}
         self.time_bnds: Tuple[float, float] = (np.inf, -np.inf)
         for chan in self.reader.get_channels():
             props = self.reader.get_properties(chan)
@@ -249,6 +273,7 @@ class RFDataset:
             self.sr_dict[chan] = sr
             self.ref_dict[chan] = fmt.get_ref(props)
             self.bnds[chan] = bnds
+            self.data_version[chan] = self.reader.data_version(chan)
             self.time_bnds = (
                 min(self.time_bnds[0], float(bnds[0] / sr)),
                 max(self.time_bnds[1], float(bnds[1] / sr)),
@@ -340,6 +365,10 @@ class RFDataset:
         for chan in self.chan_2sub:
             try:
                 bnds = self.reader.get_bounds(chan)
+                # refresh the interior fingerprint alongside the bounds
+                # so the delta-aware loop's request_key sees backfilled
+                # gap writes that leave (first, last) unchanged
+                self.data_version[chan] = self.reader.data_version(chan)
             except (OSError, KeyError, FormatError):
                 continue
             sr = self.sr_dict[chan]

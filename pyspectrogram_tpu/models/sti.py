@@ -242,10 +242,15 @@ class StiPipeline:
         move the resolved span (sub-sample growth, or an explicit
         time_span inside unchanged bounds) keeps the key equal; any
         change to the frame starts changes ``(s_samp, e_samp)`` and
-        forces a recompute. Call after ``bnds_update``."""
+        forces a recompute. The channel's interior data_version
+        (io.reader) is part of the key: a backfill filling a gap
+        BETWEEN unchanged bounds changes the samples without moving
+        the resolved span, and without it the loop would re-emit the
+        stale gap-masked columns forever. Call after ``bnds_update``."""
         chan, isub = self.channel_of(cfg)
         s_samp, e_samp = self._resolve_span(cfg, chan, self.ds.sr_dict[chan])
-        return (cfg, chan, isub, s_samp, e_samp)
+        return (cfg, chan, isub, s_samp, e_samp,
+                self.ds.data_version.get(chan))
 
     def compute(self, config: Optional[SpectrogramConfig] = None,
                 sample_span: Optional[Tuple[int, int]] = None,

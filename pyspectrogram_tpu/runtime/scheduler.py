@@ -248,11 +248,27 @@ class SharedRefreshScheduler:
         p._sched_delivered = True
         if (p.max_iterations is not None
                 and p._sched_i + 1 >= p.max_iterations):
-            p._terminate(TerminateReason.OK)  # unregisters via processor
+            self._terminate(p, TerminateReason.OK)
 
     def _fail(self, p) -> None:
         import traceback
 
-        p.is_running = False
-        p._terminate(TerminateReason.LOOP_EXCEPTION)
+        # report the ORIGINAL error first: _terminate emits the client's
+        # on_terminated callback, which may itself raise and would
+        # otherwise swallow the traceback that got us here
         traceback.print_exc()
+        p.is_running = False
+        self._terminate(p, TerminateReason.LOOP_EXCEPTION)
+
+    def _terminate(self, p, reason) -> None:
+        """Terminate ONE tab without letting its on_terminated callback
+        take the rest of the cycle down: in thread mode a double-raise
+        (failing callback, then failing terminate emit) killed only that
+        tab's own thread — here it would escape _tick and skip every
+        remaining tab's refresh this cycle."""
+        try:
+            p._terminate(reason)  # unregisters via processor
+        except Exception:
+            logger.exception("terminate callback raised (tab %s)",
+                             getattr(p, "tab_id", "?"))
+            self.unregister(p)

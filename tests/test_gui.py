@@ -827,6 +827,52 @@ def test_gui_resume_accepts_pre_hop_checkpoint(tone_capture, tmp_path):
     assert win.close()
 
 
+def test_gui_resume_widens_hop_range_for_big_frames(tone_capture,
+                                                    tmp_path):
+    """A genuinely-overlapped hop on a big frame (nfft*nint >
+    NFFT_RANGE[1]) exceeds the hop spinbox's default max: the resume
+    flow must widen the range BEFORE adopting the value — a silent
+    clamp would make the next Update Settings rebuild the ring with a
+    DIFFERENT overlap than the checkpointed stream."""
+    import json
+
+    from pyspectrogram_tpu.io.reader import RFDataset
+    from pyspectrogram_tpu.runtime.live import LiveStreamEngine
+    from pyspectrogram_tpu.utils.config import NFFT_RANGE, SpectrogramConfig
+
+    top, meta = tone_capture
+    cfg = SpectrogramConfig(nfft=256, ntime=8, streaming=True,
+                            stream_seconds=0.02, channel=meta["channel"])
+    eng = LiveStreamEngine(RFDataset(top), cfg)
+    eng.tick(cfg)
+    ck = tmp_path / "bigframe_state.npz"
+    eng.save(ck)
+    # rewrite the signature header to a big-frame overlapped stream:
+    # nfft=4096, nint=512 (frame 2,097,152), hop=1,500,000 > the spinbox
+    # default max NFFT_RANGE[1]. The ARRAYS stay 256-shaped, so the
+    # preload refuses the state (geometry guard) — the widget adoption
+    # under test happens before that and must survive unclamped.
+    hop = 1_500_000
+    assert hop > NFFT_RANGE[1]
+    with np.load(ck, allow_pickle=False) as z:
+        arrays = {k: z[k] for k in z.files}
+    header = json.loads(bytes(arrays["header"].tobytes()).decode())
+    sig = header["meta"]["signature"]
+    sig[0], sig[1], sig[8] = 4096, 512, hop
+    arrays["header"] = np.frombuffer(json.dumps(header).encode(), np.uint8)
+    np.savez(ck, **arrays)
+
+    win = gui.MainWindow()
+    st = win.states[1]
+    QFileDialog.open_file_name = (str(ck), "")
+    QFileDialog.existing_directory = str(top)
+    st.resume_btn.click()   # preload refuses (one dialog), widgets stay
+    assert st.hop_w.maximum() >= 4096 * 512
+    assert st.hop_w.value() == hop            # NOT clamped to NFFT_RANGE[1]
+    assert st.nfft.value() == 4096 and st.nint.value() == 512
+    assert win.close()
+
+
 def test_mixed_live_and_written_tabs(tmp_path, tone_capture):
     """The two concurrency models coexist: a live tab runs its own
     incremental-engine thread while written tabs share the scheduler —

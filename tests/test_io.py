@@ -110,6 +110,46 @@ def test_gap_zero_fill_and_mask(tmp_path):
     assert list(runs) == [start, start + 9_000]
 
 
+def test_data_version_append_stable_interior_sensitive(tmp_path):
+    """The interior fingerprint (reader.data_version) must IGNORE steady
+    appends into the final subdir — or the delta-aware written loop
+    (models.sti.request_key) would recompute a fixed-span request on
+    every tick of a growing capture — yet CHANGE when files land in an
+    interior subdir (an out-of-order backfill, which moves no bounds)."""
+    from pyspectrogram_tpu.io.synthetic import tone_signal
+    from pyspectrogram_tpu.io.writer import DigitalRFWriter
+
+    sr = 10_000
+    start = 1_451_661_840 * sr
+    w = DigitalRFWriter(tmp_path, "chV", np.complex64,
+                        start_global_index=start,
+                        sample_rate_numerator=sr, subdir_cadence_secs=1,
+                        file_cadence_millisecs=200)
+    # 2.5 s with a hole in second #1: subdirs 0,1,2 — 2 is the live edge
+    w.rf_write(tone_signal(int(1.2 * sr), sr, [1_250.0]
+                           ).astype(np.complex64))
+    w.skip(int(0.4 * sr))
+    w.rf_write(tone_signal(int(0.9 * sr), sr, [1_250.0]
+                           ).astype(np.complex64))
+    r = DigitalRFReader(tmp_path)
+    v0 = r.data_version("chV")
+    assert v0[0] == 3                   # (n_subdirs, interior_mtime_ns)
+    # append into the FINAL subdir: version must not move
+    w.rf_write(tone_signal(int(0.2 * sr), sr, [1_250.0]
+                           ).astype(np.complex64))
+    assert r.data_version("chV") == v0
+    # backfill the interior hole: version must move, bounds must not
+    b0 = r.get_bounds("chV")
+    w2 = DigitalRFWriter(tmp_path, "chV", np.complex64,
+                         start_global_index=start + int(1.2 * sr),
+                         sample_rate_numerator=sr, subdir_cadence_secs=1,
+                         file_cadence_millisecs=200)
+    w2.rf_write(tone_signal(int(0.4 * sr), sr, [1_250.0]
+                            ).astype(np.complex64))
+    assert r.get_bounds("chV") == b0
+    assert r.data_version("chV") != v0
+
+
 def test_int16_capture_ref_normalization(int16_capture):
     top, meta = int16_capture
     ds = RFDataset(top)

@@ -586,6 +586,54 @@ def test_written_loop_recomputes_when_bounds_grow(tmp_path):
     # recomputes through the skip cache at the new shape)
 
 
+def test_request_key_sees_interior_backfill(tmp_path):
+    """An out-of-order writer filling a gap BETWEEN unchanged bounds must
+    dirty the delta-aware request key: the resolved span doesn't move, so
+    a bounds-only key would re-emit the stale gap-masked columns forever
+    (the reference re-read every tick, drfProc.py:275-321, and showed the
+    filled data). io.reader.data_version carries the interior
+    fingerprint that makes the skip cache see such writes."""
+    from pyspectrogram_tpu.io.synthetic import tone_signal, write_capture
+    from pyspectrogram_tpu.io.writer import DigitalRFWriter
+
+    sr = 100_000
+    # 1 s cadence -> the 3 s capture spans 3+ subdirs; the gap sits in
+    # second #1, an INTERIOR subdir (the fingerprint's documented blind
+    # spot is a backfill confined to the FINAL subdir)
+    start = 1_451_661_840 * sr
+    g_off, g_len = int(1.4 * sr), int(0.2 * sr)
+    write_capture(tmp_path, channel="ant0", kind="tone", n_samples=3 * sr,
+                  sample_rate_numerator=sr, start_global_index=start,
+                  gap=(g_off, g_len), subdir_cadence_secs=1,
+                  file_cadence_millisecs=200)
+    ds = RFDataset(tmp_path)
+    cfg = SpectrogramConfig(nfft=128, ntime=16)
+    pipe = StiPipeline(ds, cfg)
+    bnds0 = ds.bnds["ant0"]
+    k0 = pipe.request_key(cfg)
+    res0 = pipe.compute(cfg)
+    assert not res0.mask.all()          # the gap shows as masked columns
+    # static capture: refreshes keep the key equal (the skip cache holds)
+    ds.bnds_update()
+    assert pipe.request_key(cfg) == k0
+
+    # backfill: a second writer opened AT the gap start — the upstream
+    # out-of-order write pattern — lands new files in the interior
+    # cadence dir without moving (first, last)
+    w = DigitalRFWriter(tmp_path, "ant0", np.complex64,
+                        start_global_index=start + g_off,
+                        sample_rate_numerator=sr, subdir_cadence_secs=1,
+                        file_cadence_millisecs=200)
+    w.rf_write(tone_signal(g_len, sr, [12_500.0],
+                           start_sample=g_off).astype(np.complex64))
+    ds.bnds_update()
+    assert ds.bnds["ant0"] == bnds0     # bounds really didn't move
+    k1 = pipe.request_key(cfg)
+    assert k1 != k0                     # ... but the key went dirty
+    res1 = pipe.compute(cfg)
+    assert res1.mask.all()              # and a recompute shows the fill
+
+
 def test_prefetch_assembly_matches_direct(tone_capture, monkeypatch):
     """The chunked PrefetchFeeder assembly (overlapping read/assemble with
     host->device transfer) is bit-identical to the direct path."""

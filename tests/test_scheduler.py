@@ -312,3 +312,32 @@ def test_one_broken_member_terminates_only_its_tab(tone_capture,
     sched.tick_once()
     assert len(a[1]["iterated"]) == 2
     a[0].abort()
+
+
+def test_double_raising_callbacks_cost_only_their_tab(tone_capture):
+    """A tab whose on_iterated AND on_terminated callbacks BOTH raise
+    (e.g. its widgets were torn down) must cost only itself: in thread
+    mode the double-raise killed that tab's own thread — here it must
+    not escape the cycle and skip every later tab's refresh."""
+    top, _ = tone_capture
+    sched = SharedRefreshScheduler(autostart=False)
+
+    def boom(_payload):
+        raise RuntimeError("widget torn down")
+
+    broken = SpectrogramProcessor(
+        "written", top, 0, CFG, scheduler=sched,
+        callbacks=ProcessorCallbacks(on_iterated=boom, on_terminated=boom))
+    broken.start()
+    healthy, seen = _proc(top, sched, 1, CFG)
+
+    sched.tick_once()   # must not raise out of the cycle
+    # the broken tab terminated and left the registry ...
+    assert not broken.is_running
+    assert broken.reason == TerminateReason.LOOP_EXCEPTION
+    assert broken not in sched._procs
+    # ... and the tab AFTER it in the same cycle still got served
+    assert len(seen["iterated"]) == 1 and len(seen["stats"]) == 1
+    sched.tick_once()
+    assert len(seen["iterated"]) == 2
+    healthy.abort()
