@@ -250,7 +250,9 @@ class RFDataset:
     """High-level ingest: the reference's ``DrfInput`` equivalent
     (reference: drfProc.py:59-179) with identical public state:
     ``chan_2sub``, ``chan_entries``, ``sr_dict``, ``ref_dict``, ``bnds``,
-    ``time_bnds``."""
+    ``time_bnds`` — plus ``data_version`` (per-channel interior content
+    fingerprint, refreshed by ``bnds_update``; the delta-aware written
+    loop keys on it, models.sti.request_key)."""
 
     def __init__(self, top_dir: Union[str, Path],
                  io_workers: Optional[int] = None):
