@@ -235,8 +235,6 @@ def cmd_filter(args) -> int:
 def cmd_stream(args) -> int:
     """Incremental streaming: prefetch blocks from disk, push through the
     on-device STI ring, save the final waterfall + median PSD."""
-    import jax.numpy as jnp
-
     from pyspectrogram_tpu.display import save_sti_png
     from pyspectrogram_tpu.io import RFDataset, sample_to_datetime
     from pyspectrogram_tpu.io.ingest import stream_blocks
@@ -267,8 +265,12 @@ def cmd_stream(args) -> int:
     state = s.init_state()
     with stream_blocks(ds, chan, lo, block_len, n_blocks) as feeder:
         for blk in feeder:
-            state, _ = s.push(state, jnp.asarray(np.asarray(blk, np.float32)),
-                              return_db=False)
+            # blocks arrive already device_put (PrefetchFeeder) in their
+            # native plane-major dtype (int16 rides half the transfer
+            # bytes; the kernel folds the dBFS scale) — a host round-trip
+            # here would serialize the read/transfer/compute overlap the
+            # feeder exists to provide
+            state, _ = s.push(state, blk, return_db=False)
     ring_db, nvalid = s.snapshot(state)
     freqs = shifted_freqs(args.nfft, sr)
     cols = ring_db[args.ring_len - nvalid:]          # oldest -> newest
@@ -387,6 +389,16 @@ def cmd_gui(args) -> int:
     return gui_mod.main()
 
 
+#: synth --dtype choices: the float default plus the raw integer layouts
+#: real receivers record (int16 exercises the folded dBFS scale and the
+#: half-byte device transfers end-to-end)
+SYNTH_DTYPES = {
+    "complex64": np.complex64,
+    "int16": np.dtype([("r", np.int16), ("i", np.int16)]),
+    "float32": np.float32,
+}
+
+
 def cmd_synth(args) -> int:
     from pyspectrogram_tpu.io.synthetic import write_capture
 
@@ -395,6 +407,7 @@ def cmd_synth(args) -> int:
         n_samples=args.n_samples,
         sample_rate_numerator=args.sample_rate,
         num_subchannels=args.nsub,
+        dtype=SYNTH_DTYPES[args.dtype],
         freqs_hz=args.freqs if args.freqs else None,
         noise_rms=args.noise_rms,
     )
@@ -556,6 +569,8 @@ def main(argv=None) -> int:
     p.add_argument("--nsub", type=int, default=1)
     p.add_argument("--freqs", type=float, nargs="+", default=None)
     p.add_argument("--noise-rms", type=float, default=0.0)
+    p.add_argument("--dtype", default="complex64",
+                   choices=sorted(SYNTH_DTYPES))
     p.set_defaults(fn=cmd_synth)
 
     p = sub.add_parser("bench", help="throughput benchmark")

@@ -714,10 +714,15 @@ class MainWindow(QtWidgets.QMainWindow):
     # --------------------------------------------------------- draw
     def _redraw(self, st: TabState):
         p = st.last
-        sub = st.subchan
+        nsub = p.sxx_med_dbfs.shape[1]
+        # clamp against the RESULT's subchannel count: a channel switch
+        # repopulates the sub combo before the new channel's first
+        # Iterated lands (a 20-80 s window during a remote recompile),
+        # and indexing the stale result with the new combo's index would
+        # raise out of the Qt slot
+        sub = min(st.subchan, nsub - 1)
         f_khz = p.freqs * 1e-3
         st.psd_ax.cla()
-        nsub = p.sxx_med_dbfs.shape[1]
         for i in range(nsub):
             lw = 4 if i == sub else 1
             st.psd_ax.plot(f_khz, p.sxx_med_dbfs[:, i], linewidth=lw,

@@ -58,6 +58,7 @@ class DigitalRFReader:
             from pyspectrogram_tpu.io.fastread import FastSpanReader
 
             self._fast = FastSpanReader(workers=io_workers)
+        self._mem_dtype: Dict[str, np.dtype] = {}
 
     # ---- discovery -----------------------------------------------------
     def get_channels(self) -> List[str]:
@@ -190,6 +191,38 @@ class DigitalRFReader:
             flush()
         return runs
 
+    def _memory_dtype(self, channel: str) -> np.dtype:
+        """In-memory dtype for this channel's reads. drf_properties
+        records class/size/precision but NOT signedness (upstream
+        parity: digital_rf readers take the dtype from ``rf_data``
+        itself), so an INTEGER channel reconstructed from props alone
+        would always come back signed — an unsigned capture would wrap
+        negative above half scale. Probe one data file's true dtype,
+        cached per channel; fall back to the props reconstruction until
+        the channel has a readable file."""
+        dt = self._mem_dtype.get(channel)
+        if dt is not None:
+            return dt
+        props = self._channel_props(channel)
+        dt = fmt.memory_dtype_of(props)
+        if props.h5_class != fmt.H5T_INTEGER:
+            # float channels are unambiguous from props (and the complex
+            # compound -> native-complex mapping is theirs alone)
+            self._mem_dtype[channel] = dt
+            return dt
+        import h5py
+
+        for sub in fmt.list_subdirs(self.top_dir / channel):
+            for _, path in fmt.subdir_data_files(sub):
+                try:
+                    with h5py.File(path, "r") as f:
+                        dt = f["rf_data"].dtype
+                except OSError:
+                    continue  # mid-write file: keep probing
+                self._mem_dtype[channel] = dt
+                return dt
+        return dt  # no file yet: props fallback, re-probe next read
+
     def read_vector_raw(
         self, start_sample: int, n_samples: int, channel: str,
         return_mask: bool = False,
@@ -205,7 +238,8 @@ class DigitalRFReader:
         n = int(n_samples)
         # uninitialized on purpose: the fast path writes data rows via
         # preadv and zeroes only the gap rows itself
-        out = np.empty((n, props.num_subchannels), dtype=fmt.memory_dtype_of(props))
+        out = np.empty((n, props.num_subchannels),
+                       dtype=self._memory_dtype(channel))
         mask = np.zeros(n, dtype=bool)
         if self._fast is not None and self._fast.read_into(
             props, self.top_dir / channel, int(start_sample), n, out, mask

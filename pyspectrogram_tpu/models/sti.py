@@ -90,7 +90,13 @@ def assemble_device_block(
     if coalesce:
         raw, mask = reader.read_vector_raw(lo, dense_span, chan, return_mask=True)
         rel = np.asarray(n_st, np.int64) - lo
-        fmask = [mask[s : s + frame_len].all() for s in rel]
+        # gap-count prefix sum (runtime.live._col_valid's form, here over
+        # the non-uniform linspace starts): one O(span) cumsum, not an
+        # O(ntime) Python loop of slice .all() calls — at the reference's
+        # ntime = 1e5 ceiling that loop is pure interpreter overhead on
+        # the per-tick host path
+        bad = np.concatenate([[0], np.cumsum(~mask)])
+        fmask = bad[rel + frame_len] - bad[rel] == 0
     else:
         frames, fmask = [], []
         for s in n_st:

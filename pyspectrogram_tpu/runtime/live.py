@@ -105,7 +105,12 @@ class LiveStreamEngine:
         if cols_per_block is not None:
             k = int(cols_per_block)
         else:
-            avail_cols = max(1, (hi - lo + 1) // self.hop)
+            # frame-aware: a block of k columns needs carry_len + k*hop
+            # samples, so k must subtract the carry — or an overlap-hop
+            # capture that stops growing just short of a carry-blind
+            # block would never push (and with total_cols == 0, tick()
+            # would return None forever despite complete columns)
+            avail_cols = max(1, (hi - lo + 1 - self.carry_len) // self.hop)
             k = max(1, min(target_block_samples // self.hop,
                            avail_cols, self.window_cols))
         self.cols_per_block = k

@@ -239,9 +239,16 @@ class SpectrogramProcessor:
         except Exception:
             import traceback
 
-            self.is_running = False
-            self._terminate(TerminateReason.LOOP_EXCEPTION)
+            # report the ORIGINAL loop error BEFORE the terminate emit —
+            # a raising on_terminated callback would otherwise swallow
+            # the root cause entirely (runtime.scheduler._fail orders it
+            # the same way)
             traceback.print_exc()
+            self.is_running = False
+            try:
+                self._terminate(TerminateReason.LOOP_EXCEPTION)
+            except Exception:
+                traceback.print_exc()
 
     def update_settings(
         self,

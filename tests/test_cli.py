@@ -15,6 +15,23 @@ def _run(capsys, *argv):
     return rc, json.loads(out)
 
 
+def test_synth_dtype_int16_streams(tmp_path, capsys):
+    """synth --dtype int16 writes a raw integer capture (the receiver
+    recording layout) and the stream path pushes its device blocks
+    UNCONVERTED: the folded dBFS scale lands the 2^14 tone at exactly
+    20*log10(2^-1.5) = -9.03 dBFS against the 2^15.5 int16 reference."""
+    drf = tmp_path / "cap16"
+    rc, meta = _run(capsys, "synth", "--out", str(drf), "--kind", "tone",
+                    "--n-samples", "65536", "--sample-rate", "1000000",
+                    "--freqs", "125000", "--dtype", "int16")
+    assert rc == 0 and meta["scale"] == 2 ** 14
+    png = tmp_path / "s.png"
+    rc, out = _run(capsys, "stream", str(drf), "--nfft", "512", "--nint",
+                   "1", "--out", str(png))
+    assert rc == 0 and png.exists()
+    assert out["peak_dbfs"] == pytest.approx(-9.031, abs=0.05)
+
+
 def test_synth_info_sti_psd(tmp_path, capsys):
     drf = tmp_path / "cap"
     rc, meta = _run(capsys, "synth", "--out", str(drf), "--kind", "tone",

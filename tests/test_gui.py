@@ -145,6 +145,23 @@ def test_window_construction_and_tab_ui():
     assert win.close()
 
 
+def test_redraw_clamps_subchannel_to_stale_result(tone_capture):
+    """A channel switch repopulates the sub combo before the NEW
+    channel's first result lands (a 20-80 s window during a remote
+    recompile): redrawing the STALE result with a larger subchannel
+    index must clamp, not raise out of the Qt slot."""
+    top, _ = tone_capture
+    win = gui.MainWindow()
+    st = _start(win, top, ntime=50)
+    assert _wait(lambda: st.last is not None)
+    assert st.last.sxx_med_dbfs.shape[1] == 2   # the stale 2-sub result
+    win._set_subchan(1, 5)                      # combo says 6+ subs now
+    assert len(st.psd_ax.lines) == 2            # redrew, clamped to sub 1
+    st.stop_btn.click()
+    assert _wait(lambda: not st.processor.is_running)
+    assert win.close()
+
+
 def test_live_session_settings_roundtrip_and_save(tone_capture, tmp_path):
     top, meta = tone_capture
     win = gui.MainWindow()

@@ -110,6 +110,30 @@ def test_gap_zero_fill_and_mask(tmp_path):
     assert list(runs) == [start, start + 9_000]
 
 
+@pytest.mark.parametrize("io_workers", [None, 0])
+def test_unsigned_integer_capture_roundtrip(tmp_path, io_workers):
+    """drf_properties records H5 class/size/precision but NOT signedness
+    (upstream parity: digital_rf readers take the dtype from ``rf_data``
+    itself) — a uint16 capture reconstructed from props alone would come
+    back int16 and wrap negative above half scale. Both read paths (the
+    pooled byte-range fast path and h5py) must yield the true values."""
+    from pyspectrogram_tpu.io.writer import DigitalRFWriter
+
+    sr = 10_000
+    start = 1_451_661_840 * sr
+    vals = (np.arange(4_000, dtype=np.uint16) + 40_000).reshape(-1, 1)
+    w = DigitalRFWriter(tmp_path, "chU", np.uint16,
+                        start_global_index=start,
+                        sample_rate_numerator=sr)
+    w.rf_write(vals)
+    r = DigitalRFReader(tmp_path, io_workers=io_workers)
+    raw = r.read_vector_raw(start, 4_000, "chU")
+    assert raw.dtype == np.uint16          # not reinterpreted signed
+    np.testing.assert_array_equal(raw, vals)
+    dense = r.read_vector(start, 4_000, "chU")
+    np.testing.assert_array_equal(dense, vals.astype(np.float64))
+
+
 def test_data_version_append_stable_interior_sensitive(tmp_path):
     """The interior fingerprint (reader.data_version) must IGNORE steady
     appends into the final subdir — or the delta-aware written loop

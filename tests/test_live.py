@@ -481,6 +481,32 @@ def test_live_int16_capture_normalization(tmp_path):
                                20 * np.log10(2**14 / 2**15.5), atol=0.05)
 
 
+def test_overlap_hop_short_capture_still_displays(tmp_path):
+    """Round-5 review finding: cols_per_block was derived carry-blind
+    ((hi-lo+1)//hop), so an overlap-hop capture that stopped growing just
+    short of carry_len + k*hop samples could never push a block — and
+    with total_cols == 0, tick() returned None forever despite complete
+    columns existing. The frame-aware derivation guarantees the initial
+    capture always fits at least one block once it holds one frame."""
+    n0 = 1_100                              # frame 64, hop 16, carry 48
+    _growing_writer(tmp_path, n0)
+    ds = RFDataset(tmp_path)
+    cfg = SpectrogramConfig(nfft=64, nint=1, ntime=1000, hop=16,
+                            stream_seconds=0.1, streaming=True)
+    eng = LiveStreamEngine(ds, cfg, target_block_samples=4096)
+    # carry-aware: one whole block fits the initial capture
+    assert eng.carry_len == 48
+    assert eng.carry_len + eng.cols_per_block * eng.hop <= n0
+    res = eng.tick(cfg)
+    assert res is not None                  # carry-blind k: None forever
+    # ring + tail together show every complete hop-spaced column: gapless
+    # hop spacing, and the last column's frame ends within one hop of the
+    # capture end
+    assert np.all(np.diff(res.frame_starts) == 16)
+    lo, hi = ds.bnds["live"]
+    assert 0 <= (hi + 1) - (int(res.frame_starts[-1]) + 64) < 16
+
+
 def test_tail_columns_surface_when_writer_stops(tmp_path):
     """Complete columns that never fill a whole push block still surface
     in the view once blocks stop flowing (round-4 review finding: the

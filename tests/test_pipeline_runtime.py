@@ -393,6 +393,31 @@ def test_processor_init_failure_reports_real_error(tmp_path):
     assert len(events["terminated"]) == 1
 
 
+def test_loop_error_survives_raising_terminate_callback(tone_capture,
+                                                        capsys):
+    """A loop failure whose on_terminated callback ITSELF raises must
+    neither escape run() nor swallow the root cause: the original loop
+    traceback prints BEFORE the terminate emit (the emit used to run
+    first, so its raise propagated and the real error vanished)."""
+    top, _ = tone_capture
+
+    def boom(_payload):
+        raise RuntimeError("terminate slot torn down")
+
+    proc = SpectrogramProcessor(
+        "written", top, tab_id=3, config=SpectrogramConfig(nfft=128),
+        callbacks=ProcessorCallbacks(on_terminated=boom),
+        written_sleep=0.0, max_iterations=3,
+    )
+    proc.pipeline.compute = lambda *a, **k: (_ for _ in ()).throw(
+        OSError("disk pulled"))
+    proc.run()                          # must not raise
+    assert proc.reason == TerminateReason.LOOP_EXCEPTION
+    err = capsys.readouterr().err
+    assert "disk pulled" in err         # the ROOT cause is reported
+    assert "terminate slot torn down" in err
+
+
 def test_pipeline_one_sided_time_span(tone_capture):
     """A time_span with a None side means that edge of the capture: the
     CLI's lone --tstart/--tend crashed with Fraction(None) before."""
