@@ -42,6 +42,12 @@ MIN_PARALLEL_BYTES = 2 * 1024 * 1024
 #: still spread across the pool
 JOB_BYTES = 8 * 1024 * 1024
 
+#: probed-file cache cap: a multi-day live session at 1 s file cadence
+#: otherwise accumulates one _FileMap (index + chunk offsets) per file
+#: forever; eviction is FIFO (oldest files first — exactly the ones a
+#: trailing-window reader stops touching) and only costs a re-probe
+MAPS_CAP = 8192
+
 
 @dataclasses.dataclass(frozen=True)
 class _FileMap:
@@ -146,6 +152,8 @@ class FastSpanReader:
         except Exception:
             return None
         with self._lock:
+            while len(self._maps) >= MAPS_CAP:
+                self._maps.pop(next(iter(self._maps)))  # FIFO eviction
             self._maps[path] = fm
         return fm
 
@@ -173,8 +181,14 @@ class FastSpanReader:
         — callers must treat their contents as undefined and fully
         rebuild via the fallback path, as read_vector_raw does.
         """
+        if not hasattr(os, "preadv"):  # not on Windows/older macOS
+            return False
         end = start + n
         covered = mask if mask is not None else np.zeros(n, bool)
+        # the gap-zeroing below trusts False entries only: a caller-reused
+        # mask with stale True rows would leave np.empty garbage marked
+        # valid, so establish the all-False precondition here
+        covered[:] = False
         row_bytes = out.dtype.itemsize * (out.shape[1] if out.ndim > 1 else 1)
         jobs: List[Tuple[Path, int, int, int]] = []  # path, byte_off, dest_row, nrows
         for _, path in fmt.files_overlapping(props, channel_dir, start, end):
@@ -261,12 +275,27 @@ class FastSpanReader:
                     dest += take
                     nrows -= take
             pool = self._get_pool()
-            list(pool.map(run, split))
+            # submit + drain EVERY future before returning: Executor.map's
+            # exception cleanup cancels only not-yet-started jobs, and an
+            # in-flight straggler writing into `out` after a False return
+            # would race the caller's h5py fallback refilling the same
+            # buffer — silent corruption marked valid by the rebuilt mask
+            futs = [pool.submit(run, j) for j in split]
+            err: Optional[BaseException] = None
+            for f in futs:
+                try:
+                    f.result()
+                except Exception as e:
+                    err = e
+            if err is not None:
+                raise err
             return True
-        except OSError:
+        except Exception:
             # runtime read failure (file truncated/rewritten by a live
             # writer between probe and read): drop the stale maps and let
-            # the caller take the h5py path, which re-reads fresh state
+            # the caller take the h5py path, which re-reads fresh state.
+            # Deliberately broad — the fast path is opportunistic and the
+            # h5py fallback is the ground truth for ANY failure mode here
             with self._lock:
                 self._maps.clear()
             return False

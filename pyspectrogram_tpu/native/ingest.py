@@ -41,15 +41,27 @@ def _cache_dir() -> Path:
 def _build() -> Optional[Path]:
     if not _SRC.exists():
         return None
-    out = _cache_dir() / "libpstpu_ingest.so"
-    if out.exists() and out.stat().st_mtime >= _SRC.stat().st_mtime:
+    import hashlib
+
+    # content-hash key: two checkouts sharing one cache dir get their own
+    # binaries, and a source change can never load a stale .so (the old
+    # mtime compare raced pip's mtime preservation)
+    tag = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    out = _cache_dir() / f"libpstpu_ingest-{tag}.so"
+    if out.exists():
         return out
     out.parent.mkdir(parents=True, exist_ok=True)
+    # compile to a private temp name, then atomically publish: concurrent
+    # processes (bench + GUI, parallel test runs) must never dlopen a
+    # half-written ELF or interleave g++ output on the same file
+    tmp = out.with_name(f"{out.name}.{os.getpid()}.tmp")
     cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared",
-           "-o", str(out), str(_SRC)]
+           "-o", str(tmp), str(_SRC)]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, out)
     except Exception:
+        tmp.unlink(missing_ok=True)
         return None
     return out
 
@@ -65,7 +77,11 @@ def _load() -> Optional[ctypes.CDLL]:
             return None
         try:
             lib = ctypes.CDLL(str(path))
-            assert lib.pstpu_ingest_abi_version() == 1
+            # explicit check, not assert: `python -O` strips asserts and
+            # a mismatched binary would then be called through wrong
+            # argtypes (memory corruption, not an error)
+            if lib.pstpu_ingest_abi_version() != 1:
+                return None
         except Exception:
             return None
         i64 = ctypes.c_int64
@@ -75,7 +91,6 @@ def _load() -> Optional[ctypes.CDLL]:
         ip = ctypes.POINTER(ctypes.c_int64)
         lib.assemble_pm_c64.argtypes = [fp, i64, i32, ip, i32, i64, fp]
         lib.assemble_pm_i16.argtypes = [sp, i64, i32, ip, i32, i64, sp]
-        lib.assemble_tm_c64.argtypes = [fp, i64, i32, ip, i32, i64, fp]
         lib.deinterleave_c64.argtypes = [fp, i64, i32, fp]
         _LIB = lib
         return _LIB
@@ -100,6 +115,15 @@ def assemble_plane_major(span: np.ndarray, starts_rel: np.ndarray,
     starts = np.ascontiguousarray(starts_rel, np.int64)
     ntime = len(starts)
     nsub = span.shape[1]
+    # validate HERE, where both paths share it: the C kernels trust
+    # starts (a silent heap overread on bad input) while the numpy path
+    # fails with an obscure broadcast error — one explicit contract
+    if ntime and (int(starts.min()) < 0
+                  or int(starts.max()) + frame_len > span.shape[0]):
+        raise ValueError(
+            f"frame starts out of span: starts in "
+            f"[{int(starts.min())}, {int(starts.max())}] + frame_len "
+            f"{frame_len} vs span_len {span.shape[0]}")
     lib = _load()
 
     if span.dtype == np.complex64:

@@ -61,21 +61,6 @@ void assemble_pm_i16(const int16_t* span, int64_t span_len, int32_t nsub,
     }
 }
 
-// Interleaved complex64 span -> time-major packed float32
-// out (ntime*frame_len, nsub, 2): frame t occupies rows [t*frame_len, ...).
-// One straight memcpy per frame (the span layout already interleaves).
-void assemble_tm_c64(const float* span, int64_t span_len, int32_t nsub,
-                     const int64_t* starts, int32_t ntime, int64_t frame_len,
-                     float* out) {
-    const int64_t sstride = 2 * (int64_t)nsub;           // floats per sample
-    const int64_t frame_floats = frame_len * sstride;
-    for (int32_t t = 0; t < ntime; ++t) {
-        std::memcpy(out + (int64_t)t * frame_floats,
-                    span + starts[t] * sstride,
-                    (size_t)frame_floats * sizeof(float));
-    }
-}
-
 // Deinterleave one complex64 buffer (n, nsub) into plane-major (nsub*2, n).
 void deinterleave_c64(const float* src, int64_t n, int32_t nsub, float* out) {
     const int64_t sstride = 2 * (int64_t)nsub;

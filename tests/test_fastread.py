@@ -190,3 +190,61 @@ def test_shuffle_filtered_file_falls_back(tmp_path):
     b, mb = slow.read_vector_raw(lo, hi - lo + 1, "c0", return_mask=True)
     np.testing.assert_array_equal(a, b)
     np.testing.assert_array_equal(ma, mb)
+
+
+def test_failed_pool_read_drains_stragglers(tmp_path, monkeypatch):
+    """A mid-read failure must DRAIN every in-flight preadv job before
+    read_into returns False: Executor.map's cleanup cancels only queued
+    jobs, and a straggler writing into ``out`` after the return would
+    race the caller's h5py fallback refilling the same buffer (silent
+    corruption marked valid)."""
+    import os
+    import threading
+    import time
+
+    write_capture(tmp_path, channel="s0", kind="tone", n_samples=600_000,
+                  sample_rate_numerator=250_000, num_subchannels=2)
+    props = fmt.read_properties(tmp_path / "s0" / fmt.PROPERTIES_FILENAME)
+    slow = _h5py_only(tmp_path)
+    lo, hi = slow.get_bounds("s0")
+    n = hi - lo + 1
+
+    real = os.preadv
+    lock = threading.Lock()
+    state = {"calls": 0}
+
+    def flaky(fd, bufs, off):
+        with lock:
+            state["calls"] += 1
+            first = state["calls"] == 1
+        if first:
+            raise OSError("file truncated mid-read")
+        time.sleep(0.05)          # stragglers land late, after the raise
+        return real(fd, bufs, off)
+
+    monkeypatch.setattr(os, "preadv", flaky)
+    fsr = FastSpanReader()
+    out = np.zeros((n, 2), np.complex64)
+    mask = np.zeros(n, bool)
+    assert not fsr.read_into(props, tmp_path / "s0", lo, n, out, mask)
+    snap = out.copy()
+    time.sleep(0.3)               # an undrained straggler would write now
+    np.testing.assert_array_equal(out, snap)
+
+
+def test_probe_cache_is_capped(tmp_path, monkeypatch):
+    """The per-file probe cache evicts FIFO at MAPS_CAP — a multi-day
+    live session must not accumulate one _FileMap per cadence file
+    forever — and evicted files still read correctly (re-probe)."""
+    from pyspectrogram_tpu.io import fastread
+
+    write_capture(tmp_path, channel="m0", kind="tone", n_samples=500_000,
+                  sample_rate_numerator=250_000, file_cadence_millisecs=200)
+    monkeypatch.setattr(fastread, "MAPS_CAP", 3)
+    fast = DigitalRFReader(tmp_path)
+    slow = _h5py_only(tmp_path)
+    lo, hi = fast.get_bounds("m0")
+    a = fast.read_vector_raw(lo, hi - lo + 1, "m0")   # ~10 files probed
+    assert len(fast._fast._maps) <= 3
+    b = slow.read_vector_raw(lo, hi - lo + 1, "m0")
+    np.testing.assert_array_equal(a, b)

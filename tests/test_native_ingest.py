@@ -72,3 +72,17 @@ def test_packaged_native_source_in_sync():
 
         pytest.skip("installed layout: no csrc/ tree to compare")
     assert pkg.read_bytes() == dev.read_bytes()
+
+
+def test_assemble_plane_major_rejects_out_of_span():
+    """The C kernels trust starts (a bad value is a silent heap overread)
+    and the numpy path failed with an obscure broadcast error — both now
+    share one explicit contract check."""
+    span = np.zeros((100, 1), np.complex64)
+    with pytest.raises(ValueError, match="out of span"):
+        ingest.assemble_plane_major(span, np.asarray([50], np.int64), 64)
+    with pytest.raises(ValueError, match="out of span"):
+        ingest.assemble_plane_major(span, np.asarray([-1], np.int64), 10)
+    # the boundary case is legal: last frame ends exactly at span end
+    out = ingest.assemble_plane_major(span, np.asarray([36], np.int64), 64)
+    assert out.shape == (2, 64)
