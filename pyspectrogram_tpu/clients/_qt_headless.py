@@ -18,12 +18,23 @@ Semantics follow Qt where the GUI depends on them:
   existed; ``blockSignals`` suppresses emission;
 * ``QMainWindow.close`` runs ``closeEvent`` with an accept/ignore event;
 * signal emission is synchronous (no event loop) — worker-thread callbacks
-  run inline, which is what the headless tests want.
+  run inline, which is what the headless tests want — but slot execution
+  is SERIALIZED under one re-entrant lock: on real Qt every slot runs on
+  the single GUI thread, so two slots never mutate widget/canvas state
+  concurrently, and a worker's inline delivery here must not either
+  (observed otherwise: a scheduler-tick redraw interleaving with a
+  main-thread redraw left doubled matplotlib artists).
 """
 
 from __future__ import annotations
 
+import threading
 from typing import Callable, List
+
+# Models the single GUI thread: all slot invocations (whatever thread
+# emits) run mutually exclusive. Re-entrant because slots emit further
+# signals synchronously (e.g. a clicked handler that calls setValue).
+SLOT_LOCK = threading.RLock()
 
 
 # --------------------------------------------------------------- signals
@@ -55,8 +66,9 @@ class _BoundSignal:
             self._handlers = [h for h in self._handlers if h[0] is not fn]
 
     def emit(self, *args) -> None:
-        for fn, maxargs in list(self._handlers):
-            fn(*(args if maxargs is None else args[:maxargs]))
+        with SLOT_LOCK:
+            for fn, maxargs in list(self._handlers):
+                fn(*(args if maxargs is None else args[:maxargs]))
 
 
 class pyqtSignal:

@@ -26,6 +26,7 @@ import pytest
 
 from pyspectrogram_tpu.clients import gui
 from pyspectrogram_tpu.clients._qt_headless import (
+    SLOT_LOCK,
     QFileDialog,
     QInputDialog,
     QMessageBox,
@@ -155,10 +156,30 @@ def test_redraw_clamps_subchannel_to_stale_result(tone_capture):
     st = _start(win, top, ntime=50)
     assert _wait(lambda: st.last is not None)
     assert st.last.sxx_med_dbfs.shape[1] == 2   # the stale 2-sub result
-    win._set_subchan(1, 5)                      # combo says 6+ subs now
-    assert len(st.psd_ax.lines) == 2            # redrew, clamped to sub 1
+    # simulate the channel switch: repopulate the combo to 6 subchannels,
+    # then select index 5 THROUGH the signal, so the selection slot runs
+    # serialized with the refresh loop's redraws (on real Qt both run on
+    # the GUI thread; the headless kit serializes slots the same way)
+    st.sub_combo.blockSignals(True)
+    st.sub_combo.clear()
+    st.sub_combo.addItems([str(i) for i in range(6)])
+    st.sub_combo.blockSignals(False)
+    st.sub_combo.setCurrentIndex(5)
+    # the refresh loop keeps redrawing between polls, so wait for a
+    # completed redraw rather than asserting between cla() and the plots
+    assert _wait(lambda: len(st.psd_ax.lines) == 2)
     st.stop_btn.click()
     assert _wait(lambda: not st.processor.is_running)
+    # deterministic post-stop redraw: still the stale 2-sub result, the
+    # out-of-range selection clamped to sub 1 (the highlighted line).
+    # A final in-flight scheduler emission may still land after stop;
+    # on real Qt it would queue onto the GUI thread (serialized with
+    # this call), so take the headless kit's slot lock to model that —
+    # a direct method call otherwise bypasses slot serialization.
+    with SLOT_LOCK:
+        win._set_subchan(1, 5)
+        assert len(st.psd_ax.lines) == 2
+        assert st.psd_ax.lines[1].get_linewidth() == 4
     assert win.close()
 
 
