@@ -364,6 +364,31 @@ def test_check_snapshot_remeasures_suspect_high_rows(tmp_path, capsys):
     assert "suspect-high" in err and "12.500" in err
 
 
+def test_check_snapshot_band_floor(tmp_path, capsys):
+    """A row pinned with an explicit observed-band floor (``band_lo``,
+    for the documented tunnel-state-sensitive rows) gates against that
+    floor instead of pin*(1-tol): a healthy low-band reading passes, a
+    genuine regression below the band still fails."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench
+
+    pin = tmp_path / "pin.json"
+    pin.write_text(json.dumps({"rows": [
+        {"key": "sti/1024/pallas/display", "gs": 25.5, "band_lo": 17.5}]}))
+    # in-band reading (well below pin*(0.9)=22.95 but above the floor)
+    ok = bench.check_snapshot(
+        [{"key": "sti/1024/pallas/display", "gs": 19.4}], str(pin), 0.10)
+    err = capsys.readouterr().err
+    assert ok and "floor 17.500 band" in err
+    # a real regression (e.g. silent XLA fallback) lands far below
+    ok = bench.check_snapshot(
+        [{"key": "sti/1024/pallas/display", "gs": 9.5}], str(pin), 0.10)
+    err = capsys.readouterr().err
+    assert not ok and "REGRESSED" in err
+
+
 def test_stream_command_with_hop(tmp_path, capsys):
     """stream --hop < nfft*nint pushes an OVERLAPPED stream: one column
     per hop samples (overlap-save), peak still at the tone."""
